@@ -1,0 +1,230 @@
+"""Qwen3-family causal LM, TPU-native.
+
+Serves two reference roles:
+- the 5 Hz LM planner (acestep-5Hz-lm-{0.6B,1.7B,4B}; reference serves it via
+  the embedded nano-vllm engine, /root/reference/acestep/third_parts/nano-vllm/)
+- the Qwen3-Embedding-0.6B text encoder (reference
+  core/generation/handler/init_service_loader.py:146-161) — same trunk, no head.
+
+TPU-native design replaces nano-vllm's paged-KV / CUDA-graph machinery:
+- fixed-shape KV cache buffers (B, max_len, Hkv, D) updated with
+  `dynamic_update_slice` — XLA compiles one prefill program per length bucket
+  and ONE decode-step program reused for every token (the role CUDA graphs
+  play on GPU);
+- layers run under `lax.scan` over stacked layer params, with the per-layer
+  cache threaded through the scan;
+- CFG pairing (nano-vllm scheduler co-scheduling, engine/llm_engine.py:56-82)
+  becomes a batch-axis [cond; uncond] concat with logit mixing u + s*(c-u)
+  and shared sampled tokens.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from acestep_tpu.config import LMConfig
+from acestep_tpu.ops.basic import (
+    apply_rope, init_attention, init_linear, init_mlp, init_rms_norm, linear,
+    mlp, rms_norm, rope_cos_sin,
+)
+
+# ------------------------------------------------------------------
+# Params
+# ------------------------------------------------------------------
+
+
+def _init_layer(key, cfg: LMConfig) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {
+        "input_layernorm": init_rms_norm(cfg.hidden_size),
+        "self_attn": init_attention(k1, cfg.hidden_size, cfg.num_attention_heads,
+                                    cfg.num_key_value_heads, cfg.head_dim),
+        "post_attention_layernorm": init_rms_norm(cfg.hidden_size),
+        "mlp": init_mlp(k2, cfg.hidden_size, cfg.intermediate_size),
+    }
+
+
+def init_lm_params(key, cfg: LMConfig) -> dict:
+    ks = jax.random.split(key, cfg.num_hidden_layers + 2)
+    layers = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[_init_layer(ks[i], cfg) for i in range(cfg.num_hidden_layers)],
+    )
+    p = {
+        "embed_tokens": jax.random.normal(ks[-1], (cfg.vocab_size, cfg.hidden_size)) * 0.02,
+        "layers": layers,
+        "norm": init_rms_norm(cfg.hidden_size),
+    }
+    if not cfg.tie_word_embeddings:
+        p["lm_head"] = init_linear(ks[-2], cfg.hidden_size, cfg.vocab_size, bias=False)
+    return p
+
+
+# ------------------------------------------------------------------
+# KV cache
+# ------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """Fixed-shape per-layer cache: k/v (n_layers, B, max_len, Hkv, D)."""
+    k: jnp.ndarray
+    v: jnp.ndarray
+    length: jnp.ndarray  # () int32 — tokens written so far (same for all rows)
+
+    @classmethod
+    def create(cls, cfg: LMConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+        shape = (cfg.num_hidden_layers, batch, max_len,
+                 cfg.num_key_value_heads, cfg.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                   jnp.zeros((), jnp.int32))
+
+
+# ------------------------------------------------------------------
+# Forward
+# ------------------------------------------------------------------
+
+
+def _attend(q, k, v, mask):
+    """GQA attention, fp32 softmax. q (B,Lq,Hq,D), k/v (B,Lk,Hkv,D)."""
+    B, Lq, Hq, D = q.shape
+    Hkv = k.shape[2]
+    g = Hq // Hkv
+    qg = q.reshape(B, Lq, Hkv, g, D)
+    logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k,
+                        preferred_element_type=jnp.float32) * (D ** -0.5)
+    logits = jnp.where(mask[:, None, None], logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
+    return out.reshape(B, Lq, Hq, D)
+
+
+def lm_forward(params: dict, cfg: LMConfig, input_ids: jnp.ndarray,
+               cache: KVCache, *, start_pos: jnp.ndarray,
+               attention_mask: Optional[jnp.ndarray] = None):
+    """Run the trunk over `input_ids` (B, L) writing K/V at
+    [start_pos, start_pos+L). Returns (hidden (B, L, H), new_cache).
+
+    Works for prefill (L = prompt bucket) and decode (L = 1) alike; under jit
+    each L compiles once. `attention_mask` (B, max_len) marks valid cache
+    positions (1 = valid) — needed for left-padded batches.
+    """
+    B, L = input_ids.shape
+    max_len = cache.k.shape[2]
+    x = params["embed_tokens"][input_ids].astype(cache.k.dtype)
+
+    positions = start_pos + jnp.arange(L)
+    cos, sin = rope_cos_sin(L, cfg.head_dim, cfg.rope_theta,
+                            dtype=jnp.float32, positions=positions)
+
+    # mask over cache keys: key j visible to query i iff j <= start+i and
+    # (no attention_mask or attention_mask[j]).
+    kpos = jnp.arange(max_len)
+    visible = kpos[None, :] <= positions[:, None]          # (L, max_len)
+    mask = jnp.broadcast_to(visible[None], (B, L, max_len))
+    if attention_mask is not None:
+        written = kpos[None, :] >= (start_pos + L)         # future slots
+        valid = attention_mask.astype(bool) | written      # only gate written area
+        mask = mask & valid[:, None, :]
+
+    eps = cfg.rms_norm_eps
+
+    def body(carry, xs):
+        h = carry
+        lp, ck, cv = xs
+        a_in = rms_norm(lp["input_layernorm"], h, eps)
+        q = linear(lp["self_attn"]["q_proj"], a_in).reshape(B, L, cfg.num_attention_heads, cfg.head_dim)
+        k = linear(lp["self_attn"]["k_proj"], a_in).reshape(B, L, cfg.num_key_value_heads, cfg.head_dim)
+        v = linear(lp["self_attn"]["v_proj"], a_in).reshape(B, L, cfg.num_key_value_heads, cfg.head_dim)
+        q = rms_norm(lp["self_attn"]["q_norm"], q, eps)
+        k = rms_norm(lp["self_attn"]["k_norm"], k, eps)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, start_pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, start_pos, 0, 0))
+        att = _attend(q, ck, cv, mask)
+        o = linear(lp["self_attn"]["o_proj"], att.reshape(B, L, -1))
+        h = h + o
+        h = h + mlp(lp["mlp"], rms_norm(lp["post_attention_layernorm"], h, eps))
+        return h, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    x = rms_norm(params["norm"], x, eps)
+    new_cache = KVCache(new_k, new_v, start_pos + L)
+    return x, new_cache
+
+
+def lm_logits(params: dict, cfg: LMConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    """(B, L, H) -> (B, L, V) float32."""
+    if cfg.tie_word_embeddings:
+        w = params["embed_tokens"].astype(hidden.dtype)
+        return (hidden @ w.T).astype(jnp.float32)
+    return linear(params["lm_head"], hidden).astype(jnp.float32)
+
+
+def lm_encode(params: dict, cfg: LMConfig, input_ids: jnp.ndarray,
+              attention_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """Text-encoder mode (Qwen3-Embedding): full bidirectionally-valid causal
+    pass, returns last hidden states (B, L, H). No cache retained."""
+    B, L = input_ids.shape
+    cache = KVCache.create(cfg, B, L, dtype=dtype)
+    hidden, _ = lm_forward(params, cfg, input_ids, cache,
+                           start_pos=jnp.zeros((), jnp.int32),
+                           attention_mask=attention_mask)
+    return hidden
+
+
+# ------------------------------------------------------------------
+# Sampling (reference: nano-vllm layers/sampler.py + SamplingParams)
+# ------------------------------------------------------------------
+
+
+def apply_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    vals, _ = jax.lax.top_k(logits, k)
+    cutoff = vals[..., -1:]
+    return jnp.where(logits < cutoff, -jnp.inf, logits)
+
+
+def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
+    sort_idx = jnp.argsort(-logits, axis=-1)
+    sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep_sorted = cum - probs < p          # keep tokens until mass >= p
+    keep = jnp.zeros_like(keep_sorted).at[
+        jnp.arange(logits.shape[0])[:, None], sort_idx].set(keep_sorted)
+    return jnp.where(keep, logits, -jnp.inf)
+
+
+def sample_tokens(key, logits: jnp.ndarray, *, temperature: float = 1.0,
+                  top_k: int = 0, top_p: float = 1.0,
+                  allow_mask: Optional[jnp.ndarray] = None,
+                  greedy_if_zero_temp: bool = True) -> jnp.ndarray:
+    """logits (B, V) float32 -> token ids (B,) int32.
+
+    allow_mask: optional bool (B, V) — the FSM constraint surface
+    (reference MetadataConstrainedLogitsProcessor.__call__); masked logits
+    are set to -inf BEFORE temperature/top-k/top-p.
+    """
+    if allow_mask is not None:
+        logits = jnp.where(allow_mask, logits, -jnp.inf)
+    if temperature <= 0.0 and greedy_if_zero_temp:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / jnp.maximum(temperature, 1e-6)
+    if top_k and top_k > 0:
+        logits = apply_top_k(logits, top_k)
+    if top_p < 1.0:
+        logits = apply_top_p(logits, top_p)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def cfg_mix_logits(logits: jnp.ndarray, guidance_scale: float) -> jnp.ndarray:
+    """Paired-CFG logit mix: rows [cond; uncond] (2B, V) -> (B, V)
+    u + s*(c - u) (reference llm_inference.py:2480-2512)."""
+    c, u = jnp.split(logits, 2, axis=0)
+    return u + guidance_scale * (c - u)

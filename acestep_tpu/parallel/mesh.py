@@ -1,0 +1,105 @@
+"""Device mesh + sharding rules (GSPMD-first).
+
+The reference's distribution story is NCCL tensor-parallel inside nano-vllm
+plus declared-but-unused transformers TP/PP plans
+(/root/reference/acestep/models/turbo/configuration_acestep_v15.py:133-146,
+third_parts/nano-vllm/nanovllm/distributed.py). The TPU-native replacement is
+a `jax.sharding.Mesh` over ICI with `NamedSharding` annotations; XLA inserts
+the collectives (all-gather / reduce-scatter / psum) that NCCL calls perform
+by hand.
+
+Axes:
+- ``dp``: data parallel — batch of songs / LM sequences sharded.
+- ``tp``: tensor parallel — attention heads + MLP intermediate sharded,
+  matching the reference's declared colwise/rowwise plan (q/k/v/gate/up are
+  column-parallel = shard output dim; o/down are row-parallel = shard input
+  dim, reduced by XLA with a psum).
+
+Param pytrees here are plain nested dicts (models/dit.py, models/lm.py);
+rules are keyed on the dict path, with PartitionSpecs padded on the left for
+the stacked-layer leading axis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Column-parallel (shard output features) / row-parallel (shard input features)
+_COL_KEYS = ("q_proj", "k_proj", "v_proj", "gate", "up")
+_ROW_KEYS = ("o_proj", "down")
+
+
+def make_mesh(dp: int = 1, tp: int = 1,
+              devices: Optional[list] = None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if dp * tp > len(devices):
+        raise ValueError(f"mesh {dp}x{tp} needs {dp*tp} devices, have {len(devices)}")
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def _path_keys(path) -> list:
+    return [p.key for p in path if isinstance(p, jax.tree_util.DictKey)]
+
+
+def _linear_spec(keys, leaf, tp_axis: str):
+    """PartitionSpec for one leaf given its dict path. Returns None to
+    replicate."""
+    if not keys or keys[-1] != "w":
+        return None  # biases / norms / tables replicated
+    parent = keys[-2] if len(keys) >= 2 else ""
+    if parent in _COL_KEYS:
+        spec = (None, tp_axis)
+    elif parent in _ROW_KEYS:
+        spec = (tp_axis, None)
+    else:
+        return None
+    pad = leaf.ndim - len(spec)
+    return P(*([None] * pad + list(spec)))
+
+
+def dit_param_pspecs(params: dict, tp_axis: str = "tp") -> dict:
+    """PartitionSpec tree for a DiT param tree (init_dit_params layout).
+
+    Attention + MLP projections are TP-sharded; convs, norms, embeddings and
+    modulation tables are replicated (they are small)."""
+    def rule(path, leaf):
+        spec = _linear_spec(_path_keys(path), leaf, tp_axis)
+        return spec if spec is not None else P()
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def lm_param_pspecs(params: dict, tp_axis: str = "tp") -> dict:
+    """PartitionSpec tree for the Qwen3 LM (init_lm_params layout).
+    embed_tokens (vocab, H) is vocab-sharded so the tied lm_head matmul and
+    the one-hot gather both split over tp."""
+    def rule(path, leaf):
+        keys = _path_keys(path)
+        if keys and keys[-1] == "embed_tokens" and leaf.ndim == 2:
+            return P(tp_axis, None)
+        spec = _linear_spec(keys, leaf, tp_axis)
+        return spec if spec is not None else P()
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int, axis: str = "dp"):
+    """Shard axis 0 (batch) over dp, replicate the rest."""
+    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+def shard_pytree(params: dict, mesh: Mesh, pspecs: dict) -> dict:
+    """Place a param tree on the mesh according to a PartitionSpec tree."""
+    return jax.tree.map(
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        params, pspecs,
+    )

@@ -1,0 +1,72 @@
+"""Audio IO / normalization / UUID tests (reference: audio_utils.py,
+io_audio.py behaviors)."""
+
+import numpy as np
+import pytest
+
+from acestep_tpu.utils.audio import (
+    AudioSaver, generate_uuid_from_params, load_audio, load_wav,
+    peak_normalize, resample, save_wav, to_channels,
+)
+
+
+def test_wav_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal((4800, 2)) * 0.1).astype(np.float32)
+    p = tmp_path / "x.wav"
+    save_wav(p, audio, 48000)
+    back, sr = load_wav(p)
+    assert sr == 48000
+    assert back.shape == audio.shape
+    np.testing.assert_allclose(back, audio, atol=1e-4)
+
+
+def test_load_audio_resamples_and_stereo(tmp_path):
+    rng = np.random.default_rng(1)
+    mono = (rng.standard_normal((16000, 1)) * 0.1).astype(np.float32)
+    p = tmp_path / "m.wav"
+    save_wav(p, mono, 16000)
+    out = load_audio(p, target_sr=48000, target_channels=2)
+    assert out.shape[1] == 2
+    assert abs(out.shape[0] - 48000) <= 4
+
+
+def test_peak_normalize():
+    audio = np.array([[0.5, -0.25]], np.float32).T @ np.ones((1, 2), np.float32)
+    out = peak_normalize(audio, target_dbfs=-1.0)
+    target = 10 ** (-1.0 / 20)
+    assert abs(np.max(np.abs(out)) - target) < 1e-5
+    silent = np.zeros((100, 2), np.float32)
+    np.testing.assert_array_equal(peak_normalize(silent), silent)
+
+
+def test_resample_length():
+    x = np.ones((16000, 2), np.float32)
+    y = resample(x, 16000, 48000)
+    assert y.shape == (48000, 2)
+
+
+def test_to_channels():
+    x = np.ones((10, 1), np.float32)
+    assert to_channels(x, 2).shape == (10, 2)
+    y = np.ones((10, 2), np.float32)
+    assert to_channels(y, 1).shape == (10, 1)
+
+
+def test_uuid_stable_and_distinct():
+    a = generate_uuid_from_params({"caption": "x", "seed": 1})
+    b = generate_uuid_from_params({"seed": 1, "caption": "x"})
+    c = generate_uuid_from_params({"caption": "x", "seed": 2})
+    assert a == b
+    assert a != c
+    assert len(a.split("-")) == 5
+
+
+def test_audio_saver_wav(tmp_path):
+    saver = AudioSaver(tmp_path)
+    audio = np.zeros((1000, 2), np.float32)
+    out = saver.save_audio(audio, "test", "wav")
+    assert out.endswith("test.wav")
+    back, sr = load_wav(out)
+    assert back.shape == (1000, 2)
+    assert "wav" in saver.available_formats()
