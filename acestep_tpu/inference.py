@@ -1,0 +1,328 @@
+"""Top-level Python inference API.
+
+Mirrors the reference facade (/root/reference/acestep/inference.py):
+`GenerationParams` / `GenerationConfig` / `GenerationResult` dataclasses with
+the same field surface, and `generate_music(dit_handler, llm_handler, params,
+config)` orchestrating the optional 5 Hz LM planning phase, metadata merging
+(user values win, ref :262-306), the DiT render, normalization and saving.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Any, Dict, List, Optional
+
+from acestep_tpu.constants import DEFAULT_DIT_INSTRUCTION
+from acestep_tpu.pipeline import text as textlib
+from acestep_tpu.utils.audio import generate_uuid_from_params
+
+# ------------------------------------------------------------------
+# Dataclasses (field surface mirrors reference inference.py:38-259)
+# ------------------------------------------------------------------
+
+
+@dataclass
+class GenerationParams:
+    task_type: str = "text2music"
+    instruction: str = DEFAULT_DIT_INSTRUCTION
+
+    reference_audio: Optional[str] = None
+    src_audio: Optional[str] = None
+    audio_codes: str = ""
+
+    caption: str = ""
+    lyrics: str = ""
+    instrumental: bool = False
+
+    vocal_language: str = "unknown"
+    bpm: Optional[int] = None
+    keyscale: str = ""
+    timesignature: str = ""
+    duration: float = -1.0
+
+    enable_normalization: bool = True
+    normalization_db: float = -1.0
+    latent_shift: float = 0.0
+    latent_rescale: float = 1.0
+
+    inference_steps: int = 8
+    seed: int = -1
+    guidance_scale: float = 7.0
+    use_adg: bool = False
+    cfg_interval_start: float = 0.0
+    cfg_interval_end: float = 1.0
+    shift: float = 1.0
+    infer_method: str = "ode"
+    timesteps: Optional[List[float]] = None
+
+    repainting_start: float = 0.0
+    repainting_end: float = -1
+    audio_cover_strength: float = 1.0
+    cover_noise_strength: float = 0.0
+
+    thinking: bool = True
+    lm_temperature: float = 0.85
+    lm_cfg_scale: float = 2.0
+    lm_top_k: int = 0
+    lm_top_p: float = 0.9
+    lm_negative_prompt: str = "NO USER INPUT"
+    use_cot_metas: bool = True
+    use_cot_caption: bool = True
+    use_cot_lyrics: bool = False
+    use_cot_language: bool = True
+    use_constrained_decoding: bool = True
+
+    cot_bpm: Optional[int] = None
+    cot_keyscale: str = ""
+    cot_timesignature: str = ""
+    cot_duration: Optional[float] = None
+    cot_vocal_language: str = "unknown"
+    cot_caption: str = ""
+    cot_lyrics: str = ""
+
+    def to_dict(self) -> Dict[str, Any]:
+        return asdict(self)
+
+
+@dataclass
+class GenerationConfig:
+    batch_size: int = 2
+    allow_lm_batch: bool = False
+    use_random_seed: bool = True
+    seeds: Optional[List[int]] = None
+    lm_batch_chunk_size: int = 8
+    constrained_decoding_debug: bool = False
+    audio_format: str = "wav"   # reference defaults to flac; wav is always available
+    output_dir: str = "outputs"
+
+    def to_dict(self) -> Dict[str, Any]:
+        return asdict(self)
+
+
+@dataclass
+class GenerationResult:
+    audios: List[Dict[str, Any]] = field(default_factory=list)
+    status_message: str = ""
+    extra_outputs: Dict[str, Any] = field(default_factory=dict)
+    success: bool = True
+    error: Optional[str] = None
+
+    def to_dict(self) -> Dict[str, Any]:
+        return asdict(self)
+
+
+@dataclass
+class UnderstandResult:
+    caption: str = ""
+    lyrics: str = ""
+    bpm: Optional[int] = None
+    duration: Optional[float] = None
+    keyscale: str = ""
+    language: str = ""
+    timesignature: str = ""
+    status_message: str = ""
+    success: bool = True
+    error: Optional[str] = None
+
+    def to_dict(self) -> Dict[str, Any]:
+        return asdict(self)
+
+
+# ------------------------------------------------------------------
+# Metadata merge (reference _update_metadata_from_lm :262-306 — user wins)
+# ------------------------------------------------------------------
+
+
+def _merge_metadata(params: GenerationParams, lm_meta: Dict[str, Any]) -> Dict[str, Any]:
+    meta: Dict[str, Any] = {}
+    meta["bpm"] = params.bpm if params.bpm else lm_meta.get("bpm", "N/A")
+    meta["keyscale"] = params.keyscale or lm_meta.get("keyscale", "N/A")
+    meta["timesignature"] = (params.timesignature
+                             or lm_meta.get("timesignature", "N/A"))
+    if params.duration and params.duration > 0:
+        meta["duration"] = f"{int(params.duration)} seconds"
+    elif lm_meta.get("duration"):
+        meta["duration"] = f"{int(float(lm_meta['duration']))} seconds"
+    caption = params.caption
+    if not caption and lm_meta.get("caption"):
+        caption = str(lm_meta["caption"])
+    elif params.use_cot_caption and lm_meta.get("caption"):
+        caption = str(lm_meta["caption"])
+    language = params.vocal_language
+    if (language in ("", "unknown") or params.use_cot_language) and \
+            lm_meta.get("language"):
+        language = str(lm_meta["language"])
+    meta["caption"] = caption
+    meta["language"] = language
+    return meta
+
+
+# ------------------------------------------------------------------
+# Main entry
+# ------------------------------------------------------------------
+
+
+def generate_music(dit_handler, llm_handler, params: GenerationParams,
+                   config: Optional[GenerationConfig] = None) -> GenerationResult:
+    """Full pipeline: optional LM planning phase -> DiT render -> save."""
+    config = config or GenerationConfig()
+    t0 = time.time()
+    time_costs: Dict[str, Any] = {}
+    try:
+        lyrics = "[Instrumental]" if params.instrumental and not params.lyrics \
+            else params.lyrics
+        lm_meta: Dict[str, Any] = {}
+        audio_codes = params.audio_codes or None
+        skip_lm = params.task_type in ("cover", "repaint") and audio_codes
+        if llm_handler is not None and params.thinking and not skip_lm:
+            t_lm = time.time()
+            phase = llm_handler.plan(
+                caption=params.caption, lyrics=lyrics,
+                temperature=params.lm_temperature,
+                cfg_scale=params.lm_cfg_scale,
+                top_k=params.lm_top_k, top_p=params.lm_top_p,
+                negative_prompt=params.lm_negative_prompt,
+                user_metadata=dict(
+                    bpm=params.bpm or params.cot_bpm,
+                    keyscale=params.keyscale or params.cot_keyscale,
+                    timesignature=params.timesignature or params.cot_timesignature,
+                    duration=(params.duration if params.duration and
+                              params.duration > 0 else params.cot_duration),
+                    language=(params.vocal_language
+                              if params.vocal_language not in ("", "unknown")
+                              else None),
+                ),
+                infer_type=("dit" if params.task_type != "text2music"
+                            or audio_codes else "llm_dit"),
+                constrained=params.use_constrained_decoding,
+            )
+            lm_meta = phase.get("metadata", {})
+            if phase.get("audio_codes") and not audio_codes:
+                audio_codes = phase["audio_codes"]
+            time_costs["lm_time_cost"] = time.time() - t_lm
+
+        meta = _merge_metadata(params, lm_meta)
+        duration = None
+        if params.duration and params.duration > 0:
+            duration = float(params.duration)
+        elif lm_meta.get("duration"):
+            try:
+                duration = float(lm_meta["duration"])
+            except (TypeError, ValueError):
+                duration = None
+
+        seeds = config.seeds if config.seeds is not None else (
+            None if params.seed is None or params.seed < 0 else params.seed)
+
+        res = dit_handler.generate_music(
+            captions=meta.get("caption") or params.caption,
+            lyrics=lyrics,
+            metas={k: v for k, v in meta.items() if k not in ("caption",)},
+            task=params.task_type,
+            instructions=(params.instruction
+                          if params.instruction else None),
+            vocal_languages=meta.get("language", params.vocal_language),
+            audio_duration=duration,
+            batch_size=config.batch_size,
+            seeds=seeds,
+            use_random_seed=config.use_random_seed and config.seeds is None
+            and (params.seed is None or params.seed < 0),
+            src_audio=params.src_audio,
+            refer_audios=params.reference_audio,
+            audio_code_hints=audio_codes,
+            repainting_start=(params.repainting_start
+                              if params.task_type in ("repaint", "lego")
+                              else None),
+            repainting_end=(None if params.repainting_end is None
+                            or params.repainting_end < 0
+                            else params.repainting_end)
+            if params.task_type in ("repaint", "lego") else None,
+            audio_cover_strength=params.audio_cover_strength,
+            cover_noise_strength=params.cover_noise_strength,
+            infer_method=params.infer_method,
+            shift=params.shift if params.shift else 3.0,
+            infer_steps=params.inference_steps,
+            timesteps=params.timesteps,
+            guidance_scale=params.guidance_scale,
+            use_adg=params.use_adg,
+            cfg_interval=(params.cfg_interval_start, params.cfg_interval_end),
+            latent_shift=params.latent_shift,
+            latent_rescale=params.latent_rescale,
+            normalize=params.enable_normalization,
+            save_dir=config.output_dir,
+            audio_format=config.audio_format,
+        )
+        time_costs.update(res.time_costs)
+        time_costs["total_time_cost"] = time.time() - t0
+
+        audios = []
+        for i, path in enumerate(res.audio_paths or [None] * len(res.audios)):
+            p_dict = params.to_dict()
+            p_dict["seed"] = res.seeds[i]
+            audios.append({
+                "path": path,
+                "key": generate_uuid_from_params(p_dict),
+                "seed": res.seeds[i],
+                "params": p_dict,
+                "sample_rate": res.sample_rate,
+            })
+        return GenerationResult(
+            audios=audios,
+            status_message="success",
+            extra_outputs={
+                "time_costs": time_costs,
+                "lm_metadata": lm_meta,
+                "audio_codes": audio_codes,
+                "frames": res.extra.get("frames"),
+                "task": res.extra.get("task"),
+                "seeds": res.seeds,
+            },
+        )
+    except Exception as e:  # mirror the reference's error-payload contract
+        import traceback
+
+        return GenerationResult(
+            audios=[], success=False, error=f"{e}",
+            status_message=traceback.format_exc(limit=5),
+        )
+
+
+def understand_music(llm_handler, audio_codes: str,
+                     temperature: float = 0.85) -> UnderstandResult:
+    """LM 'understand' mode: audio codes -> metadata/caption/lyrics."""
+    if llm_handler is None:
+        return UnderstandResult(success=False, error="LLM handler not initialized")
+    try:
+        out = llm_handler.understand(audio_codes, temperature=temperature)
+        return UnderstandResult(
+            caption=out.get("caption", ""), lyrics=out.get("lyrics", ""),
+            bpm=out.get("bpm"), duration=out.get("duration"),
+            keyscale=out.get("keyscale", ""), language=out.get("language", ""),
+            timesignature=out.get("timesignature", ""),
+            status_message="success")
+    except Exception as e:
+        return UnderstandResult(success=False, error=str(e))
+
+
+def create_sample(llm_handler, query: str = "",
+                  temperature: float = 0.85) -> Dict[str, Any]:
+    """LM 'inspiration' mode: free-form query -> sample blueprint."""
+    if llm_handler is None:
+        return {"success": False, "error": "LLM handler not initialized"}
+    try:
+        return {"success": True, **llm_handler.create_sample(query, temperature=temperature)}
+    except Exception as e:
+        return {"success": False, "error": str(e)}
+
+
+def format_sample(llm_handler, caption: str = "", lyrics: str = "",
+                  temperature: float = 0.3) -> Dict[str, Any]:
+    """LM 'format' mode: normalize user caption/lyrics into the SFT format."""
+    if llm_handler is None:
+        return {"success": False, "error": "LLM handler not initialized"}
+    try:
+        return {"success": True,
+                **llm_handler.format_sample(caption, lyrics, temperature=temperature)}
+    except Exception as e:
+        return {"success": False, "error": str(e)}

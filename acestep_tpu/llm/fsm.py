@@ -1,0 +1,310 @@
+"""Constrained-decoding FSM for the 5 Hz LM planner.
+
+Behavior parity: /root/reference/acestep/constrained_logits_processor.py
+(2339 LoC): enforce the CoT schema
+
+    <think>
+    bpm: [30-300]
+    caption: [free text]
+    duration: [10-600]
+    genres: [vocab]            (skipped by default, as in the reference)
+    keyscale: [A-G][#b] major|minor
+    language: [51 codes]
+    timesignature: [2|3|4|6]
+    </think>
+    <|audio_code_N|>...        (EOS blocked until duration*5 codes)
+
+Redesign notes (not a port):
+- The reference subclasses a torch LogitsProcessor and mutates logits
+  in-place per token. Here the FSM is a pure host-side object producing a
+  boolean allow-mask per step (`next_mask()`), consumed by the jitted
+  sampler (`models/lm.py sample_tokens(allow_mask=...)`), and advanced with
+  `advance(token_id)`. This keeps the device program fixed-shape.
+- Literal runs ("bpm: ", "</think>") are token queues from the tokenizer;
+  value sets (keyscale/language/numbers) are token-level prefix tries.
+- User-provided metadata is injected by pre-encoding the value into the
+  literal queue (the reference's direct-injection path).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from acestep_tpu.constants import (
+    BPM_MAX, BPM_MIN, DURATION_MAX, DURATION_MIN, KEYSCALE_ACCIDENTALS,
+    KEYSCALE_MODES, KEYSCALE_NOTES, VALID_LANGUAGES, VALID_TIME_SIGNATURES,
+)
+
+FIELD_ORDER = ["bpm", "caption", "duration", "genres", "keyscale", "language",
+               "timesignature"]
+
+
+class Trie:
+    __slots__ = ("children", "terminal")
+
+    def __init__(self):
+        self.children: Dict[int, "Trie"] = {}
+        self.terminal = False
+
+    def insert(self, ids: Sequence[int]):
+        node = self
+        for t in ids:
+            node = node.children.setdefault(t, Trie())
+        node.terminal = True
+
+
+class TokenTables:
+    """Per-tokenizer precomputed token classifications (built once)."""
+
+    def __init__(self, tokenizer):
+        self.tok = tokenizer
+        V = tokenizer.vocab_size
+        self.vocab_size = V
+        texts = [tokenizer.decode([i]) for i in range(V)]
+        self.texts = texts
+        self.newline_ids = np.asarray(
+            [i for i, t in enumerate(texts) if t.strip() == "" and "\n" in t],
+            np.int32)
+        self.digit_ids = np.asarray(
+            [i for i, t in enumerate(texts) if t and t.strip().isdigit()
+             and "\n" not in t], np.int32)
+        code_re = re.compile(r"^<\|audio_code_(\d+)\|>$")
+        self.code_ids = np.asarray(
+            [i for i, t in enumerate(texts) if code_re.match(t)], np.int32)
+        # caption: anything printable without newline and not a special tag
+        bad = re.compile(r"[\n\r]|</?think>|<\|")
+        self.caption_mask = np.zeros(V, bool)
+        for i, t in enumerate(texts):
+            if t and not bad.search(t):
+                self.caption_mask[i] = True
+        self.eos_id = getattr(tokenizer, "eos_token_id", None)
+
+    def encode(self, text: str) -> List[int]:
+        return list(self.tok.encode(text))
+
+
+def _number_trie(tables: TokenTables, lo: int, hi: int) -> Trie:
+    trie = Trie()
+    for n in range(lo, hi + 1):
+        trie.insert(tables.encode(str(n)))
+    return trie
+
+
+def _set_trie(tables: TokenTables, values: Sequence[str]) -> Trie:
+    trie = Trie()
+    for v in values:
+        ids = tables.encode(v)
+        if ids:
+            trie.insert(ids)
+    return trie
+
+
+def default_keyscales() -> List[str]:
+    return [f"{n}{a} {m}" for n in KEYSCALE_NOTES for a in KEYSCALE_ACCIDENTALS
+            for m in KEYSCALE_MODES]
+
+
+class MetadataFSM:
+    """Single-sequence FSM. One per generated (conditional) sequence; the
+    unconditional CFG twin shares the sampled tokens so it needs no FSM."""
+
+    def __init__(self, tables: TokenTables, *,
+                 user_metadata: Optional[dict] = None,
+                 skip_genres: bool = True,
+                 genres_vocab: Optional[Sequence[str]] = None,
+                 max_duration: int = DURATION_MAX,
+                 codes_per_second: int = 5,
+                 phase: str = "cot",
+                 enabled: bool = True):
+        self.t = tables
+        self.enabled = enabled
+        self.user = {k: v for k, v in (user_metadata or {}).items()
+                     if v not in (None, "", "N/A")}
+        self.skip_genres = skip_genres and "genres" not in self.user
+        self.max_duration = int(max_duration)
+        self.codes_per_second = codes_per_second
+        self.metadata_text: Dict[str, str] = {}
+        self.target_codes: Optional[int] = None
+        self.n_codes = 0
+        self.finished = False
+
+        self._tries = {
+            "bpm": _number_trie(tables, BPM_MIN, BPM_MAX),
+            "duration": _number_trie(tables, DURATION_MIN, self.max_duration),
+            "keyscale": _set_trie(tables, default_keyscales()),
+            "language": _set_trie(tables, [l for l in VALID_LANGUAGES]),
+            "timesignature": _set_trie(
+                tables, [str(v) for v in VALID_TIME_SIGNATURES]),
+        }
+        if genres_vocab:
+            self._tries["genres"] = _set_trie(tables, genres_vocab)
+
+        self._queue: List[int] = []
+        self._trie_node: Optional[Trie] = None
+        self._value_tokens: List[int] = []
+        self._field_idx = -1
+        self._field: Optional[str] = None
+        self._mode = "literal"     # literal | trie | caption | codes | done
+        if phase == "codes":
+            self._enter_codes()
+        else:
+            self._queue = tables.encode("<think>\n")
+            self._advance_queue_if_empty()
+
+    # ------------------------------------------------------------------
+
+    def _fields(self) -> List[str]:
+        fs = list(FIELD_ORDER)
+        if self.skip_genres:
+            fs.remove("genres")
+        return fs
+
+    def _next_field(self):
+        fs = self._fields()
+        self._field_idx += 1
+        if self._field_idx >= len(fs):
+            self._queue = self.t.encode("</think>")
+            self._field = None
+            self._mode = "literal_end"
+            return
+        f = fs[self._field_idx]
+        self._field = f
+        self._value_tokens = []
+        if f in self.user:
+            val = str(self.user[f])
+            if f == "duration":
+                val = str(int(float(self.user[f])))
+            self.metadata_text[f] = val
+            self._queue = self.t.encode(f"{f}: {val}\n")
+            self._mode = "literal"
+        else:
+            self._queue = self.t.encode(f"{f}: ")
+            self._mode = "literal"
+
+    def _advance_queue_if_empty(self):
+        while not self._queue and self._mode in ("literal", "literal_end"):
+            if self._mode == "literal_end":
+                self._finish_think()
+                return
+            if self._field is None or self._field in self.user:
+                self._next_field()
+            elif self._field == "caption":
+                self._mode = "caption"
+            elif self._field in self._tries:
+                self._mode = "trie"
+                self._trie_node = self._tries[self._field]
+            else:  # genres without vocab: free text like caption
+                self._mode = "caption"
+
+    def _finish_think(self):
+        self.finished = True
+        self._mode = "done"
+        dur = self.metadata_text.get("duration")
+        try:
+            self.target_codes = int(float(dur)) * self.codes_per_second \
+                if dur else None
+        except ValueError:
+            self.target_codes = None
+
+    def _enter_codes(self):
+        self._mode = "codes"
+        self.finished = False
+
+    def begin_codes(self, target_duration: Optional[float] = None):
+        """Switch to codes phase (phase-2 prompts reuse the same FSM class)."""
+        if target_duration:
+            self.target_codes = int(target_duration) * self.codes_per_second
+        self._enter_codes()
+
+    # ------------------------------------------------------------------
+
+    def next_mask(self) -> Optional[np.ndarray]:
+        """Boolean (V,) allow-mask for the next token, or None = no constraint."""
+        if not self.enabled:
+            return None
+        V = self.t.vocab_size
+        if self._mode == "done":
+            return None
+        if self._queue:
+            m = np.zeros(V, bool)
+            m[self._queue[0]] = True
+            return m
+        if self._mode == "trie":
+            m = np.zeros(V, bool)
+            for tid in self._trie_node.children:
+                m[tid] = True
+            if self._trie_node.terminal:
+                m[self.t.newline_ids] = True
+            return m
+        if self._mode == "caption":
+            m = self.t.caption_mask.copy()
+            if self._value_tokens:   # newline ends the field, but not first
+                m[self.t.newline_ids] = True
+            return m
+        if self._mode == "codes":
+            m = np.zeros(V, bool)
+            m[self.t.code_ids] = True
+            if self.t.eos_id is not None and (
+                    self.target_codes is None or
+                    self.n_codes >= self.target_codes):
+                m[self.t.eos_id] = True
+            return m
+        return None
+
+    def advance(self, token_id: int) -> None:
+        """Consume the sampled token and update state."""
+        if not self.enabled or self._mode == "done":
+            return
+        t = self.t
+        if self._queue:
+            # literal: tolerate mismatch (unconstrained backends)
+            if self._queue and token_id == self._queue[0]:
+                self._queue.pop(0)
+            else:
+                self._queue = []
+            self._advance_queue_if_empty()
+            return
+        if self._mode == "trie":
+            if token_id in self._trie_node.children:
+                self._trie_node = self._trie_node.children[token_id]
+                self._value_tokens.append(token_id)
+                return
+            # newline (or anything else) ends the value
+            self.metadata_text[self._field] = self.t.tok.decode(
+                self._value_tokens).strip()
+            self._next_field()
+            self._advance_queue_if_empty()
+            return
+        if self._mode == "caption":
+            if token_id in set(t.newline_ids.tolist()):
+                self.metadata_text[self._field] = self.t.tok.decode(
+                    self._value_tokens).strip()
+                self._next_field()
+                self._advance_queue_if_empty()
+            else:
+                self._value_tokens.append(token_id)
+            return
+        if self._mode == "codes":
+            if token_id in set(t.code_ids.tolist()):
+                self.n_codes += 1
+            elif t.eos_id is not None and token_id == t.eos_id:
+                self.finished = True
+                self._mode = "done"
+            return
+
+    # convenience -------------------------------------------------------
+
+    def metadata(self) -> Dict[str, object]:
+        out: Dict[str, object] = {}
+        for k, v in self.metadata_text.items():
+            if k in ("bpm", "duration", "timesignature"):
+                try:
+                    out[k] = int(v)
+                except (TypeError, ValueError):
+                    out[k] = v
+            else:
+                out[k] = v
+        return out

@@ -1,0 +1,183 @@
+"""Batched autoregressive generation engine for the 5 Hz LM.
+
+TPU-native replacement for the reference's embedded nano-vllm engine
+(/root/reference/acestep/third_parts/nano-vllm/): instead of paged KV blocks
++ CUDA-graph capture + a prefill/decode scheduler, this engine compiles
+
+- ONE prefill program per (batch, prompt-bucket) — ragged prompts are
+  right-padded; per-row start positions keep RoPE/cache placement exact
+  (models/lm.py lm_forward), and
+- ONE decode-step program per batch size, replayed for every token (the role
+  CUDA graphs play on GPU; XLA's cached executable is the TPU equivalent).
+
+CFG pairing (nano-vllm scheduler co-scheduling, llm_engine.py:56-82) is a
+batch-axis concat [cond; uncond]; both halves share the sampled token, and
+the uncond half needs no FSM. Constrained decoding applies host-side FSM
+masks (llm/fsm.py) to the conditional logits before mixing — matching the
+reference order (FSM inside the sampler after CFG mix,
+llm_inference.py:2480-2512 applies processor to mixed logits; we do the
+same).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acestep_tpu.config import LMConfig
+from acestep_tpu.models.lm import (
+    KVCache, cfg_mix_logits, lm_forward, lm_logits, sample_tokens,
+)
+
+PROMPT_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def _bucket(n: int) -> int:
+    for b in PROMPT_BUCKETS:
+        if n <= b:
+            return b
+    return PROMPT_BUCKETS[-1]
+
+
+@dataclasses.dataclass
+class GenOutput:
+    token_ids: List[List[int]]     # generated ids per (conditional) sequence
+    texts: List[str]
+    stop_reasons: List[str]
+
+
+class LMEngine:
+    """Holds params + compiled prefill/decode programs."""
+
+    def __init__(self, params: dict, cfg: LMConfig, tokenizer,
+                 dtype=jnp.bfloat16, max_len: int = 4096):
+        self.params = params
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.dtype = dtype
+        self.max_len = max_len
+
+        cfg_ = cfg
+
+        @jax.jit
+        def prefill(params, ids, row_lens, cache):
+            B, L = ids.shape
+            hidden, cache = lm_forward(params, cfg_, ids, cache,
+                                       start_pos=jnp.zeros((B,), jnp.int32))
+            # logits at each row's last real token
+            idx = jnp.clip(row_lens - 1, 0, L - 1)
+            last = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0]
+            return lm_logits(params, cfg_, last[:, None, :])[:, 0], cache
+
+        @jax.jit
+        def decode(params, tokens, row_lens, cache):
+            hidden, cache = lm_forward(params, cfg_, tokens[:, None], cache,
+                                       start_pos=row_lens)
+            return lm_logits(params, cfg_, hidden)[:, 0], cache
+
+        self._prefill = prefill
+        self._decode = decode
+
+    # --------------------------------------------------------------
+
+    def generate(
+        self,
+        prompts: Sequence[str],
+        *,
+        unconditional_prompts: Optional[Sequence[str]] = None,
+        cfg_scale: float = 1.0,
+        temperature: float = 0.85,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        max_new_tokens: int = 512,
+        stop_strings: Sequence[str] = (),
+        fsms: Optional[Sequence] = None,
+        seed: int = 0,
+        on_token: Optional[Callable[[int, List[int]], None]] = None,
+    ) -> GenOutput:
+        """Generate for a batch of prompts (optionally CFG-paired)."""
+        B = len(prompts)
+        do_cfg = cfg_scale != 1.0 and unconditional_prompts is not None
+        all_prompts = list(prompts) + (list(unconditional_prompts) if do_cfg else [])
+        rows = [self.tok.encode(p) for p in all_prompts]
+        lens = np.asarray([len(r) for r in rows], np.int32)
+        L = _bucket(int(lens.max()))
+        pad_id = getattr(self.tok, "pad_token_id", 0) or 0
+        ids = np.full((len(rows), L), pad_id, np.int32)
+        for i, r in enumerate(rows):
+            ids[i, : min(len(r), L)] = r[:L]
+        lens = np.minimum(lens, L)
+
+        total = len(rows)
+        cache = KVCache.create(self.cfg, total, min(self.max_len, L + max_new_tokens + 8),
+                               dtype=self.dtype)
+        logits, cache = self._prefill(self.params, jnp.asarray(ids),
+                                      jnp.asarray(lens), cache)
+
+        key = jax.random.PRNGKey(seed)
+        row_lens = lens.copy()
+        generated: List[List[int]] = [[] for _ in range(B)]
+        texts = [""] * B
+        done = np.zeros(B, bool)
+        stop_reasons = ["length"] * B
+        eos_id = getattr(self.tok, "eos_token_id", None)
+
+        for step in range(max_new_tokens):
+            lg = np.asarray(logits, np.float32)
+            mixed = (lg[B:] + cfg_scale * (lg[:B] - lg[B:])) if do_cfg else lg[:B]
+
+            allow = None
+            if fsms is not None:
+                allow = np.ones((B, mixed.shape[-1]), bool)
+                for i, fsm in enumerate(fsms):
+                    if fsm is None or done[i]:
+                        continue
+                    m = fsm.next_mask()
+                    if m is not None:
+                        allow[i, : len(m)] = False
+                        allow[i, : len(m)] |= m
+
+            key, sub = jax.random.split(key)
+            toks = sample_tokens(
+                sub, jnp.asarray(mixed), temperature=temperature, top_k=top_k,
+                top_p=top_p,
+                allow_mask=None if allow is None else jnp.asarray(allow))
+            toks = np.asarray(toks)
+
+            for i in range(B):
+                if done[i]:
+                    continue
+                t = int(toks[i])
+                generated[i].append(t)
+                if fsms is not None and fsms[i] is not None:
+                    fsms[i].advance(t)
+                if eos_id is not None and t == eos_id:
+                    done[i] = True
+                    stop_reasons[i] = "eos"
+                elif stop_strings:
+                    texts[i] = self.tok.decode(generated[i])
+                    for s in stop_strings:
+                        if s in texts[i]:
+                            done[i] = True
+                            stop_reasons[i] = f"stop:{s}"
+                            break
+                if on_token is not None and not done[i]:
+                    on_token(i, generated[i])
+            if done.all():
+                break
+
+            # feed token to both halves (CFG shares sampled tokens)
+            next_tokens = np.concatenate([toks, toks]) if do_cfg else toks
+            logits, cache = self._decode(self.params, jnp.asarray(next_tokens),
+                                         jnp.asarray(row_lens), cache)
+            row_lens = row_lens + 1
+
+        for i in range(B):
+            texts[i] = self.tok.decode(generated[i])
+        return GenOutput(token_ids=generated, texts=texts,
+                         stop_reasons=stop_reasons)

@@ -1,0 +1,319 @@
+"""LLMHandler — 5 Hz LM planner facade.
+
+Capability parity: /root/reference/acestep/llm_inference.py (3978 LoC):
+initialization, two-phase generation protocol (phase 1 "cot" metadata inside
+<think>...</think>, phase 2 "codes" audio-code stream with EOS blocked until
+duration*5 codes), CFG with the "NO USER INPUT" negative-prompt convention,
+understand / create-sample / format modes, and output parsing.
+
+Backend story: the reference dispatches vllm -> pt -> mlx; here there is ONE
+TPU backend (llm/generator.LMEngine) — XLA-compiled fixed-shape decode is the
+TPU equivalent of all three.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from acestep_tpu.config import LMConfig
+from acestep_tpu.constants import DEFAULT_LM_INSTRUCTION
+from acestep_tpu.llm.fsm import MetadataFSM, TokenTables
+from acestep_tpu.llm.generator import LMEngine
+from acestep_tpu.llm.tokenizer import SimpleTokenizer
+
+# ------------------------------------------------------------------
+# Output parsing (reference parse_lm_output :2535-2650)
+# ------------------------------------------------------------------
+
+_CODE_RE = re.compile(r"<\|audio_code_\d+\|>")
+_INT_FIELDS = ("bpm", "duration", "timesignature")
+
+
+def parse_lm_output(text: str) -> tuple:
+    """-> (metadata dict, audio_codes string)."""
+    codes = "".join(_CODE_RE.findall(text))
+    m = re.search(r"<think>(.*?)</think>", text, re.DOTALL)
+    if m:
+        reasoning = m.group(1)
+    else:
+        reasoning = text.split("<|audio_code_")[0]
+    metadata: Dict[str, Any] = {}
+    current_key, value_lines = None, []
+
+    def flush():
+        nonlocal current_key, value_lines
+        if current_key and value_lines:
+            val = "\n".join(value_lines).strip()
+            if current_key in _INT_FIELDS:
+                try:
+                    metadata[current_key] = int(val)
+                except ValueError:
+                    metadata[current_key] = val
+            else:
+                metadata[current_key] = val
+        current_key, value_lines = None, []
+
+    for line in reasoning.split("\n"):
+        if line.strip().startswith("<"):
+            continue
+        if line and not line[0].isspace() and ":" in line:
+            flush()
+            k, v = line.split(":", 1)
+            key = k.strip().lower()
+            if key in ("bpm", "caption", "duration", "genres", "keyscale",
+                       "language", "timesignature", "lyrics"):
+                current_key = key
+                if v.strip():
+                    value_lines.append(v.strip())
+        elif line.startswith((" ", "\t")) and current_key:
+            value_lines.append(line)
+    flush()
+    return metadata, codes
+
+
+def format_metadata_as_cot(metadata: Dict[str, Any]) -> str:
+    """YAML-ish sorted CoT block (reference _format_metadata_as_cot)."""
+    items = {}
+    for key in ["bpm", "caption", "duration", "keyscale", "language",
+                "timesignature"]:
+        v = metadata.get(key)
+        if v is None or v == "":
+            continue
+        if key == "timesignature" and isinstance(v, str) and v.endswith("/4"):
+            v = v.split("/")[0]
+        if isinstance(v, str) and v.isdigit():
+            v = int(v)
+        items[key] = v
+    body = "\n".join(f"{k}: {items[k]}" for k in sorted(items))
+    return f"<think>\n{body}\n</think>"
+
+
+# ------------------------------------------------------------------
+
+
+class LLMHandler:
+    def __init__(self, cfg: Optional[LMConfig] = None, dtype=jnp.bfloat16):
+        self.cfg = cfg or LMConfig.tiny(vocab_size=0)  # replaced at init
+        self.dtype = dtype
+        self.engine: Optional[LMEngine] = None
+        self.tokenizer = None
+        self.tables: Optional[TokenTables] = None
+        self.max_duration = 600
+        self.initialized = False
+
+    # --------------------------------------------------------------
+
+    def initialize(self, checkpoint_dir: Optional[str] = None,
+                   cfg: Optional[LMConfig] = None, tokenizer=None,
+                   params: Optional[dict] = None, seed: int = 0,
+                   max_duration: int = 600,
+                   num_fallback_codes: int = 64) -> None:
+        """Load a checkpoint dir (HF layout) or build the self-contained
+        fallback stack (SimpleTokenizer + random-init tiny LM)."""
+        self.max_duration = max_duration
+        if checkpoint_dir:
+            from acestep_tpu.llm.tokenizer import load_hf_tokenizer
+            from acestep_tpu.utils.checkpoint import load_lm_checkpoint
+
+            self.tokenizer = tokenizer or load_hf_tokenizer(checkpoint_dir)
+            self.cfg = cfg or self.cfg
+            params = params or load_lm_checkpoint(checkpoint_dir, self.cfg,
+                                                  self.dtype)
+        else:
+            self.tokenizer = tokenizer or SimpleTokenizer(
+                num_audio_codes=num_fallback_codes)
+            self.cfg = cfg or LMConfig.tiny(
+                vocab_size=self.tokenizer.vocab_size)
+            if params is None:
+                from acestep_tpu.models.lm import init_lm_params
+                params = jax.tree.map(
+                    lambda x: x.astype(self.dtype),
+                    init_lm_params(jax.random.PRNGKey(seed), self.cfg))
+        self.engine = LMEngine(params, self.cfg, self.tokenizer,
+                               dtype=self.dtype)
+        self.tables = TokenTables(self.tokenizer)
+        self.initialized = True
+
+    # --------------------------------------------------------------
+    # Prompt building (reference build_formatted_prompt*)
+    # --------------------------------------------------------------
+
+    @staticmethod
+    def _has_negative(negative_prompt: str) -> bool:
+        return bool(negative_prompt) and negative_prompt != "NO USER INPUT"
+
+    def build_formatted_prompt(self, caption: str, lyrics: str = "",
+                               is_negative_prompt: bool = False,
+                               generation_phase: str = "cot",
+                               negative_prompt: str = "NO USER INPUT") -> str:
+        if is_negative_prompt:
+            if generation_phase == "cot":
+                if self._has_negative(negative_prompt):
+                    prompt = f"# Caption\n{negative_prompt}\n\n# Lyric\n{lyrics}\n"
+                else:
+                    prompt = f"# Lyric\n{lyrics}\n"
+            else:
+                prompt = caption
+        else:
+            prompt = f"# Caption\n{caption}\n\n# Lyric\n{lyrics}\n"
+        return self.tokenizer.apply_chat_template(
+            [
+                {"role": "system",
+                 "content": f"# Instruction\n{DEFAULT_LM_INSTRUCTION}\n\n"},
+                {"role": "user", "content": prompt},
+            ],
+            tokenize=False, add_generation_prompt=True)
+
+    def build_formatted_prompt_with_cot(self, caption: str, lyrics: str,
+                                        cot_text: str,
+                                        is_negative_prompt: bool = False,
+                                        negative_prompt: str = "NO USER INPUT") -> str:
+        if is_negative_prompt:
+            cot = "<think>\n</think>"
+            cap = negative_prompt if self._has_negative(negative_prompt) else caption
+        else:
+            cot, cap = cot_text, caption
+        user_prompt = f"# Caption\n{cap}\n\n# Lyric\n{lyrics}\n"
+        formatted = self.tokenizer.apply_chat_template(
+            [
+                {"role": "system",
+                 "content": f"# Instruction\n{DEFAULT_LM_INSTRUCTION}\n\n"},
+                {"role": "user", "content": user_prompt},
+                {"role": "assistant", "content": cot},
+            ],
+            tokenize=False, add_generation_prompt=False)
+        if not formatted.endswith("\n"):
+            formatted += "\n"
+        return formatted
+
+    # --------------------------------------------------------------
+    # Two-phase generation (reference generate_with_stop_condition)
+    # --------------------------------------------------------------
+
+    def generate_with_stop_condition(
+        self, caption: str, lyrics: str = "", *,
+        infer_type: str = "llm_dit",       # 'dit' stops after phase 1
+        temperature: float = 0.85, cfg_scale: float = 2.0,
+        top_k: int = 0, top_p: float = 0.9,
+        negative_prompt: str = "NO USER INPUT",
+        user_metadata: Optional[dict] = None,
+        constrained: bool = True,
+        target_duration: Optional[float] = None,
+        seed: int = 0,
+        max_cot_tokens: int = 256,
+        max_code_tokens: Optional[int] = None,
+    ) -> Dict[str, Any]:
+        """Returns {"metadata", "audio_codes", "cot_text", "raw"}."""
+        if not self.initialized:
+            raise RuntimeError("call initialize() first")
+
+        # --- phase 1: CoT
+        prompt = self.build_formatted_prompt(caption, lyrics)
+        neg = self.build_formatted_prompt(caption, lyrics,
+                                          is_negative_prompt=True,
+                                          negative_prompt=negative_prompt)
+        fsm = MetadataFSM(self.tables, user_metadata=user_metadata,
+                          max_duration=self.max_duration,
+                          enabled=constrained)
+        out = self.engine.generate(
+            [prompt], unconditional_prompts=[neg], cfg_scale=cfg_scale,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            max_new_tokens=max_cot_tokens, stop_strings=("</think>",),
+            fsms=[fsm], seed=seed)
+        cot_raw = out.texts[0]
+        metadata, _ = parse_lm_output(cot_raw)
+        for k, v in (fsm.metadata() or {}).items():
+            metadata.setdefault(k, v)
+        result: Dict[str, Any] = {"metadata": metadata, "cot_text": cot_raw,
+                                  "audio_codes": "", "raw": cot_raw}
+        if infer_type == "dit":
+            return result
+
+        # --- phase 2: codes
+        dur = target_duration or metadata.get("duration") or 30
+        try:
+            dur = float(dur)
+        except (TypeError, ValueError):
+            dur = 30.0
+        cot_text = format_metadata_as_cot(metadata)
+        p2 = self.build_formatted_prompt_with_cot(caption, lyrics, cot_text)
+        n2 = self.build_formatted_prompt_with_cot(
+            caption, lyrics, cot_text, is_negative_prompt=True,
+            negative_prompt=negative_prompt)
+        fsm2 = MetadataFSM(self.tables, phase="codes", enabled=constrained)
+        fsm2.begin_codes(target_duration=dur)
+        max_codes = max_code_tokens or (int(dur) * 5 + 8)
+        out2 = self.engine.generate(
+            [p2], unconditional_prompts=[n2], cfg_scale=cfg_scale,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            max_new_tokens=max_codes, fsms=[fsm2], seed=seed + 1)
+        _, codes = parse_lm_output(out2.texts[0])
+        result["audio_codes"] = codes
+        result["raw"] = cot_raw + "\n" + out2.texts[0]
+        return result
+
+    # --------------------------------------------------------------
+    # Facade protocol used by acestep_tpu.inference
+    # --------------------------------------------------------------
+
+    def plan(self, caption: str = "", lyrics: str = "", **kw) -> Dict[str, Any]:
+        return self.generate_with_stop_condition(caption, lyrics, **kw)
+
+    def understand(self, audio_codes: str, temperature: float = 0.85,
+                   seed: int = 0) -> Dict[str, Any]:
+        """Understanding mode: audio codes -> metadata."""
+        prompt = self.tokenizer.apply_chat_template(
+            [
+                {"role": "system",
+                 "content": "# Instruction\nUnderstand the given musical "
+                            "conditions and describe the audio semantics "
+                            "accordingly:\n\n"},
+                {"role": "user", "content": audio_codes},
+            ],
+            tokenize=False, add_generation_prompt=True)
+        out = self.engine.generate([prompt], temperature=temperature,
+                                   max_new_tokens=512,
+                                   stop_strings=("</think>",), seed=seed)
+        metadata, _ = parse_lm_output(out.texts[0])
+        return metadata
+
+    def create_sample(self, query: str = "", temperature: float = 0.85,
+                      seed: int = 0) -> Dict[str, Any]:
+        """Inspiration mode: free-form query -> blueprint."""
+        prompt = self.tokenizer.apply_chat_template(
+            [
+                {"role": "system",
+                 "content": "# Instruction\nExpand the user's input into a "
+                            "more detailed and specific musical "
+                            "description:\n\n"},
+                {"role": "user", "content": query or "surprise me"},
+            ],
+            tokenize=False, add_generation_prompt=True)
+        out = self.engine.generate([prompt], temperature=temperature,
+                                   max_new_tokens=512,
+                                   stop_strings=("</think>",), seed=seed)
+        metadata, _ = parse_lm_output(out.texts[0])
+        return metadata
+
+    def format_sample(self, caption: str = "", lyrics: str = "",
+                      temperature: float = 0.3, seed: int = 0) -> Dict[str, Any]:
+        """Format mode: normalize user inputs into the SFT schema."""
+        prompt = self.tokenizer.apply_chat_template(
+            [
+                {"role": "system",
+                 "content": "# Instruction\nFormat the user's input into a "
+                            "more detailed and specific musical "
+                            "description:\n\n"},
+                {"role": "user",
+                 "content": f"# Caption\n{caption}\n\n# Lyric\n{lyrics}\n"},
+            ],
+            tokenize=False, add_generation_prompt=True)
+        out = self.engine.generate([prompt], temperature=temperature,
+                                   max_new_tokens=512,
+                                   stop_strings=("</think>",), seed=seed)
+        metadata, _ = parse_lm_output(out.texts[0])
+        return metadata

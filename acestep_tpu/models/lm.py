@@ -108,31 +108,37 @@ def lm_forward(params: dict, cfg: LMConfig, input_ids: jnp.ndarray,
                cache: KVCache, *, start_pos: jnp.ndarray,
                attention_mask: Optional[jnp.ndarray] = None):
     """Run the trunk over `input_ids` (B, L) writing K/V at
-    [start_pos, start_pos+L). Returns (hidden (B, L, H), new_cache).
+    [start_pos, start_pos+L) per row. Returns (hidden (B, L, H), new_cache).
 
     Works for prefill (L = prompt bucket) and decode (L = 1) alike; under jit
-    each L compiles once. `attention_mask` (B, max_len) marks valid cache
-    positions (1 = valid) — needed for left-padded batches.
+    each L compiles once. `start_pos` may be a scalar or (B,) — per-row values
+    support ragged right-padded prompts: each row's K/V land at its own
+    offset, RoPE positions follow the row offset, and queries only see keys
+    below their own row position. `attention_mask` (B, max_len) optionally
+    masks cache slots (1 = valid); slots at/after the write window stay
+    visible so freshly written tokens are never hidden.
     """
     B, L = input_ids.shape
     max_len = cache.k.shape[2]
     x = params["embed_tokens"][input_ids].astype(cache.k.dtype)
 
-    positions = start_pos + jnp.arange(L)
-    cos, sin = rope_cos_sin(L, cfg.head_dim, cfg.rope_theta,
-                            dtype=jnp.float32, positions=positions)
+    start = jnp.broadcast_to(jnp.asarray(start_pos, jnp.int32), (B,))
+    positions = start[:, None] + jnp.arange(L)[None, :]         # (B, L)
+    cos, sin = _rope_table(positions, cfg.head_dim, cfg.rope_theta)
 
-    # mask over cache keys: key j visible to query i iff j <= start+i and
-    # (no attention_mask or attention_mask[j]).
     kpos = jnp.arange(max_len)
-    visible = kpos[None, :] <= positions[:, None]          # (L, max_len)
-    mask = jnp.broadcast_to(visible[None], (B, L, max_len))
+    mask = kpos[None, None, :] <= positions[:, :, None]         # (B, L, max_len)
     if attention_mask is not None:
-        written = kpos[None, :] >= (start_pos + L)         # future slots
-        valid = attention_mask.astype(bool) | written      # only gate written area
+        written = kpos[None, :] >= start[:, None]               # write window+
+        valid = attention_mask.astype(bool) | written
         mask = mask & valid[:, None, :]
 
     eps = cfg.rms_norm_eps
+
+    def write(c, new):
+        def row(c_row, new_row, s):
+            return jax.lax.dynamic_update_slice_in_dim(c_row, new_row, s, axis=0)
+        return jax.vmap(row)(c, new.astype(c.dtype), start)
 
     def body(carry, xs):
         h = carry
@@ -145,8 +151,8 @@ def lm_forward(params: dict, cfg: LMConfig, input_ids: jnp.ndarray,
         k = rms_norm(lp["self_attn"]["k_norm"], k, eps)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, start_pos, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, start_pos, 0, 0))
+        ck = write(ck, k)
+        cv = write(cv, v)
         att = _attend(q, ck, cv, mask)
         o = linear(lp["self_attn"]["o_proj"], att.reshape(B, L, -1))
         h = h + o
@@ -155,8 +161,17 @@ def lm_forward(params: dict, cfg: LMConfig, input_ids: jnp.ndarray,
 
     x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
     x = rms_norm(params["norm"], x, eps)
-    new_cache = KVCache(new_k, new_v, start_pos + L)
+    new_cache = KVCache(new_k, new_v, jnp.max(start) + L)
     return x, new_cache
+
+
+def _rope_table(positions: jnp.ndarray, head_dim: int, theta: float):
+    """Per-row RoPE tables: positions (B, L) -> cos/sin (B, L, D)."""
+    half = head_dim // 2
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
 
 
 def lm_logits(params: dict, cfg: LMConfig, hidden: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,595 @@
+"""AceStepHandler — DiT-side orchestration (TPU-native).
+
+Capability parity with the reference handler stack
+(/root/reference/acestep/handler.py + core/generation/handler/*): task
+resolution (text2music/repaint/cover/extract/lego/complete), batch
+conditioning (silence/src latents, chunk masks + repaint spans, is_covers,
+code hints), reference-audio timbre conditioning, turbo + guided sampling,
+tiled VAE decode, audio post-processing.
+
+TPU-first redesign:
+- One jitted generation program per (batch, frames, text-len, lyric-len,
+  schedule, method) bucket; durations are padded up to 10 s buckets so 600 s
+  of requests share ~60 programs, not thousands.
+- All per-item Python branching (task switches, spans, seeds) happens at
+  trace-input build time on host; everything on-device is static-shape.
+- Per-item seeds become jax.random.fold_in keys (the reference's
+  per-item torch.Generator list, modeling_acestep_v15_turbo.py:1730-1767).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acestep_tpu.config import DiTConfig, VAEConfig
+from acestep_tpu.constants import LATENT_RATE, SAMPLE_RATE, VAE_HOP
+from acestep_tpu.models.dit import init_dit_params, prepare_condition
+from acestep_tpu.models.sampler import (
+    ConditionSet, build_continuous_schedule, build_turbo_schedule, renoise,
+    sample_guided, sample_turbo, truncate_for_cover_noise,
+)
+from acestep_tpu.models.vae import init_vae_params
+from acestep_tpu.models.vae_tiled import tiled_decode, tiled_encode
+from acestep_tpu.pipeline import text as textlib
+from acestep_tpu.pipeline.embedder import HashTextEmbedder
+from acestep_tpu.utils.audio import AudioSaver, load_audio, peak_normalize
+
+FRAME_BUCKET = 250          # 10 s of 25 Hz latents
+MIN_FRAMES = 128            # reference pads latents to >= 128 frames
+REFER_FRAMES = 750          # 30 s timbre reference budget (timbre_fix_frame)
+
+
+def _pad_frames_to(T: int, bucket: int, min_frames: int) -> int:
+    T = max(T, min_frames)
+    return -(-T // bucket) * bucket
+
+
+@dataclasses.dataclass
+class GenerationResult:  # noqa: D101
+    audios: List[np.ndarray]              # (samples, 2) float32 each
+    pred_latents: np.ndarray              # (B, T, 64)
+    seeds: List[int]
+    time_costs: Dict[str, float]
+    sample_rate: int = SAMPLE_RATE
+    audio_paths: Optional[List[str]] = None
+    extra: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+
+
+class AceStepHandler:
+    """Service facade. Construct, `initialize_service()`, then
+    `generate_music(...)`."""
+
+    def __init__(self, dit_config: Optional[DiTConfig] = None,
+                 vae_config: Optional[VAEConfig] = None,
+                 dtype=jnp.bfloat16, frame_bucket: int = FRAME_BUCKET,
+                 min_frames: int = MIN_FRAMES,
+                 refer_frames: int = REFER_FRAMES):
+        self.cfg = dit_config or DiTConfig()
+        self.vae_cfg = vae_config or VAEConfig()
+        self.dtype = dtype
+        self.frame_bucket = frame_bucket
+        self.min_frames = min_frames
+        self.refer_frames = refer_frames
+        self.params: Optional[dict] = None
+        self.vae_params: Optional[dict] = None
+        self.silence_latent: Optional[jnp.ndarray] = None  # (1, T, 64)
+        self.text_embedder = None
+        self.lora = None          # LoraManager attached by acestep_tpu.lora
+        self._fn_cache: Dict[tuple, Any] = {}
+        self.initialized = False
+
+    # --------------------------------------------------------------
+    # Init (reference init_service_orchestrator.py)
+    # --------------------------------------------------------------
+
+    def initialize_service(self, checkpoint_dir: Optional[str] = None,
+                           vae_dir: Optional[str] = None,
+                           text_embedder=None, seed: int = 0) -> None:
+        """Load checkpoints when given, otherwise seeded random init (all
+        structural behavior is weight-independent)."""
+        if checkpoint_dir:
+            from acestep_tpu.utils.checkpoint import load_dit_checkpoint
+            self.params, silence = load_dit_checkpoint(checkpoint_dir, self.cfg,
+                                                       self.dtype)
+            self.silence_latent = silence
+        else:
+            self.params = jax.tree.map(
+                lambda x: x.astype(self.dtype),
+                init_dit_params(jax.random.PRNGKey(seed), self.cfg))
+        if vae_dir:
+            from acestep_tpu.utils.checkpoint import load_vae_checkpoint
+            self.vae_params = load_vae_checkpoint(vae_dir, self.vae_cfg, self.dtype)
+        else:
+            self.vae_params = jax.tree.map(
+                lambda x: x.astype(self.dtype),
+                init_vae_params(jax.random.PRNGKey(seed + 1), self.vae_cfg))
+        if self.silence_latent is None:
+            self.silence_latent = jnp.zeros((1, 15360, self.cfg.audio_acoustic_hidden_dim),
+                                            self.dtype)
+        self.text_embedder = text_embedder or HashTextEmbedder(
+            dim=self.cfg.text_hidden_dim)
+        self.initialized = True
+
+    def get_service_status(self) -> Dict[str, Any]:
+        return {
+            "initialized": self.initialized,
+            "model_version": self.cfg.model_version,
+            "dtype": str(self.dtype.__name__ if hasattr(self.dtype, "__name__")
+                         else self.dtype),
+            "devices": [str(d) for d in jax.devices()],
+        }
+
+    # --------------------------------------------------------------
+    # Latent helpers
+    # --------------------------------------------------------------
+
+    def _silence(self, T: int) -> jnp.ndarray:
+        sl = self.silence_latent
+        if sl.shape[1] >= T:
+            return sl[0, :T, :]
+        reps = -(-T // sl.shape[1])
+        return jnp.tile(sl[0], (reps, 1))[:T]
+
+    def encode_audio(self, audio: np.ndarray) -> jnp.ndarray:
+        """(samples, ch) float32 -> (T, 64) latents via tiled VAE encode."""
+        x = jnp.asarray(audio, self.dtype)[None]
+        z = tiled_encode(self.vae_params, self.vae_cfg, x)
+        return z[0]
+
+    def decode_latents(self, latents: jnp.ndarray) -> np.ndarray:
+        """(B, T, 64) -> (B, samples, 2) float32."""
+        audio = tiled_decode(self.vae_params, self.vae_cfg,
+                             latents.astype(self.dtype))
+        return np.asarray(audio.astype(jnp.float32))
+
+    # --------------------------------------------------------------
+    # Core generation
+    # --------------------------------------------------------------
+
+    def _build_generate_fn(self, key_shape: tuple, *, schedule: tuple,
+                           method: str, guidance_scale: float,
+                           use_adg: bool, cfg_interval: tuple,
+                           has_non_cover: bool, cover_steps: Optional[int],
+                           start_t: Optional[float]):
+        """One compiled program covering condition-encode + full trajectory."""
+        cfg = self.cfg
+        is_turbo = cfg.model_version == "turbo"
+        do_cfg = (not is_turbo) and guidance_scale > 1.0
+
+        def fn(params, inputs, noise_key):
+            cond_inputs = dict(
+                text_hidden_states=inputs["text_hidden_states"],
+                text_attention_mask=inputs["text_attention_mask"],
+                lyric_hidden_states=inputs["lyric_hidden_states"],
+                lyric_attention_mask=inputs["lyric_attention_mask"],
+                refer_audio_packed=inputs["refer_audio_packed"],
+                refer_order_mask=inputs["refer_order_mask"],
+                src_latents=inputs["src_latents"],
+                chunk_masks=inputs["chunk_masks"],
+                is_covers=inputs["is_covers"],
+                silence_latent=inputs["silence_latent"],
+            )
+            if "audio_codes" in inputs:
+                cond_inputs["audio_codes"] = inputs["audio_codes"]
+            if "precomputed_lm_hints_25hz" in inputs:
+                cond_inputs["precomputed_lm_hints_25hz"] = \
+                    inputs["precomputed_lm_hints_25hz"]
+            enc, _m, ctx = prepare_condition(params, cfg, **cond_inputs)
+            cond = ConditionSet.build(params, cfg, enc, ctx)
+
+            cond_nc = None
+            if has_non_cover:
+                enc_nc, _m2, ctx_nc = prepare_condition(
+                    params, cfg,
+                    text_hidden_states=inputs["non_cover_text_hidden_states"],
+                    text_attention_mask=inputs["non_cover_text_attention_mask"],
+                    lyric_hidden_states=inputs["lyric_hidden_states"],
+                    lyric_attention_mask=inputs["lyric_attention_mask"],
+                    refer_audio_packed=inputs["refer_audio_packed"],
+                    refer_order_mask=inputs["refer_order_mask"],
+                    src_latents=inputs["silence_src"],
+                    chunk_masks=inputs["chunk_masks"],
+                    is_covers=jnp.zeros_like(inputs["is_covers"]),
+                    silence_latent=inputs["silence_latent"],
+                )
+                cond_nc = ConditionSet.build(params, cfg, enc_nc, ctx_nc)
+
+            null_cond = None
+            if do_cfg:
+                null = jnp.broadcast_to(
+                    params["null_condition_emb"].astype(enc.dtype), enc.shape)
+                null_cond = ConditionSet.build(params, cfg, null, ctx)
+
+            B, T = inputs["src_latents"].shape[:2]
+            keys = jax.vmap(lambda s: jax.random.fold_in(noise_key, s))(
+                inputs["seeds"])
+            noise = jax.vmap(
+                lambda k: jax.random.normal(
+                    k, (T, cfg.audio_acoustic_hidden_dim), self.dtype))(keys)
+            if start_t is not None:
+                x_init = renoise(inputs["src_latents"], jnp.asarray(start_t), noise)
+            else:
+                x_init = noise
+
+            if is_turbo:
+                x0 = sample_turbo(params, cfg, x_init=x_init, schedule=schedule,
+                                  cond=cond, cond_non_cover=cond_nc,
+                                  cover_steps=cover_steps,
+                                  infer_method=method, key=noise_key)
+            else:
+                x0 = sample_guided(params, cfg, x_init=x_init, schedule=schedule,
+                                   cond=cond, null_cond=null_cond,
+                                   cond_non_cover=cond_nc,
+                                   cover_steps=cover_steps,
+                                   guidance_scale=guidance_scale,
+                                   cfg_interval=cfg_interval, use_adg=use_adg,
+                                   infer_method=method, key=noise_key)
+            return x0
+
+        return jax.jit(fn)
+
+    def _get_generate_fn(self, cache_key: tuple, **kwargs):
+        if cache_key not in self._fn_cache:
+            self._fn_cache[cache_key] = self._build_generate_fn(cache_key, **kwargs)
+        return self._fn_cache[cache_key]
+
+    # --------------------------------------------------------------
+    # Public API (reference generate_music.py / service_generate.py)
+    # --------------------------------------------------------------
+
+    def generate_music(
+        self,
+        captions: Union[str, Sequence[str]],
+        lyrics: Union[str, Sequence[str]] = "",
+        *,
+        metas: Union[None, textlib.MetaLike, Sequence[textlib.MetaLike]] = None,
+        task: str = "text2music",
+        instructions: Union[None, str, Sequence[str]] = None,
+        vocal_languages: Union[str, Sequence[str]] = "en",
+        audio_duration: Optional[float] = None,
+        batch_size: Optional[int] = None,
+        seeds: Union[None, int, str, Sequence[int]] = None,
+        use_random_seed: bool = False,
+        # editing inputs
+        src_audio: Union[None, str, np.ndarray] = None,
+        refer_audios: Union[None, str, np.ndarray,
+                            Sequence[Union[str, np.ndarray]]] = None,
+        audio_code_hints: Union[None, str, Sequence[Optional[str]]] = None,
+        repainting_start: Optional[float] = None,
+        repainting_end: Optional[float] = None,
+        audio_cover_strength: float = 1.0,
+        cover_noise_strength: float = 0.0,
+        # sampler controls
+        infer_method: str = "ode",
+        shift: float = 3.0,
+        infer_steps: int = 8,
+        timesteps: Optional[Sequence[float]] = None,
+        guidance_scale: float = 7.0,
+        use_adg: bool = False,
+        cfg_interval: tuple = (0.0, 1.0),
+        # output
+        latent_shift: float = 0.0,
+        latent_rescale: float = 1.0,
+        normalize: bool = True,
+        save_dir: Optional[str] = None,
+        audio_format: str = "wav",
+        key: Optional[jax.Array] = None,
+        track_name: Optional[str] = None,
+        track_classes: Optional[Sequence[str]] = None,
+    ) -> GenerationResult:
+        if not self.initialized:
+            raise RuntimeError("call initialize_service() first")
+        t_start = time.time()
+        time_costs: Dict[str, float] = {}
+        cfg = self.cfg
+
+        # ---- normalize request lists
+        if isinstance(captions, str):
+            captions = [captions]
+        B = batch_size or len(captions)
+        captions = (list(captions) * B)[:B]
+        lyrics = [lyrics] * B if isinstance(lyrics, str) else (list(lyrics) * B)[:B]
+        if metas is None or isinstance(metas, (str, dict)):
+            metas = [metas] * B
+        metas = (list(metas) * B)[:B]
+        if isinstance(vocal_languages, str):
+            vocal_languages = [vocal_languages] * B
+        if audio_code_hints is None or isinstance(audio_code_hints, str):
+            audio_code_hints = [audio_code_hints] * B
+        seeds_list = textlib.prepare_seeds(B, seeds, use_random_seed)
+
+        has_codes = any(h for h in audio_code_hints)
+        if task == "text2music" and has_codes:
+            task = "cover"       # reference auto-switch (generate_music_request.py:47-56)
+        if isinstance(instructions, str):
+            instructions = [instructions] * B
+        if instructions is None:
+            instructions = [textlib.resolve_instruction(
+                task, track_name=track_name, track_classes=track_classes)] * B
+
+        # ---- source audio -> latents & frame geometry
+        t0 = time.time()
+        src_latent_single = None
+        if src_audio is not None:
+            if isinstance(src_audio, str):
+                src_audio = load_audio(src_audio)
+            src_latent_single = self.encode_audio(np.asarray(src_audio))
+        codes_arrays = [self._parse_code_hint(h) for h in audio_code_hints]
+
+        if audio_duration and audio_duration > 0:
+            T_req = int(audio_duration * LATENT_RATE)
+        elif src_latent_single is not None:
+            T_req = src_latent_single.shape[0]
+        elif has_codes:
+            T_req = max(len(c) for c in codes_arrays if c is not None) * \
+                cfg.pool_window_size
+        else:
+            T_req = 30 * LATENT_RATE
+        T = _pad_frames_to(T_req, self.frame_bucket, self.min_frames)
+
+        silence_T = self._silence(T).astype(self.dtype)
+
+        target_rows, is_cover_rows, code_rows = [], [], []
+        for i in range(B):
+            codes = codes_arrays[i]
+            if codes is not None:
+                code_rows.append(codes)
+                target_rows.append(silence_T)
+                is_cover_rows.append(True)
+            elif src_latent_single is not None:
+                row = src_latent_single[:T]
+                if row.shape[0] < T:
+                    row = jnp.concatenate([row, silence_T[row.shape[0]:]], axis=0)
+                target_rows.append(row.astype(self.dtype))
+                instr = (instructions[i] or "").lower()
+                is_cover_rows.append(
+                    "generate audio semantic tokens" in instr
+                    and "based on the given conditions" in instr)
+            else:
+                target_rows.append(silence_T)
+                instr = (instructions[i] or "").lower()
+                is_cover_rows.append(
+                    "generate audio semantic tokens" in instr
+                    and "based on the given conditions" in instr)
+        target_latents = jnp.stack(target_rows)                       # (B,T,64)
+
+        # ---- chunk masks + repaint spans (reference conditioning_masks.py)
+        chunk = np.ones((B, T), np.float32)
+        src_rows = []
+        spans = []
+        if repainting_start is not None or repainting_end is not None:
+            rs = 0.0 if repainting_start is None else max(0.0, repainting_start)
+            re_ = repainting_end if repainting_end is not None else T_req / LATENT_RATE
+            s_lat = int(rs * SAMPLE_RATE // VAE_HOP)
+            e_lat = int(re_ * SAMPLE_RATE // VAE_HOP)
+            s_lat = max(0, min(s_lat, T - 1))
+            e_lat = max(s_lat + 1, min(e_lat, T))
+            chunk[:] = 0.0
+            chunk[:, s_lat:e_lat] = 1.0
+            spans = [("repainting", s_lat, e_lat)] * B
+            for i in range(B):
+                row = target_latents[i]
+                row = row.at[s_lat:e_lat].set(silence_T[s_lat:e_lat])
+                src_rows.append(row)
+            is_cover_rows = [False] * B
+        else:
+            spans = [("full", 0, T)] * B
+            for i in range(B):
+                has_target = (codes_arrays[i] is not None
+                              or src_latent_single is not None)
+                src_rows.append(target_latents[i] if has_target else silence_T)
+        src_latents = jnp.stack(src_rows)
+        chunk_masks = jnp.asarray(chunk, self.dtype)[..., None] * \
+            jnp.ones((cfg.audio_acoustic_hidden_dim,), self.dtype)
+        time_costs["prepare_time_cost"] = time.time() - t0
+
+        # ---- reference audio -> packed timbre latents
+        t0 = time.time()
+        refer_packed, refer_order = self._prepare_refer(refer_audios, B)
+
+        # ---- code hints -> padded array (all rows or none, static shape)
+        extra_inputs = {}
+        if has_codes:
+            T5 = T // cfg.pool_window_size
+            codes_mat = np.zeros((B, T5), np.int64)
+            for i, c in enumerate(codes_arrays):
+                if c is not None:
+                    codes_mat[i, : min(len(c), T5)] = c[:T5]
+            extra_inputs["audio_codes"] = jnp.asarray(codes_mat, jnp.int32)
+
+        # ---- text conditioning
+        actual_captions, actual_languages = textlib.extract_caption_and_language(
+            metas, captions, vocal_languages)
+        meta_strs = textlib.parse_metas(metas)
+        text_prompts = [
+            textlib.build_text_prompt(instructions[i], actual_captions[i],
+                                      meta_strs[i]) for i in range(B)
+        ]
+        lyric_prompts = [
+            textlib.format_lyrics(lyrics[i], actual_languages[i]) for i in range(B)
+        ]
+        text_h, text_m = self.text_embedder.encode_text(text_prompts)
+        lyric_h, lyric_m = self.text_embedder.encode_lyrics(lyric_prompts)
+
+        has_non_cover = audio_cover_strength < 1.0
+        if has_non_cover:
+            nc_prompts = [
+                textlib.build_text_prompt(
+                    textlib.resolve_instruction("text2music"),
+                    actual_captions[i], meta_strs[i]) for i in range(B)
+            ]
+            nc_h, nc_m = self.text_embedder.encode_text(nc_prompts)
+            if nc_h.shape[1] != text_h.shape[1]:   # keep one bucket
+                L = text_h.shape[1]
+                nc_h = jnp.pad(nc_h[:, :L], ((0, 0), (0, max(0, L - nc_h.shape[1])),
+                                             (0, 0)))
+                nc_m = jnp.pad(nc_m[:, :L], ((0, 0), (0, max(0, L - nc_m.shape[1]))))
+        time_costs["text_encode_time_cost"] = time.time() - t0
+
+        # ---- schedule
+        if cfg.model_version == "turbo":
+            schedule = build_turbo_schedule(shift=shift, timesteps=timesteps)
+        else:
+            schedule = build_continuous_schedule(infer_steps, shift=shift)
+        start_t = None
+        if cover_noise_strength > 0.0:
+            schedule, start_t = truncate_for_cover_noise(schedule,
+                                                         cover_noise_strength)
+        cover_steps = None
+        if has_non_cover:
+            n_steps = len(schedule) if cfg.model_version == "turbo" \
+                else len(schedule) - 1
+            cover_steps = int(n_steps * audio_cover_strength)
+
+        inputs = dict(
+            text_hidden_states=text_h.astype(self.dtype),
+            text_attention_mask=text_m,
+            lyric_hidden_states=lyric_h.astype(self.dtype),
+            lyric_attention_mask=lyric_m,
+            refer_audio_packed=refer_packed,
+            refer_order_mask=refer_order,
+            src_latents=src_latents.astype(self.dtype),
+            chunk_masks=chunk_masks,
+            is_covers=jnp.asarray(np.asarray(is_cover_rows, np.int32)),
+            silence_latent=silence_T[None],
+            seeds=jnp.asarray(np.asarray(seeds_list, np.uint32)),
+            **extra_inputs,
+        )
+        if has_non_cover:
+            inputs["non_cover_text_hidden_states"] = nc_h.astype(self.dtype)
+            inputs["non_cover_text_attention_mask"] = nc_m
+            inputs["silence_src"] = jnp.broadcast_to(silence_T[None],
+                                                     src_latents.shape)
+
+        cache_key = (
+            B, T, text_h.shape[1], lyric_h.shape[1], tuple(schedule),
+            infer_method, round(guidance_scale, 3), use_adg, tuple(cfg_interval),
+            has_non_cover, cover_steps, start_t, has_codes,
+        )
+        gen = self._get_generate_fn(
+            cache_key, schedule=tuple(schedule), method=infer_method,
+            guidance_scale=guidance_scale, use_adg=use_adg,
+            cfg_interval=cfg_interval, has_non_cover=has_non_cover,
+            cover_steps=cover_steps, start_t=start_t)
+
+        t0 = time.time()
+        params = self.lora.effective_params() if self.lora is not None else self.params
+        x0 = gen(params, inputs, key if key is not None else jax.random.PRNGKey(0))
+        x0 = jax.block_until_ready(x0)
+        time_costs["diffusion_time_cost"] = time.time() - t0
+
+        # ---- validate + post (reference generate_music_decode.py)
+        pred = np.asarray(x0.astype(jnp.float32))
+        if not np.all(np.isfinite(pred)):
+            raise RuntimeError("Generation produced NaN or Inf latents.")
+        if pred.size > 0 and np.abs(pred).sum() == 0:
+            raise RuntimeError("Generation produced zero latents.")
+        if latent_shift != 0.0 or latent_rescale != 1.0:
+            x0 = x0 * latent_rescale + latent_shift
+
+        t0 = time.time()
+        audio = self.decode_latents(x0)[:, : T_req * VAE_HOP]
+        time_costs["vae_decode_time_cost"] = time.time() - t0
+
+        audios = []
+        for i in range(B):
+            a = audio[i]
+            if normalize:
+                a = peak_normalize(a)
+            audios.append(a)
+
+        paths = None
+        if save_dir:
+            saver = AudioSaver(save_dir)
+            paths = []
+            for i, a in enumerate(audios):
+                from acestep_tpu.utils.audio import generate_uuid_from_params
+                uid = generate_uuid_from_params({
+                    "caption": captions[i], "lyrics": lyrics[i],
+                    "meta": meta_strs[i], "seed": seeds_list[i], "task": task,
+                })
+                paths.append(saver.save_audio(a, uid, audio_format))
+
+        time_costs["total_time_cost"] = time.time() - t_start
+        return GenerationResult(
+            audios=audios, pred_latents=pred[:, :T_req], seeds=seeds_list,
+            time_costs=time_costs, audio_paths=paths,
+            extra={"task": task, "spans": spans, "frames": T_req,
+                   "schedule": list(schedule)},
+        )
+
+    # --------------------------------------------------------------
+    # helpers
+    # --------------------------------------------------------------
+
+    @staticmethod
+    def _parse_code_hint(hint) -> Optional[np.ndarray]:
+        """'<|audio_code_123|>...' or int list -> int array clamped to
+        [0, 63999] (reference audio_codes.py:20-45)."""
+        if hint is None or (isinstance(hint, str) and not hint.strip()):
+            return None
+        if isinstance(hint, str):
+            import re
+            vals = [int(v) for v in re.findall(r"<\|audio_code_(\d+)\|>", hint)]
+            if not vals:
+                return None
+        else:
+            vals = [int(v) for v in hint]
+        return np.clip(np.asarray(vals, np.int64), 0, 63999)
+
+    def _prepare_refer(self, refer_audios, B: int):
+        """Reference audio list -> packed (N, 750, 64) latents + order mask
+        (reference conditioning_embed.infer_refer_latent; silence rows use the
+        silence latent)."""
+        RF = self.refer_frames
+        silence_ref = self._silence(RF).astype(self.dtype)
+        if refer_audios is None:
+            packed = jnp.broadcast_to(
+                silence_ref[None], (B, RF, self.cfg.audio_acoustic_hidden_dim))
+            return packed, jnp.arange(B, dtype=jnp.int32)
+        if isinstance(refer_audios, (str, np.ndarray)):
+            refer_audios = [refer_audios]
+        rows, order = [], []
+        cache: Dict[int, jnp.ndarray] = {}
+        for b in range(B):
+            ra = refer_audios[b % len(refer_audios)]
+            if ra is None:
+                rows.append(silence_ref)
+                order.append(b)
+                continue
+            key = id(ra)
+            if key not in cache:
+                if isinstance(ra, str):
+                    ra = load_audio(ra)
+                ra = np.asarray(ra)
+                ra = self._sample_reference_segments(ra)
+                z = self.encode_audio(ra)[:RF]
+                if z.shape[0] < RF:
+                    z = jnp.concatenate(
+                        [z, silence_ref[z.shape[0]:]], axis=0)
+                cache[key] = z.astype(self.dtype)
+            rows.append(cache[key])
+            order.append(b)
+        return jnp.stack(rows), jnp.asarray(order, jnp.int32)
+
+    @staticmethod
+    def _sample_reference_segments(audio: np.ndarray,
+                                   budget_s: int = 30, seg_s: int = 10,
+                                   sr: int = SAMPLE_RATE) -> np.ndarray:
+        """30 s timbre budget: 10 s from head/middle/tail of longer audio
+        (reference io_audio.py)."""
+        n = audio.shape[0]
+        if n <= budget_s * sr:
+            return audio
+        seg = seg_s * sr
+        mid = (n - seg) // 2
+        return np.concatenate(
+            [audio[:seg], audio[mid:mid + seg], audio[-seg:]], axis=0)

@@ -1,0 +1,124 @@
+"""End-to-end pipeline tests on tiny configs (structural, CPU).
+
+Mirrors the reference's mock-heavy handler tests (SURVEY §4) but drives the
+REAL model stack end-to-end with tiny geometry instead of mocking it.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from acestep_tpu.config import DiTConfig, VAEConfig
+from acestep_tpu.pipeline.handler import AceStepHandler
+
+
+@pytest.fixture(scope="module")
+def handler():
+    h = AceStepHandler(
+        dit_config=DiTConfig.tiny(fsq_dim=64),
+        # latent channels must match the DiT's 64-dim acoustic space
+        vae_config=VAEConfig.tiny(decoder_input_channels=64),
+        dtype=jnp.float32,
+        frame_bucket=20, min_frames=20, refer_frames=10,
+    )
+    h.initialize_service(seed=0)
+    return h
+
+
+def test_text2music_runs_and_shapes(handler):
+    res = handler.generate_music(
+        "an upbeat synthpop song", "la la la",
+        audio_duration=20 / 25,  # 20 frames
+        seeds=7,
+    )
+    assert len(res.audios) == 1
+    T = res.extra["frames"]
+    assert res.pred_latents.shape == (1, T, 64)
+    # tiny VAE hop=8: audio frames = T*8... but handler crops to T_req*VAE_HOP
+    assert res.audios[0].ndim == 2 and res.audios[0].shape[1] == 2
+    assert np.all(np.isfinite(res.audios[0]))
+    assert res.seeds == [7]
+    assert "diffusion_time_cost" in res.time_costs
+
+
+def test_same_seed_deterministic(handler):
+    kw = dict(audio_duration=0.8, seeds=123, normalize=False)
+    a = handler.generate_music("song A", "x", **kw)
+    b = handler.generate_music("song A", "x", **kw)
+    np.testing.assert_array_equal(a.pred_latents, b.pred_latents)
+
+
+def test_different_seeds_differ(handler):
+    kw = dict(audio_duration=0.8, normalize=False)
+    a = handler.generate_music("song A", "x", seeds=1, **kw)
+    b = handler.generate_music("song A", "x", seeds=2, **kw)
+    assert not np.allclose(a.pred_latents, b.pred_latents)
+
+
+def test_batch_generation(handler):
+    res = handler.generate_music(
+        ["song A", "song B"], ["la", "da"], audio_duration=0.8,
+        seeds=[1, 2],
+    )
+    assert len(res.audios) == 2
+    assert res.pred_latents.shape[0] == 2
+    assert not np.allclose(res.pred_latents[0], res.pred_latents[1])
+
+
+def test_cover_via_audio_codes(handler):
+    codes = "".join(f"<|audio_code_{i * 100}|>" for i in range(4))
+    res = handler.generate_music(
+        "cover song", "la", audio_code_hints=codes, audio_duration=0.8,
+        seeds=5,
+    )
+    assert res.extra["task"] == "cover"
+    assert np.all(np.isfinite(res.pred_latents))
+
+
+def test_repaint_span(handler):
+    # 20 frames at hop 1920/48k: repaint seconds map via SAMPLE_RATE//VAE_HOP
+    res = handler.generate_music(
+        "repaint", "la", task="repaint", audio_duration=0.8,
+        repainting_start=0.0, repainting_end=0.3, seeds=3,
+    )
+    kind, s, e = res.extra["spans"][0]
+    assert kind == "repainting"
+    assert 0 <= s < e <= res.pred_latents.shape[1]
+
+
+def test_refer_audio_conditioning(handler):
+    rng = np.random.default_rng(0)
+    ref = (rng.standard_normal((handler.vae_cfg.hop_length * 12, 2)) * 0.1
+           ).astype(np.float32)
+    a = handler.generate_music("with ref", "la", refer_audios=ref,
+                               audio_duration=0.8, seeds=9, normalize=False)
+    b = handler.generate_music("with ref", "la", audio_duration=0.8, seeds=9,
+                               normalize=False)
+    assert not np.allclose(a.pred_latents, b.pred_latents)
+
+
+def test_save_audio(handler, tmp_path):
+    res = handler.generate_music("save me", "la", audio_duration=0.8, seeds=1,
+                                 save_dir=str(tmp_path))
+    assert res.audio_paths and res.audio_paths[0].endswith(".wav")
+    import wave
+    with wave.open(res.audio_paths[0], "rb") as f:
+        assert f.getnchannels() == 2
+
+
+def test_uninitialized_raises():
+    h = AceStepHandler(dit_config=DiTConfig.tiny(fsq_dim=64),
+                       vae_config=VAEConfig.tiny())
+    with pytest.raises(RuntimeError):
+        h.generate_music("x", "y")
+
+
+def test_audio_cover_strength_non_cover_branch(handler):
+    codes = "".join(f"<|audio_code_{i}|>" for i in range(4))
+    res = handler.generate_music(
+        "partial cover", "la", audio_code_hints=codes,
+        audio_cover_strength=0.5, audio_duration=0.8, seeds=4,
+    )
+    assert np.all(np.isfinite(res.pred_latents))

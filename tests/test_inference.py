@@ -1,0 +1,97 @@
+"""Facade tests: generate_music(params, config) contract incl. LM-phase stub."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from acestep_tpu.config import DiTConfig, VAEConfig
+from acestep_tpu.inference import (
+    GenerationConfig, GenerationParams, generate_music, understand_music,
+)
+from acestep_tpu.pipeline.handler import AceStepHandler
+
+
+@pytest.fixture(scope="module")
+def handler():
+    h = AceStepHandler(
+        dit_config=DiTConfig.tiny(fsq_dim=64),
+        vae_config=VAEConfig.tiny(decoder_input_channels=64),
+        dtype=jnp.float32, frame_bucket=20, min_frames=20, refer_frames=10,
+    )
+    h.initialize_service(seed=0)
+    return h
+
+
+class FakeLLM:
+    """Stub planner following the LLMHandler protocol used by the facade."""
+
+    def plan(self, **kw):
+        self.last_kwargs = kw
+        return {
+            "metadata": {"bpm": 128, "duration": 0.8, "caption": "LM caption",
+                         "keyscale": "C major", "language": "en",
+                         "timesignature": 4},
+            "audio_codes": "<|audio_code_1|><|audio_code_2|>",
+        }
+
+    def understand(self, codes, **kw):
+        return {"caption": "understood", "bpm": 90}
+
+
+def test_generate_music_no_lm(handler, tmp_path):
+    params = GenerationParams(caption="hello world", lyrics="la la",
+                              duration=0.8, seed=11, thinking=False)
+    config = GenerationConfig(batch_size=1, use_random_seed=False,
+                              output_dir=str(tmp_path), audio_format="wav")
+    res = generate_music(handler, None, params, config)
+    assert res.success, res.error
+    assert len(res.audios) == 1
+    assert res.audios[0]["path"].endswith(".wav")
+    assert res.audios[0]["seed"] == 11
+    assert "time_costs" in res.extra_outputs
+
+
+def test_generate_music_with_lm_metadata_merge(handler, tmp_path):
+    llm = FakeLLM()
+    params = GenerationParams(caption="", lyrics="la", duration=-1.0,
+                              bpm=None, thinking=True, seed=3)
+    config = GenerationConfig(batch_size=1, use_random_seed=False,
+                              output_dir=str(tmp_path))
+    config.audio_format = "wav"
+    res = generate_music(handler, llm, params, config)
+    assert res.success, res.error
+    # LM duration (0.8 s) should drive frames; LM codes switch task to cover
+    assert res.extra_outputs["task"] == "cover"
+    assert res.extra_outputs["lm_metadata"]["bpm"] == 128
+    assert res.extra_outputs["audio_codes"].startswith("<|audio_code_")
+
+
+def test_user_metadata_wins_over_lm(handler, tmp_path):
+    llm = FakeLLM()
+    params = GenerationParams(caption="user caption", lyrics="la",
+                              duration=0.8, bpm=99, use_cot_caption=False,
+                              thinking=True, seed=5)
+    config = GenerationConfig(batch_size=1, use_random_seed=False,
+                              output_dir=str(tmp_path), audio_format="wav")
+    res = generate_music(handler, llm, params, config)
+    assert res.success, res.error
+    assert res.audios[0]["params"]["bpm"] == 99
+
+
+def test_generate_music_error_payload(handler):
+    params = GenerationParams(caption="x", duration=0.8,
+                              infer_method="nonsense_method", thinking=False)
+    # invalid audio format triggers the failure path deterministically
+    config = GenerationConfig(batch_size=1, audio_format="not_a_format")
+    res = generate_music(handler, None, params, config)
+    assert not res.success
+    assert res.error
+
+
+def test_understand_music_stub():
+    res = understand_music(FakeLLM(), "<|audio_code_1|>")
+    assert res.success
+    assert res.caption == "understood"
+    res2 = understand_music(None, "")
+    assert not res2.success

@@ -1,0 +1,177 @@
+"""5 Hz LM planner tests: tokenizer, FSM schema enforcement, two-phase
+protocol, output parsing — all with the fallback tokenizer + tiny LM."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from acestep_tpu.llm.fsm import MetadataFSM, TokenTables
+from acestep_tpu.llm.handler import (
+    LLMHandler, format_metadata_as_cot, parse_lm_output,
+)
+from acestep_tpu.llm.tokenizer import SimpleTokenizer
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return SimpleTokenizer(num_audio_codes=32)
+
+
+@pytest.fixture(scope="module")
+def tables(tok):
+    return TokenTables(tok)
+
+
+@pytest.fixture(scope="module")
+def handler():
+    h = LLMHandler(dtype=jnp.float32)
+    h.initialize(num_fallback_codes=32, max_duration=600, seed=0)
+    return h
+
+
+# ------------------------------------------------------------------
+# tokenizer
+# ------------------------------------------------------------------
+
+
+def test_tokenizer_roundtrip(tok):
+    s = "<think>\nbpm: 120\n</think>\n<|audio_code_3|><|audio_code_7|>"
+    assert tok.decode(tok.encode(s)) == s
+
+
+def test_chat_template(tok):
+    p = tok.apply_chat_template(
+        [{"role": "system", "content": "S"}, {"role": "user", "content": "U"}],
+        add_generation_prompt=True)
+    assert p.endswith("<|im_start|>assistant\n")
+    p2 = tok.apply_chat_template(
+        [{"role": "user", "content": "U"},
+         {"role": "assistant", "content": "<think>x</think>"}],
+        add_generation_prompt=False)
+    assert p2.endswith("<think>x</think>")
+
+
+# ------------------------------------------------------------------
+# FSM
+# ------------------------------------------------------------------
+
+
+def _drive_greedy(fsm, tok, choose):
+    """Run the FSM forward choosing tokens with `choose(mask) -> token_id`."""
+    emitted = []
+    for _ in range(400):
+        if fsm.finished:
+            break
+        m = fsm.next_mask()
+        if m is None:
+            break
+        t = choose(m)
+        fsm.advance(t)
+        emitted.append(t)
+    return tok.decode(emitted)
+
+
+def test_fsm_emits_valid_schema(tables, tok):
+    rng = np.random.default_rng(0)
+
+    def choose(mask):
+        ids = np.flatnonzero(mask)
+        return int(rng.choice(ids))
+
+    fsm = MetadataFSM(tables)
+    text = _drive_greedy(fsm, tok, choose)
+    assert text.startswith("<think>\n")
+    assert "</think>" in text
+    md = fsm.metadata()
+    assert 30 <= int(md["bpm"]) <= 300
+    assert 10 <= int(md["duration"]) <= 600
+    assert int(md["timesignature"]) in (2, 3, 4, 6)
+    # keyscale comes from the valid set
+    assert md["keyscale"].split()[-1] in ("major", "minor")
+    assert md["language"]
+
+
+def test_fsm_user_metadata_injection(tables, tok):
+    rng = np.random.default_rng(1)
+
+    def choose(mask):
+        return int(rng.choice(np.flatnonzero(mask)))
+
+    fsm = MetadataFSM(tables, user_metadata={"bpm": 123, "duration": 45,
+                                             "keyscale": "C major"})
+    text = _drive_greedy(fsm, tok, choose)
+    assert "bpm: 123\n" in text
+    assert "duration: 45\n" in text
+    assert "keyscale: C major\n" in text
+    assert fsm.target_codes == 45 * 5
+
+
+def test_fsm_codes_phase_blocks_eos(tables, tok):
+    fsm = MetadataFSM(tables, phase="codes")
+    fsm.begin_codes(target_duration=2)  # 10 codes
+    m = fsm.next_mask()
+    assert not m[tok.eos_token_id]
+    code_ids = tables.code_ids
+    for i in range(10):
+        fsm.advance(int(code_ids[i % len(code_ids)]))
+    m = fsm.next_mask()
+    assert m[tok.eos_token_id]
+    fsm.advance(tok.eos_token_id)
+    assert fsm.finished
+
+
+# ------------------------------------------------------------------
+# parse / format
+# ------------------------------------------------------------------
+
+
+def test_parse_lm_output():
+    text = ("<think>\nbpm: 73\ncaption: A calm piano melody\nduration: 273\n"
+            "keyscale: G major\nlanguage: en\ntimesignature: 4\n</think>\n"
+            "<|audio_code_1|><|audio_code_2|>")
+    md, codes = parse_lm_output(text)
+    assert md["bpm"] == 73 and md["duration"] == 273
+    assert md["caption"] == "A calm piano melody"
+    assert codes == "<|audio_code_1|><|audio_code_2|>"
+
+
+def test_format_metadata_as_cot():
+    cot = format_metadata_as_cot({"bpm": 120, "caption": "x", "duration": 30,
+                                  "timesignature": "4/4"})
+    assert cot.startswith("<think>\n")
+    assert "timesignature: 4" in cot and "4/4" not in cot
+    assert cot.endswith("</think>")
+
+
+# ------------------------------------------------------------------
+# end-to-end two-phase with tiny random LM
+# ------------------------------------------------------------------
+
+
+def test_two_phase_generation(handler):
+    res = handler.generate_with_stop_condition(
+        "an upbeat track", "la la",
+        user_metadata={"duration": 2},      # 10 codes target
+        temperature=1.0, cfg_scale=2.0, seed=0, max_cot_tokens=300)
+    md = res["metadata"]
+    assert md["duration"] == 2
+    assert 30 <= int(md["bpm"]) <= 300
+    codes = res["audio_codes"]
+    assert codes.count("<|audio_code_") >= 10
+    assert "<think>" in res["cot_text"]
+
+
+def test_phase1_only_for_dit(handler):
+    res = handler.generate_with_stop_condition(
+        "calm piano", "", infer_type="dit",
+        user_metadata={"duration": 2}, seed=1, max_cot_tokens=300)
+    assert res["audio_codes"] == ""
+    assert res["metadata"]["duration"] == 2
+
+
+def test_unconstrained_still_runs(handler):
+    res = handler.generate_with_stop_condition(
+        "x", "", infer_type="dit", constrained=False, seed=2,
+        max_cot_tokens=16)
+    assert "metadata" in res
