@@ -14,3 +14,31 @@ A from-scratch rebuild of the capabilities of ACE-Step 1.5
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (opt-out via ACESTEP_NO_COMP_CACHE).
+
+    Big-graph compiles (full DiT trajectory, tiled VAE) cost 1-2 minutes on
+    a tunneled TPU; caching them on disk makes every process after the first
+    start in seconds. Safe no-op if the JAX version lacks the config knob.
+    """
+    if _os.environ.get("ACESTEP_NO_COMP_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache",
+                          "acestep_tpu", "xla_cache"))
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()

@@ -1,0 +1,199 @@
+"""Adapter lifecycle: load/save/unload/toggle/scale + merged-params cache.
+
+Reference surface: lora/lifecycle.py + core/lora/service.py (add/load/
+remove/unload, per-adapter scale, base-weight backup, registry, `LoraService`
+facade wired to /v1/lora/* endpoints). JAX redesign: params are immutable
+pytrees, so there is no backup/restore dance — the manager keeps the base
+tree and lazily builds a merged tree under jit whenever the active adapter
+set changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from functools import partial
+
+from acestep_tpu.lora.adapters import adapter_param_count, merge_weights
+
+
+def save_adapter(path: str, adapter: dict) -> None:
+    """Save as .npz (flat dotted keys) + JSON meta sidecar-in-archive."""
+    flat: Dict[str, np.ndarray] = {}
+    for name, pair in adapter["weights"].items():
+        for part, value in pair.items():
+            flat[f"{name}:{part}"] = np.asarray(value)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, __meta__=np.frombuffer(
+        json.dumps(adapter["meta"]).encode(), dtype=np.uint8), **flat)
+
+
+def load_adapter_file(path: str) -> dict:
+    """Load .npz adapters (ours) or .safetensors (foreign PEFT/LoKr dumps).
+
+    Safetensors support reads `lora_A`/`lora_B`-style pairs and stacks
+    per-layer tensors along a leading layer axis when the key encodes a
+    layer index (`...layers.N...`)."""
+    if path.endswith(".npz"):
+        with np.load(path) as data:
+            meta = json.loads(bytes(data["__meta__"]).decode())
+            weights: Dict[str, dict] = {}
+            for key in data.files:
+                if key == "__meta__":
+                    continue
+                name, part = key.rsplit(":", 1)
+                weights.setdefault(name, {})[part] = jnp.asarray(data[key])
+        return {"meta": meta, "weights": weights}
+    if path.endswith(".safetensors"):
+        return _load_safetensors_adapter(path)
+    raise ValueError(f"unsupported adapter format: {path}")
+
+
+def _load_safetensors_adapter(path: str) -> dict:
+    import re
+
+    from safetensors import safe_open
+
+    per_layer: Dict[str, Dict[int, Dict[str, np.ndarray]]] = {}
+    rank = None
+    with safe_open(path, framework="np") as f:
+        for key in f.keys():
+            m = re.search(r"layers\.(\d+)\.(.+?)\.(lora_[AB])", key)
+            if not m:
+                continue
+            idx, target, part = int(m.group(1)), m.group(2), m.group(3)
+            target = target.replace(".weight", "").replace(
+                "gate_proj", "gate").replace("up_proj", "up").replace(
+                "down_proj", "down")
+            arr = f.get_tensor(key)
+            # PEFT stores (out, in): lora_A (r, in), lora_B (out, r)
+            if part == "lora_A":
+                arr = arr.T          # (in, r)
+                rank = arr.shape[1]
+                slot = "down"
+            else:
+                arr = arr.T          # (r, out)
+                slot = "up"
+            per_layer.setdefault(target, {}).setdefault(idx, {})[slot] = arr
+    weights = {}
+    for target, by_layer in per_layer.items():
+        idxs = sorted(by_layer)
+        weights[target] = {
+            "down": jnp.stack([jnp.asarray(by_layer[i]["down"]) for i in idxs]),
+            "up": jnp.stack([jnp.asarray(by_layer[i]["up"]) for i in idxs]),
+        }
+    return {"meta": {"kind": "lora", "rank": rank or 16, "alpha": rank or 16},
+            "weights": weights}
+
+
+class LoraManager:
+    """Holds base params + named adapters; serves merged effective params."""
+
+    def __init__(self, base_params: dict):
+        self._base = base_params
+        self._adapters: Dict[str, dict] = {}
+        self._scales: Dict[str, float] = {}
+        self._loaded_at: Dict[str, float] = {}
+        self._active: Optional[str] = None
+        self._enabled = True
+        self._merged = None
+        self._dirty = False
+        self._lock = threading.Lock()
+        self._merge_fns: Dict[str, Any] = {}   # meta-json -> jitted merge
+
+    # -- service surface (maps to /v1/lora/*) ------------------------------
+
+    def load(self, path: str, adapter_name: Optional[str] = None,
+             scale: float = 1.0) -> Dict[str, Any]:
+        adapter = load_adapter_file(path)
+        name = adapter_name or os.path.splitext(os.path.basename(path))[0]
+        with self._lock:
+            self._adapters[name] = adapter
+            self._scales[name] = scale
+            self._loaded_at[name] = time.time()
+            self._active = name
+            self._dirty = True
+        return {"adapter_name": name, "scale": scale,
+                "params": adapter_param_count(adapter),
+                "kind": adapter["meta"].get("kind", "lora")}
+
+    def add(self, name: str, adapter: dict, scale: float = 1.0) -> None:
+        """Register an in-memory adapter (training handoff)."""
+        with self._lock:
+            self._adapters[name] = adapter
+            self._scales[name] = scale
+            self._loaded_at[name] = time.time()
+            self._active = name
+            self._dirty = True
+
+    def unload(self, adapter_name: Optional[str] = None) -> Dict[str, Any]:
+        with self._lock:
+            name = adapter_name or self._active
+            if name is None or name not in self._adapters:
+                return {"unloaded": None}
+            del self._adapters[name]
+            self._scales.pop(name, None)
+            self._loaded_at.pop(name, None)
+            if self._active == name:
+                self._active = next(iter(self._adapters), None)
+            self._dirty = True
+            return {"unloaded": name, "active": self._active}
+
+    def toggle(self, use_lora: bool) -> Dict[str, Any]:
+        with self._lock:
+            self._enabled = bool(use_lora)
+            self._dirty = True
+            return {"use_lora": self._enabled, "active": self._active}
+
+    def set_scale(self, scale: float,
+                  adapter_name: Optional[str] = None) -> Dict[str, Any]:
+        with self._lock:
+            name = adapter_name or self._active
+            if name is None or name not in self._adapters:
+                raise KeyError(f"no such adapter: {name}")
+            self._scales[name] = float(scale)
+            self._dirty = True
+            return {"adapter_name": name, "scale": float(scale)}
+
+    def status(self) -> Dict[str, Any]:
+        with self._lock:
+            return {
+                "use_lora": self._enabled,
+                "active_adapter": self._active,
+                "adapters": [
+                    {"name": n,
+                     "scale": self._scales.get(n, 1.0),
+                     "kind": a["meta"].get("kind", "lora"),
+                     "loaded_at": self._loaded_at.get(n)}
+                    for n, a in self._adapters.items()
+                ],
+            }
+
+    # -- params ------------------------------------------------------------
+
+    def effective_params(self) -> dict:
+        """Base params with the active adapter merged (cached)."""
+        with self._lock:
+            if not self._enabled or self._active is None:
+                return self._base
+            if self._merged is None or self._dirty:
+                adapter = self._adapters[self._active]
+                scale = self._scales.get(self._active, 1.0)
+                meta = adapter["meta"]
+                meta_key = json.dumps(meta, sort_keys=True)
+                if meta_key not in self._merge_fns:
+                    self._merge_fns[meta_key] = jax.jit(
+                        partial(merge_weights, meta=meta))
+                self._merged = self._merge_fns[meta_key](
+                    self._base, adapter["weights"],
+                    jnp.float32(scale))
+                self._dirty = False
+            return self._merged

@@ -465,6 +465,79 @@ def dit_decoder(params: dict, cfg: DiTConfig, xt: jnp.ndarray,
     return h[:, :T0]
 
 
+def dit_decoder_attn_capture(params: dict, cfg: DiTConfig, xt: jnp.ndarray,
+                             timestep: jnp.ndarray, timestep_r: jnp.ndarray,
+                             context_latents: jnp.ndarray,
+                             encoder_hidden_states: jnp.ndarray,
+                             capture: dict,
+                             early_exit: Optional[int] = None) -> dict:
+    """Run the decoder capturing cross-attention probabilities.
+
+    `capture` maps layer index -> list of head indices (the reference's
+    `custom_layers_config`, handler.py:129, used with early exit for LRC
+    alignment, lyric_timestamp.py). Returns {layer: (B, n_heads, Tq, Tk)}.
+    Flash/fused attention never materializes probs, so this dedicated
+    unrolled path (≤ early_exit layers) exists solely for alignment/scoring.
+    """
+    p = params["decoder"]
+    eps = cfg.rms_norm_eps
+    dtype = xt.dtype
+    B, T0, _ = xt.shape
+    n_layers = (early_exit if early_exit is not None
+                else max(capture) + 1)
+
+    temb_t, proj_t = _timestep_embed(p["time_embed"], timestep, dtype)
+    temb_r, proj_r = _timestep_embed(p["time_embed_r"],
+                                     timestep - timestep_r, dtype)
+    tproj = proj_t + proj_r
+
+    h = jnp.concatenate([context_latents.astype(dtype), xt], axis=-1)
+    pad = (-T0) % cfg.patch_size
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+    h = conv1d(p["proj_in"], h, stride=cfg.patch_size)
+    L = h.shape[1]
+    enc = linear(p["condition_embedder"], encoder_hidden_states.astype(dtype))
+
+    rope = rope_cos_sin(L, cfg.head_dim, cfg.rope_theta, dtype=dtype)
+    full = bidirectional_mask(L)
+    sliding = bidirectional_mask(L, window=cfg.sliding_window)
+
+    captured = {}
+    for i in range(n_layers):
+        lp = jax.tree.map(lambda x: x[i], p["layers"])
+        table = lp["scale_shift_table"][None].astype(dtype)
+        mods = table + tproj
+        shift_msa, scale_msa, gate_msa, c_shift, c_scale, c_gate = [
+            mods[:, j:j + 1] for j in range(6)
+        ]
+        mask = sliding if cfg.layer_is_sliding(i) else full
+
+        norm_h = rms_norm(lp["self_attn_norm"], h, eps) * (1 + scale_msa) + shift_msa
+        a = attention(lp["self_attn"], norm_h.astype(dtype),
+                      num_heads=cfg.num_attention_heads,
+                      num_kv_heads=cfg.num_key_value_heads,
+                      head_dim=cfg.head_dim, mask=mask, rope=rope, eps=eps)
+        h = h + a * gate_msa
+
+        norm_h = rms_norm(lp["cross_attn_norm"], h, eps)
+        ca, probs = attention(lp["cross_attn"], norm_h,
+                              kv_src=enc,
+                              num_heads=cfg.num_attention_heads,
+                              num_kv_heads=cfg.num_key_value_heads,
+                              head_dim=cfg.head_dim, eps=eps,
+                              return_weights=True)
+        if i in capture:
+            heads = jnp.asarray(capture[i], jnp.int32)
+            captured[i] = probs[:, heads].astype(jnp.float32)
+        h = h + ca
+
+        norm_h = rms_norm(lp["mlp_norm"], h, eps) * (1 + c_scale) + c_shift
+        h = (h + mlp(lp["mlp"], norm_h.astype(dtype)) * c_gate).astype(dtype)
+
+    return captured
+
+
 # ==================================================================
 # Condition preparation (ref prepare_condition :1603-1649)
 # ==================================================================
@@ -546,8 +619,14 @@ def training_loss(params: dict, cfg: DiTConfig, key, *,
                   refer_audio_packed, refer_order_mask,
                   src_latents, chunk_masks, is_covers,
                   silence_latent=None, cfg_ratio: float = 0.15,
-                  max_refer_count: int = 4):
-    """Flow-matching MSE with CFG condition dropout."""
+                  max_refer_count: int = 4,
+                  discrete_timesteps: Optional[tuple] = None):
+    """Flow-matching MSE with CFG condition dropout.
+
+    Timestep source: continuous logit-normal by default (training_v2 'fixed'
+    semantics, ref training_v2/timestep_sampling.py:20-60); pass
+    `discrete_timesteps` (e.g. the turbo shift-3 schedule) for the v1
+    trainer's discrete sampling (ref training/trainer.py:303-324)."""
     enc, enc_mask, context_latents = prepare_condition(
         params, cfg,
         text_hidden_states=text_hidden_states,
@@ -568,9 +647,14 @@ def training_loss(params: dict, cfg: DiTConfig, key, *,
 
     x0 = hidden_states
     x1 = jax.random.normal(k_noise, x0.shape, x0.dtype)
-    t, _ = sample_t_r(k_t, bsz, data_proportion=cfg.data_proportion,
-                      timestep_mu=cfg.timestep_mu,
-                      timestep_sigma=cfg.timestep_sigma, use_meanflow=False)
+    if discrete_timesteps is not None:
+        pool = jnp.asarray(discrete_timesteps, jnp.float32)
+        idx = jax.random.randint(k_t, (bsz,), 0, pool.shape[0])
+        t = pool[idx]
+    else:
+        t, _ = sample_t_r(k_t, bsz, data_proportion=cfg.data_proportion,
+                          timestep_mu=cfg.timestep_mu,
+                          timestep_sigma=cfg.timestep_sigma, use_meanflow=False)
     t = t.astype(x0.dtype)
     xt = t[:, None, None] * x1 + (1.0 - t[:, None, None]) * x0
 

@@ -64,10 +64,17 @@ class HashTextEmbedder:
 
     def encode_text(self, texts: Sequence[str], max_len: int = TEXT_MAX_LEN):
         ids, mask = self._ids(texts, max_len)
-        return jnp.asarray(self.table[ids]), jnp.asarray(mask)
+        return self.table[ids], mask   # host arrays; transferred by the jit call
 
     def encode_lyrics(self, texts: Sequence[str], max_len: int = LYRIC_MAX_LEN):
         return self.encode_text(texts, max_len)
+
+    def lyric_token_strings(self, text: str,
+                            max_len: int = LYRIC_MAX_LEN) -> List[str]:
+        """Per-position token strings for the lyric sequence (LRC alignment).
+        Byte-level tokens decode back to single characters."""
+        data = text.encode("utf-8")[:max_len]
+        return [bytes([b]).decode("utf-8", errors="replace") for b in data]
 
 
 class QwenTextEmbedder:
@@ -114,3 +121,9 @@ class QwenTextEmbedder:
         ids, mask = self._tokenize(texts, max_len)
         emb = self.params["embed_tokens"][ids]
         return emb.astype(jnp.float32), mask
+
+    def lyric_token_strings(self, text: str,
+                            max_len: int = LYRIC_MAX_LEN) -> List[str]:
+        ids = self.tokenizer(text, truncation=True,
+                             max_length=max_len)["input_ids"]
+        return [self.tokenizer.decode([i]) for i in ids]

@@ -99,23 +99,28 @@ class AceStepHandler:
             from acestep_tpu.utils.checkpoint import load_dit_checkpoint
             self.params, silence = load_dit_checkpoint(checkpoint_dir, self.cfg,
                                                        self.dtype)
-            self.silence_latent = silence
+            self.silence_latent = np.asarray(silence, np.float32)
         else:
-            self.params = jax.tree.map(
-                lambda x: x.astype(self.dtype),
-                init_dit_params(jax.random.PRNGKey(seed), self.cfg))
+            # One compiled program for the whole init: eager per-leaf RNG would
+            # be hundreds of tiny dispatches (seconds each over a TPU tunnel).
+            dit_init = jax.jit(lambda k: jax.tree.map(
+                lambda x: x.astype(self.dtype), init_dit_params(k, self.cfg)))
+            self.params = dit_init(jax.random.PRNGKey(seed))
         if vae_dir:
             from acestep_tpu.utils.checkpoint import load_vae_checkpoint
             self.vae_params = load_vae_checkpoint(vae_dir, self.vae_cfg, self.dtype)
         else:
-            self.vae_params = jax.tree.map(
+            vae_init = jax.jit(lambda k: jax.tree.map(
                 lambda x: x.astype(self.dtype),
-                init_vae_params(jax.random.PRNGKey(seed + 1), self.vae_cfg))
+                init_vae_params(k, self.vae_cfg)))
+            self.vae_params = vae_init(jax.random.PRNGKey(seed + 1))
         if self.silence_latent is None:
-            self.silence_latent = jnp.zeros((1, 15360, self.cfg.audio_acoustic_hidden_dim),
-                                            self.dtype)
+            self.silence_latent = np.zeros(
+                (1, 15360, self.cfg.audio_acoustic_hidden_dim), np.float32)
         self.text_embedder = text_embedder or HashTextEmbedder(
             dim=self.cfg.text_hidden_dim)
+        from acestep_tpu.lora.manager import LoraManager
+        self.lora = LoraManager(self.params)
         self.initialized = True
 
     def get_service_status(self) -> Dict[str, Any]:
@@ -131,24 +136,44 @@ class AceStepHandler:
     # Latent helpers
     # --------------------------------------------------------------
 
-    def _silence(self, T: int) -> jnp.ndarray:
+    def _silence(self, T: int) -> np.ndarray:
+        """Host-side (T, 64) silence latent slice/tile."""
         sl = self.silence_latent
         if sl.shape[1] >= T:
             return sl[0, :T, :]
         reps = -(-T // sl.shape[1])
-        return jnp.tile(sl[0], (reps, 1))[:T]
+        return np.tile(sl[0], (reps, 1))[:T]
 
-    def encode_audio(self, audio: np.ndarray) -> jnp.ndarray:
+    # encode/decode run as one compiled program per input shape (cached):
+    # the tiled lax.map loop must live under jit, or every conv in every
+    # chunk becomes an individual device dispatch.
+
+    def _encode_fn(self, shape: tuple):
+        key = ("enc", shape)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = jax.jit(
+                lambda p, x: tiled_encode(p, self.vae_cfg, x))
+        return self._fn_cache[key]
+
+    def _decode_fn(self, shape: tuple):
+        key = ("dec", shape)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = jax.jit(
+                lambda p, z: tiled_decode(
+                    p, self.vae_cfg, z.astype(self.dtype)).astype(jnp.float32))
+        return self._fn_cache[key]
+
+    def encode_audio(self, audio: np.ndarray) -> np.ndarray:
         """(samples, ch) float32 -> (T, 64) latents via tiled VAE encode."""
-        x = jnp.asarray(audio, self.dtype)[None]
-        z = tiled_encode(self.vae_params, self.vae_cfg, x)
-        return z[0]
+        x = np.asarray(audio, np.float32)[None]
+        z = self._encode_fn(x.shape)(self.vae_params, x.astype(self.dtype))
+        return np.asarray(z[0], np.float32)
 
-    def decode_latents(self, latents: jnp.ndarray) -> np.ndarray:
+    def decode_latents(self, latents) -> np.ndarray:
         """(B, T, 64) -> (B, samples, 2) float32."""
-        audio = tiled_decode(self.vae_params, self.vae_cfg,
-                             latents.astype(self.dtype))
-        return np.asarray(audio.astype(jnp.float32))
+        z = np.asarray(latents, np.float32)
+        audio = self._decode_fn(z.shape)(self.vae_params, z)
+        return np.asarray(audio)
 
     # --------------------------------------------------------------
     # Core generation
@@ -165,6 +190,12 @@ class AceStepHandler:
         do_cfg = (not is_turbo) and guidance_scale > 1.0
 
         def fn(params, inputs, noise_key):
+            # cast float inputs to compute dtype on-device (host arrays are f32)
+            inputs = {
+                k: (v.astype(self.dtype)
+                    if jnp.issubdtype(v.dtype, jnp.floating) else v)
+                for k, v in inputs.items()
+            }
             cond_inputs = dict(
                 text_hidden_states=inputs["text_hidden_states"],
                 text_attention_mask=inputs["text_attention_mask"],
@@ -232,7 +263,7 @@ class AceStepHandler:
                                    guidance_scale=guidance_scale,
                                    cfg_interval=cfg_interval, use_adg=use_adg,
                                    infer_method=method, key=noise_key)
-            return x0
+            return x0.astype(jnp.float32)
 
         return jax.jit(fn)
 
@@ -335,7 +366,7 @@ class AceStepHandler:
             T_req = 30 * LATENT_RATE
         T = _pad_frames_to(T_req, self.frame_bucket, self.min_frames)
 
-        silence_T = self._silence(T).astype(self.dtype)
+        silence_T = self._silence(T).astype(np.float32)
 
         target_rows, is_cover_rows, code_rows = [], [], []
         for i in range(B):
@@ -345,10 +376,10 @@ class AceStepHandler:
                 target_rows.append(silence_T)
                 is_cover_rows.append(True)
             elif src_latent_single is not None:
-                row = src_latent_single[:T]
+                row = np.asarray(src_latent_single[:T], np.float32)
                 if row.shape[0] < T:
-                    row = jnp.concatenate([row, silence_T[row.shape[0]:]], axis=0)
-                target_rows.append(row.astype(self.dtype))
+                    row = np.concatenate([row, silence_T[row.shape[0]:]], axis=0)
+                target_rows.append(row)
                 instr = (instructions[i] or "").lower()
                 is_cover_rows.append(
                     "generate audio semantic tokens" in instr
@@ -359,7 +390,7 @@ class AceStepHandler:
                 is_cover_rows.append(
                     "generate audio semantic tokens" in instr
                     and "based on the given conditions" in instr)
-        target_latents = jnp.stack(target_rows)                       # (B,T,64)
+        target_latents = np.stack(target_rows)                        # (B,T,64)
 
         # ---- chunk masks + repaint spans (reference conditioning_masks.py)
         chunk = np.ones((B, T), np.float32)
@@ -376,8 +407,8 @@ class AceStepHandler:
             chunk[:, s_lat:e_lat] = 1.0
             spans = [("repainting", s_lat, e_lat)] * B
             for i in range(B):
-                row = target_latents[i]
-                row = row.at[s_lat:e_lat].set(silence_T[s_lat:e_lat])
+                row = target_latents[i].copy()
+                row[s_lat:e_lat] = silence_T[s_lat:e_lat]
                 src_rows.append(row)
             is_cover_rows = [False] * B
         else:
@@ -386,9 +417,10 @@ class AceStepHandler:
                 has_target = (codes_arrays[i] is not None
                               or src_latent_single is not None)
                 src_rows.append(target_latents[i] if has_target else silence_T)
-        src_latents = jnp.stack(src_rows)
-        chunk_masks = jnp.asarray(chunk, self.dtype)[..., None] * \
-            jnp.ones((cfg.audio_acoustic_hidden_dim,), self.dtype)
+        src_latents = np.stack(src_rows)
+        chunk_masks = np.broadcast_to(
+            chunk[..., None],
+            (B, T, cfg.audio_acoustic_hidden_dim)).astype(np.float32)
         time_costs["prepare_time_cost"] = time.time() - t0
 
         # ---- reference audio -> packed timbre latents
@@ -403,7 +435,7 @@ class AceStepHandler:
             for i, c in enumerate(codes_arrays):
                 if c is not None:
                     codes_mat[i, : min(len(c), T5)] = c[:T5]
-            extra_inputs["audio_codes"] = jnp.asarray(codes_mat, jnp.int32)
+            extra_inputs["audio_codes"] = codes_mat.astype(np.int32)
 
         # ---- text conditioning
         actual_captions, actual_languages = textlib.extract_caption_and_language(
@@ -427,11 +459,12 @@ class AceStepHandler:
                     actual_captions[i], meta_strs[i]) for i in range(B)
             ]
             nc_h, nc_m = self.text_embedder.encode_text(nc_prompts)
+            nc_h, nc_m = np.asarray(nc_h), np.asarray(nc_m)
             if nc_h.shape[1] != text_h.shape[1]:   # keep one bucket
                 L = text_h.shape[1]
-                nc_h = jnp.pad(nc_h[:, :L], ((0, 0), (0, max(0, L - nc_h.shape[1])),
-                                             (0, 0)))
-                nc_m = jnp.pad(nc_m[:, :L], ((0, 0), (0, max(0, L - nc_m.shape[1]))))
+                nc_h = np.pad(nc_h[:, :L], ((0, 0), (0, max(0, L - nc_h.shape[1])),
+                                            (0, 0)))
+                nc_m = np.pad(nc_m[:, :L], ((0, 0), (0, max(0, L - nc_m.shape[1]))))
         time_costs["text_encode_time_cost"] = time.time() - t0
 
         # ---- schedule
@@ -449,25 +482,26 @@ class AceStepHandler:
                 else len(schedule) - 1
             cover_steps = int(n_steps * audio_cover_strength)
 
+        # all host numpy: one transfer into the jitted program, zero eager ops
         inputs = dict(
-            text_hidden_states=text_h.astype(self.dtype),
-            text_attention_mask=text_m,
-            lyric_hidden_states=lyric_h.astype(self.dtype),
-            lyric_attention_mask=lyric_m,
+            text_hidden_states=np.asarray(text_h, np.float32),
+            text_attention_mask=np.asarray(text_m),
+            lyric_hidden_states=np.asarray(lyric_h, np.float32),
+            lyric_attention_mask=np.asarray(lyric_m),
             refer_audio_packed=refer_packed,
             refer_order_mask=refer_order,
-            src_latents=src_latents.astype(self.dtype),
+            src_latents=src_latents,
             chunk_masks=chunk_masks,
-            is_covers=jnp.asarray(np.asarray(is_cover_rows, np.int32)),
+            is_covers=np.asarray(is_cover_rows, np.int32),
             silence_latent=silence_T[None],
-            seeds=jnp.asarray(np.asarray(seeds_list, np.uint32)),
+            seeds=np.asarray(seeds_list, np.uint32),
             **extra_inputs,
         )
         if has_non_cover:
-            inputs["non_cover_text_hidden_states"] = nc_h.astype(self.dtype)
+            inputs["non_cover_text_hidden_states"] = nc_h
             inputs["non_cover_text_attention_mask"] = nc_m
-            inputs["silence_src"] = jnp.broadcast_to(silence_T[None],
-                                                     src_latents.shape)
+            inputs["silence_src"] = np.broadcast_to(silence_T[None],
+                                                    src_latents.shape).copy()
 
         cache_key = (
             B, T, text_h.shape[1], lyric_h.shape[1], tuple(schedule),
@@ -483,20 +517,19 @@ class AceStepHandler:
         t0 = time.time()
         params = self.lora.effective_params() if self.lora is not None else self.params
         x0 = gen(params, inputs, key if key is not None else jax.random.PRNGKey(0))
-        x0 = jax.block_until_ready(x0)
+        pred = np.asarray(x0)            # forces completion (axon: block_until_ready lies)
         time_costs["diffusion_time_cost"] = time.time() - t0
 
         # ---- validate + post (reference generate_music_decode.py)
-        pred = np.asarray(x0.astype(jnp.float32))
         if not np.all(np.isfinite(pred)):
             raise RuntimeError("Generation produced NaN or Inf latents.")
         if pred.size > 0 and np.abs(pred).sum() == 0:
             raise RuntimeError("Generation produced zero latents.")
         if latent_shift != 0.0 or latent_rescale != 1.0:
-            x0 = x0 * latent_rescale + latent_shift
+            pred = pred * latent_rescale + latent_shift
 
         t0 = time.time()
-        audio = self.decode_latents(x0)[:, : T_req * VAE_HOP]
+        audio = self.decode_latents(pred)[:, : T_req * VAE_HOP]
         time_costs["vae_decode_time_cost"] = time.time() - t0
 
         audios = []
@@ -527,6 +560,108 @@ class AceStepHandler:
         )
 
     # --------------------------------------------------------------
+    # LRC lyric alignment (reference lyric_timestamp.py + scoring/)
+    # --------------------------------------------------------------
+
+    def generate_lrc(self, pred_latents: np.ndarray, caption: str,
+                     lyrics: str, *, metas=None, vocal_language: str = "en",
+                     infer_steps: int = 8, seed: int = 0,
+                     capture: Optional[dict] = None) -> Dict[str, Any]:
+        """Lyric-timestamp LRC for a generated latent sequence.
+
+        Re-runs the decoder once at t = 1/infer_steps with cross-attention
+        capture on the reference's alignment layers/heads (handler.py:129),
+        DTWs the lyric-span attention, and formats LRC. Returns
+        {lrc, sentences, tokens, score}."""
+        from acestep_tpu.models.dit import dit_decoder_attn_capture
+        from acestep_tpu.scoring.alignment import (
+            DEFAULT_CAPTURE, MusicStampsAligner)
+        from acestep_tpu.scoring.lyric_score import lyric_alignment_score
+
+        capture = capture or DEFAULT_CAPTURE
+        x0 = np.asarray(pred_latents, np.float32)
+        if x0.ndim == 2:
+            x0 = x0[None]
+        B, T, _ = x0.shape
+
+        meta_strs = textlib.parse_metas([metas] if not isinstance(metas, list)
+                                        else metas)
+        instruction = textlib.resolve_instruction("text2music")
+        text_prompt = textlib.build_text_prompt(instruction, caption,
+                                                meta_strs[0])
+        lyric_prompt = textlib.format_lyrics(lyrics, vocal_language)
+        text_h, text_m = self.text_embedder.encode_text([text_prompt] * B)
+        lyric_h, lyric_m = self.text_embedder.encode_lyrics([lyric_prompt] * B)
+        token_strs = self.text_embedder.lyric_token_strings(lyric_prompt)
+        lyric_len = int(np.asarray(lyric_m)[0].sum())
+
+        silence_T = self._silence(T).astype(np.float32)
+        refer_packed, refer_order = self._prepare_refer(None, B)
+        t_small = 1.0 / max(infer_steps, 1)
+
+        inputs = dict(
+            text_hidden_states=np.asarray(text_h, np.float32),
+            text_attention_mask=np.asarray(text_m),
+            lyric_hidden_states=np.asarray(lyric_h, np.float32),
+            lyric_attention_mask=np.asarray(lyric_m),
+            refer_audio_packed=refer_packed,
+            refer_order_mask=refer_order,
+            src_latents=np.broadcast_to(silence_T[None], x0.shape).copy(),
+            chunk_masks=np.ones_like(x0),
+            is_covers=np.zeros((B,), np.int32),
+            silence_latent=silence_T[None],
+            x0=x0,
+        )
+        cache_key = ("lrc", B, T, np.asarray(text_h).shape[1],
+                     np.asarray(lyric_h).shape[1],
+                     tuple(sorted((k, tuple(v)) for k, v in capture.items())),
+                     round(t_small, 6))
+        if cache_key not in self._fn_cache:
+            cfg = self.cfg
+            dtype = self.dtype
+
+            def fn(params, inputs, key):
+                cast = {
+                    k: (v.astype(dtype)
+                        if jnp.issubdtype(v.dtype, jnp.floating) else v)
+                    for k, v in inputs.items()
+                }
+                x0_d = cast.pop("x0")
+                enc, _m, ctx = prepare_condition(
+                    params, cfg,
+                    text_hidden_states=cast["text_hidden_states"],
+                    text_attention_mask=cast["text_attention_mask"],
+                    lyric_hidden_states=cast["lyric_hidden_states"],
+                    lyric_attention_mask=cast["lyric_attention_mask"],
+                    refer_audio_packed=cast["refer_audio_packed"],
+                    refer_order_mask=cast["refer_order_mask"],
+                    src_latents=cast["src_latents"],
+                    chunk_masks=cast["chunk_masks"],
+                    is_covers=cast["is_covers"],
+                    silence_latent=cast["silence_latent"],
+                )
+                noise = jax.random.normal(key, x0_d.shape, x0_d.dtype)
+                t = jnp.full((x0_d.shape[0],), t_small, x0_d.dtype)
+                xt = t_small * noise + (1.0 - t_small) * x0_d
+                return dit_decoder_attn_capture(
+                    params, cfg, xt, t, t, ctx, enc, capture)
+
+            self._fn_cache[cache_key] = jax.jit(fn)
+
+        params = self.lora.effective_params() if self.lora is not None \
+            else self.params
+        captured = self._fn_cache[cache_key](params, inputs,
+                                             jax.random.PRNGKey(seed))
+        captured = {k: np.asarray(v) for k, v in captured.items()}
+
+        aligner = MusicStampsAligner(patch_size=self.cfg.patch_size)
+        tokens, sentences, lrc = aligner.get_timestamps_and_lrc(
+            captured, token_strs[:lyric_len], lyric_len=lyric_len)
+        score = lyric_alignment_score(captured, lyric_len)
+        return {"lrc": lrc, "sentences": sentences, "tokens": tokens,
+                "score": score}
+
+    # --------------------------------------------------------------
     # helpers
     # --------------------------------------------------------------
 
@@ -550,15 +685,16 @@ class AceStepHandler:
         (reference conditioning_embed.infer_refer_latent; silence rows use the
         silence latent)."""
         RF = self.refer_frames
-        silence_ref = self._silence(RF).astype(self.dtype)
+        silence_ref = self._silence(RF).astype(np.float32)
         if refer_audios is None:
-            packed = jnp.broadcast_to(
-                silence_ref[None], (B, RF, self.cfg.audio_acoustic_hidden_dim))
-            return packed, jnp.arange(B, dtype=jnp.int32)
+            packed = np.broadcast_to(
+                silence_ref[None],
+                (B, RF, self.cfg.audio_acoustic_hidden_dim)).copy()
+            return packed, np.arange(B, dtype=np.int32)
         if isinstance(refer_audios, (str, np.ndarray)):
             refer_audios = [refer_audios]
         rows, order = [], []
-        cache: Dict[int, jnp.ndarray] = {}
+        cache: Dict[int, np.ndarray] = {}
         for b in range(B):
             ra = refer_audios[b % len(refer_audios)]
             if ra is None:
@@ -573,12 +709,12 @@ class AceStepHandler:
                 ra = self._sample_reference_segments(ra)
                 z = self.encode_audio(ra)[:RF]
                 if z.shape[0] < RF:
-                    z = jnp.concatenate(
+                    z = np.concatenate(
                         [z, silence_ref[z.shape[0]:]], axis=0)
-                cache[key] = z.astype(self.dtype)
+                cache[key] = z.astype(np.float32)
             rows.append(cache[key])
             order.append(b)
-        return jnp.stack(rows), jnp.asarray(order, jnp.int32)
+        return np.stack(rows), np.asarray(order, np.int32)
 
     @staticmethod
     def _sample_reference_segments(audio: np.ndarray,

@@ -1,0 +1,680 @@
+"""REST job server (stdlib http.server + worker threads).
+
+Endpoint surface and job lifecycle mirror the reference FastAPI server
+(/root/reference/acestep/api_server.py): POST /release_task enqueues a
+generation job and returns a task_id; POST /query_result batch-polls
+results from a TTL cache; plus /health, /v1/stats, /v1/models,
+/create_random_sample, /format_input, /v1/lora/*, /v1/reinitialize and
+GET /v1/audio. Responses use the same `{"data", "code", "error",
+"timestamp", "extra"}` envelope (ref :246-254) and the same integer status
+codes (queued/running=0, succeeded=1, failed=2, ref :239).
+
+TPU-native design notes: a single process owns the JAX runtime; generation
+runs on worker threads pulled from one queue (the reference uses an
+asyncio queue + thread executor — same semantics, fewer layers). XLA
+dispatch drops the GIL, so HTTP threads stay responsive during renders.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import queue
+import random
+import threading
+import time
+import traceback
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+from urllib.parse import parse_qs, urlparse
+
+from acestep_tpu import inference
+from acestep_tpu.inference import GenerationConfig, GenerationParams
+from acestep_tpu.serving import openrouter
+from acestep_tpu.serving.jobstore import (
+    RESULT_KEY_PREFIX,
+    TASK_TIMEOUT_SECONDS,
+    JobStore,
+    LocalResultCache,
+)
+from acestep_tpu.serving.schemas import GenerateMusicRequest
+
+QUEUE_MAXSIZE = 200
+INITIAL_AVG_JOB_SECONDS = 30.0
+STATUS_MAP = {"queued": 0, "running": 0, "succeeded": 1, "failed": 2}
+
+
+def wrap_response(data: Any, code: int = 200,
+                  error: Optional[str] = None) -> Dict[str, Any]:
+    return {"data": data, "code": code, "error": error,
+            "timestamp": int(time.time() * 1000), "extra": None}
+
+
+def _map_status(status: str) -> int:
+    return STATUS_MAP.get(status, 2)
+
+
+def parse_timesteps(s: Optional[str]) -> Optional[List[float]]:
+    if not s or not str(s).strip():
+        return None
+    try:
+        return [float(t.strip()) for t in str(s).split(",") if t.strip()]
+    except ValueError:
+        return None
+
+
+def load_examples(examples_dir: str, sample_mode: str = "simple_mode") -> list:
+    pattern = os.path.join(examples_dir, sample_mode, "example_*.json")
+    out = []
+    for path in sorted(glob.glob(pattern)):
+        try:
+            with open(path, "r", encoding="utf-8") as f:
+                out.append(json.load(f))
+        except (OSError, ValueError):
+            pass
+    return out
+
+
+def request_to_params(req: GenerateMusicRequest) -> GenerationParams:
+    """Map the REST request onto the Python-API GenerationParams."""
+    seed = -1
+    if not req.use_random_seed:
+        try:
+            seed = int(req.seed)
+        except (TypeError, ValueError):
+            seed = -1
+    return GenerationParams(
+        task_type=req.task_type,
+        instruction=req.instruction,
+        reference_audio=req.reference_audio_path,
+        src_audio=req.src_audio_path,
+        caption=req.prompt,
+        lyrics=req.lyrics,
+        vocal_language=req.vocal_language or "unknown",
+        bpm=req.bpm,
+        keyscale=req.key_scale,
+        timesignature=req.time_signature,
+        duration=float(req.audio_duration) if req.audio_duration else -1.0,
+        inference_steps=req.inference_steps,
+        seed=seed,
+        guidance_scale=req.guidance_scale,
+        use_adg=req.use_adg,
+        cfg_interval_start=req.cfg_interval_start,
+        cfg_interval_end=req.cfg_interval_end,
+        shift=req.shift,
+        infer_method=req.infer_method,
+        timesteps=parse_timesteps(req.timesteps),
+        repainting_start=req.repainting_start,
+        repainting_end=(-1 if req.repainting_end is None
+                        else req.repainting_end),
+        audio_cover_strength=req.audio_cover_strength,
+        thinking=req.thinking,
+        lm_temperature=req.lm_temperature,
+        lm_cfg_scale=req.lm_cfg_scale,
+        lm_top_k=req.lm_top_k or 0,
+        lm_top_p=req.lm_top_p if req.lm_top_p is not None else 0.9,
+        lm_negative_prompt=req.lm_negative_prompt,
+        use_cot_caption=req.use_cot_caption,
+        use_cot_language=req.use_cot_language,
+        use_constrained_decoding=req.constrained_decoding,
+    )
+
+
+class AppState:
+    """Server-wide state: handlers, job plumbing, stats."""
+
+    def __init__(self, dit_handlers: Dict[str, Any], llm_handler: Any,
+                 *, output_dir: str = "outputs",
+                 persist_dir: Optional[str] = None,
+                 examples_dir: Optional[str] = None,
+                 api_key: Optional[str] = None,
+                 worker_count: int = 1) -> None:
+        if not dit_handlers:
+            raise ValueError("at least one DiT handler is required")
+        self.dit_handlers = dict(dit_handlers)
+        self.default_model = next(iter(self.dit_handlers))
+        self.llm_handler = llm_handler
+        self.output_dir = os.path.abspath(output_dir)
+        self.api_key = api_key
+        self.job_store = JobStore(persist_dir=persist_dir)
+        self.local_cache = LocalResultCache(
+            os.path.join(persist_dir, "result_cache.json")
+            if persist_dir else None)
+        self.job_queue: "queue.Queue" = queue.Queue(maxsize=QUEUE_MAXSIZE)
+        self.pending_ids: List[str] = []
+        self.pending_lock = threading.Lock()
+        self.stats_lock = threading.Lock()
+        self.avg_job_seconds = INITIAL_AVG_JOB_SECONDS
+        self.completed_jobs = 0
+        self.examples_dir = examples_dir
+        self.worker_count = max(1, worker_count)
+        self._workers: List[threading.Thread] = []
+        self._shutdown = threading.Event()
+
+    # -- queue workers ------------------------------------------------------
+
+    def start_workers(self) -> None:
+        for idx in range(self.worker_count):
+            th = threading.Thread(target=self._worker_loop, args=(idx,),
+                                  name=f"acestep-worker-{idx}", daemon=True)
+            th.start()
+            self._workers.append(th)
+
+    def shutdown(self) -> None:
+        self._shutdown.set()
+        for _ in self._workers:
+            try:
+                self.job_queue.put_nowait((None, None))
+            except queue.Full:
+                pass
+
+    def _worker_loop(self, idx: int) -> None:
+        while not self._shutdown.is_set():
+            job_id, req = self.job_queue.get()
+            if job_id is None:
+                break
+            with self.pending_lock:
+                if job_id in self.pending_ids:
+                    self.pending_ids.remove(job_id)
+            try:
+                self._run_one_job(job_id, req)
+            except Exception:
+                self.job_store.mark_failed(job_id, traceback.format_exc(limit=10))
+                self._cache_result(job_id)
+            finally:
+                self.job_queue.task_done()
+
+    def _select_handler(self, model: Optional[str]):
+        if model and model in self.dit_handlers:
+            return model, self.dit_handlers[model]
+        return self.default_model, self.dit_handlers[self.default_model]
+
+    def _run_one_job(self, job_id: str, req: GenerateMusicRequest) -> None:
+        t0 = time.time()
+        self.job_store.mark_running(job_id)
+        self._cache_progress(job_id, 0.01, "running")
+
+        model_name, dit_handler = self._select_handler(req.model)
+        params = request_to_params(req)
+        config = GenerationConfig(
+            batch_size=req.batch_size or 1,
+            use_random_seed=req.use_random_seed,
+            audio_format=req.audio_format,
+            output_dir=self.output_dir,
+            allow_lm_batch=req.allow_lm_batch,
+            constrained_decoding_debug=req.constrained_decoding_debug,
+        )
+
+        if req.sample_mode or req.sample_query:
+            sample = inference.create_sample(self.llm_handler, req.sample_query)
+            if sample.get("success"):
+                params.caption = sample.get("caption", params.caption)
+                params.lyrics = sample.get("lyrics", params.lyrics)
+        elif req.use_format:
+            fmt = inference.format_sample(self.llm_handler, params.caption,
+                                          params.lyrics)
+            if fmt.get("success"):
+                params.caption = fmt.get("caption", params.caption)
+                params.lyrics = fmt.get("lyrics", params.lyrics)
+
+        result = inference.generate_music(dit_handler, self.llm_handler,
+                                          params, config)
+        payload = result.to_dict()
+        payload["dit_model"] = model_name
+        payload["prompt"] = params.caption
+        payload["lyrics"] = params.lyrics
+        if result.success:
+            self.job_store.mark_succeeded(job_id, payload)
+        else:
+            self.job_store.mark_failed(
+                job_id, result.error or result.status_message)
+        self._cache_result(job_id)
+
+        elapsed = time.time() - t0
+        with self.stats_lock:
+            n = self.completed_jobs
+            self.avg_job_seconds = (self.avg_job_seconds * n + elapsed) / (n + 1)
+            self.completed_jobs = n + 1
+
+    # -- result cache (reference _update_local_cache, :1342-1433) -----------
+
+    def _cache_progress(self, job_id: str, progress: float, stage: str) -> None:
+        rec = self.job_store.get(job_id)
+        if rec is None:
+            return
+        data = [{
+            "file": "", "wave": "", "status": _map_status("running"),
+            "create_time": int(rec.created_at), "env": rec.env,
+            "progress": float(progress), "stage": stage,
+        }]
+        self.local_cache.set(f"{RESULT_KEY_PREFIX}{job_id}", data)
+
+    def _cache_result(self, job_id: str) -> None:
+        rec = self.job_store.get(job_id)
+        if rec is None:
+            return
+        status_int = _map_status(rec.status)
+        if rec.status == "succeeded" and rec.result:
+            result = rec.result
+            extra = result.get("extra_outputs", {}) or {}
+            metas = extra.get("lm_metadata", {}) or {}
+            entries = []
+            audios = result.get("audios") or [{}]
+            for audio in audios:
+                entries.append({
+                    "file": audio.get("path") or "",
+                    "wave": "",
+                    "status": status_int,
+                    "create_time": int(rec.created_at),
+                    "env": rec.env,
+                    "prompt": result.get("prompt", ""),
+                    "lyrics": result.get("lyrics", ""),
+                    "metas": metas,
+                    "generation_info": result.get("status_message", ""),
+                    "seed_value": str(audio.get("seed", "")),
+                    "lm_model": "",
+                    "dit_model": result.get("dit_model", ""),
+                    "progress": 1.0,
+                    "stage": "succeeded",
+                })
+        else:
+            entries = [{
+                "file": "", "wave": "", "status": status_int,
+                "create_time": int(rec.created_at), "env": rec.env,
+                "progress": rec.progress,
+                "stage": "failed" if rec.status == "failed" else rec.stage,
+                "error": rec.error or "",
+            }]
+        self.local_cache.set(f"{RESULT_KEY_PREFIX}{job_id}", entries)
+
+    # -- auth ---------------------------------------------------------------
+
+    def check_auth(self, body: Optional[dict],
+                   authorization: Optional[str]) -> bool:
+        if self.api_key is None:
+            return True
+        token = (body or {}).get("ai_token")
+        if token:
+            return token == self.api_key
+        if authorization:
+            if authorization.startswith("Bearer "):
+                authorization = authorization[7:]
+            return authorization == self.api_key
+        return False
+
+
+class _Handler(BaseHTTPRequestHandler):
+    """Routes requests to AppState. One instance per request (threaded)."""
+
+    state: AppState  # injected by create_server
+    protocol_version = "HTTP/1.1"
+
+    # quiet default logging
+    def log_message(self, fmt, *args):  # noqa: D102
+        pass
+
+    # -- plumbing -----------------------------------------------------------
+
+    def _json_body(self) -> Dict[str, Any]:
+        length = int(self.headers.get("Content-Length") or 0)
+        if length <= 0:
+            return {}
+        raw = self.rfile.read(length)
+        ctype = (self.headers.get("Content-Type") or "").lower()
+        if "json" in ctype or raw[:1] in (b"{", b"["):
+            try:
+                return json.loads(raw.decode("utf-8"))
+            except ValueError:
+                return {}
+        if "x-www-form-urlencoded" in ctype:
+            return {k: v[0] for k, v in parse_qs(raw.decode("utf-8")).items()}
+        return {}
+
+    def _send_json(self, payload: Any, status: int = 200) -> None:
+        body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _unauthorized(self) -> None:
+        self._send_json(wrap_response(None, code=401, error="Unauthorized"),
+                        status=401)
+
+    # -- dispatch -----------------------------------------------------------
+
+    def do_GET(self) -> None:  # noqa: N802
+        url = urlparse(self.path)
+        route = url.path.rstrip("/") or "/"
+        try:
+            if route == "/health":
+                self._send_json(wrap_response({
+                    "status": "ok",
+                    "service": "ACE-Step TPU API",
+                    "version": "1.5",
+                }))
+            elif route == "/v1/stats":
+                self._get_stats()
+            elif route == "/v1/models":
+                self._get_models()
+            elif route == "/v1/lora/status":
+                self._lora_status()
+            elif route == "/v1/audio":
+                self._get_audio(url)
+            elif route == "/v1/chat/models":
+                self._send_json(openrouter.models_payload(self.state))
+            else:
+                self._send_json(wrap_response(None, 404, "Not found"), 404)
+        except Exception as e:
+            self._send_json(wrap_response(None, 500, str(e)), 500)
+
+    def do_POST(self) -> None:  # noqa: N802
+        route = urlparse(self.path).path.rstrip("/")
+        body = self._json_body()
+        if not self.state.check_auth(body, self.headers.get("Authorization")):
+            self._unauthorized()
+            return
+        try:
+            if route == "/release_task":
+                self._release_task(body)
+            elif route == "/query_result":
+                self._query_result(body)
+            elif route == "/create_random_sample":
+                self._create_random_sample(body)
+            elif route == "/format_input":
+                self._format_input(body)
+            elif route == "/v1/lora/load":
+                self._lora_load(body)
+            elif route == "/v1/lora/unload":
+                self._lora_unload(body)
+            elif route == "/v1/lora/toggle":
+                self._lora_toggle(body)
+            elif route == "/v1/lora/scale":
+                self._lora_scale(body)
+            elif route == "/v1/reinitialize":
+                self._reinitialize(body)
+            elif route == "/v1/chat/completions":
+                self._chat_completions(body)
+            else:
+                self._send_json(wrap_response(None, 404, "Not found"), 404)
+        except Exception as e:
+            self._send_json(wrap_response(None, 500, str(e)), 500)
+
+    # -- endpoints ----------------------------------------------------------
+
+    def _release_task(self, body: Dict[str, Any]) -> None:
+        req = GenerateMusicRequest.from_dict(body)
+        state = self.state
+        rec = state.job_store.create()
+        with state.pending_lock:
+            state.pending_ids.append(rec.job_id)
+            position = len(state.pending_ids)
+        state._cache_progress(rec.job_id, 0.0, "queued")
+        try:
+            state.job_queue.put_nowait((rec.job_id, req))
+        except queue.Full:
+            state.job_store.mark_failed(rec.job_id, "queue full")
+            with state.pending_lock:
+                state.pending_ids.remove(rec.job_id)
+            self._send_json(wrap_response(None, 503, "Queue full"), 503)
+            return
+        self._send_json(wrap_response({
+            "task_id": rec.job_id,
+            "status": "queued",
+            "queue_position": position,
+        }))
+
+    def _query_result(self, body: Dict[str, Any]) -> None:
+        raw = body.get("task_id_list", "[]")
+        if isinstance(raw, list):
+            task_ids = raw
+        else:
+            try:
+                task_ids = json.loads(raw)
+            except (TypeError, ValueError):
+                task_ids = []
+        now = time.time()
+        data_list = []
+        for task_id in task_ids:
+            payload = self.state.local_cache.get(
+                f"{RESULT_KEY_PREFIX}{task_id}")
+            if payload is None:
+                rec = self.state.job_store.get(task_id)
+                if rec is None:
+                    data_list.append({"task_id": task_id, "result": "[]",
+                                      "status": 2})
+                    continue
+                self.state._cache_result(task_id)
+                payload = self.state.local_cache.get(
+                    f"{RESULT_KEY_PREFIX}{task_id}") or "[]"
+            try:
+                entries = json.loads(payload)
+            except ValueError:
+                entries = []
+            status = entries[0].get("status", 2) if entries else 2
+            create_time = entries[0].get("create_time", 0) if entries else 0
+            if status == 0 and (now - create_time) > TASK_TIMEOUT_SECONDS:
+                status = 2
+            data_list.append({"task_id": task_id, "result": payload,
+                              "status": status})
+        self._send_json(wrap_response(data_list))
+
+    def _get_stats(self) -> None:
+        state = self.state
+        with state.stats_lock:
+            avg = state.avg_job_seconds
+        self._send_json(wrap_response({
+            "jobs": state.job_store.get_stats(),
+            "queue_size": state.job_queue.qsize(),
+            "queue_maxsize": QUEUE_MAXSIZE,
+            "avg_job_seconds": avg,
+        }))
+
+    def _get_models(self) -> None:
+        models = [{"name": name, "is_default": name == self.state.default_model}
+                  for name in self.state.dit_handlers]
+        self._send_json(wrap_response({
+            "models": models,
+            "default_model": self.state.default_model,
+        }))
+
+    def _create_random_sample(self, body: Dict[str, Any]) -> None:
+        sample_mode = body.get("sample_mode", "simple_mode")
+        examples = (load_examples(self.state.examples_dir, sample_mode)
+                    if self.state.examples_dir else [])
+        if examples:
+            self._send_json(wrap_response(random.choice(examples)))
+            return
+        sample = inference.create_sample(self.state.llm_handler,
+                                         body.get("query", ""))
+        if sample.get("success"):
+            self._send_json(wrap_response(sample))
+        else:
+            self._send_json(wrap_response(None, 503,
+                                          sample.get("error", "no examples")),
+                            503)
+
+    def _format_input(self, body: Dict[str, Any]) -> None:
+        out = inference.format_sample(self.state.llm_handler,
+                                      body.get("caption", body.get("prompt", "")),
+                                      body.get("lyrics", ""))
+        code = 200 if out.get("success") else 500
+        self._send_json(wrap_response(out, code, out.get("error")), code)
+
+    # -- LoRA (delegates to the default DiT handler's LoRA service) ---------
+
+    def _lora_service(self):
+        handler = self.state.dit_handlers[self.state.default_model]
+        service = getattr(handler, "lora", None)
+        if service is None:
+            raise RuntimeError("LoRA service not available on this handler")
+        return service
+
+    def _lora_load(self, body: Dict[str, Any]) -> None:
+        service = self._lora_service()
+        info = service.load(body["lora_path"],
+                            adapter_name=body.get("adapter_name"))
+        self._send_json(wrap_response(info))
+
+    def _lora_unload(self, body: Dict[str, Any]) -> None:
+        service = self._lora_service()
+        info = service.unload(body.get("adapter_name"))
+        self._send_json(wrap_response(info))
+
+    def _lora_toggle(self, body: Dict[str, Any]) -> None:
+        service = self._lora_service()
+        info = service.toggle(bool(body.get("use_lora", True)))
+        self._send_json(wrap_response(info))
+
+    def _lora_scale(self, body: Dict[str, Any]) -> None:
+        service = self._lora_service()
+        info = service.set_scale(float(body["scale"]),
+                                 adapter_name=body.get("adapter_name"))
+        self._send_json(wrap_response(info))
+
+    def _lora_status(self) -> None:
+        try:
+            service = self._lora_service()
+        except RuntimeError as e:
+            self._send_json(wrap_response(None, 503, str(e)), 503)
+            return
+        self._send_json(wrap_response(service.status()))
+
+    def _reinitialize(self, body: Dict[str, Any]) -> None:
+        handler = self.state.dit_handlers[self.state.default_model]
+        if hasattr(handler, "initialize_service"):
+            status = handler.initialize_service(
+                checkpoint_dir=body.get("checkpoint_dir"))
+            self._send_json(wrap_response(status))
+        else:
+            self._send_json(wrap_response(None, 503, "not supported"), 503)
+
+    # -- OpenRouter chat (ref openrouter_adapter.py) ------------------------
+
+    def _chat_completions(self, body: Dict[str, Any]) -> None:
+        state = self.state
+        req = openrouter.chat_to_request(body)
+        model_name, _ = state._select_handler(req.model)
+        model_id = openrouter.model_id_for(model_name)
+        rec = state.job_store.create()
+        with state.pending_lock:
+            state.pending_ids.append(rec.job_id)
+        try:
+            state.job_queue.put_nowait((rec.job_id, req))
+        except queue.Full:
+            state.job_store.mark_failed(rec.job_id, "queue full")
+            self._send_json({"error": {"message": "Queue full",
+                                       "code": 503}}, 503)
+            return
+
+        if body.get("stream"):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            for data in openrouter.sse_chunks(state, rec.job_id, model_id,
+                                              req.audio_format):
+                self.wfile.write(b"%x\r\n%s\r\n" % (len(data), data))
+            self.wfile.write(b"0\r\n\r\n")
+            return
+
+        deadline = time.time() + openrouter.GENERATION_TIMEOUT
+        while time.time() < deadline:
+            current = state.job_store.get(rec.job_id)
+            if current and current.status in ("succeeded", "failed"):
+                break
+            time.sleep(0.05)
+        current = state.job_store.get(rec.job_id)
+        if current is None or current.status != "succeeded":
+            error = (current.error if current else None) or "Generation failed"
+            self._send_json({"error": {"message": error, "code": 500}}, 500)
+            return
+        self._send_json(openrouter.build_completion(
+            current, model_id, req.audio_format))
+
+    def _get_audio(self, url) -> None:
+        qs = parse_qs(url.query)
+        path = (qs.get("path") or [""])[0]
+        full = os.path.abspath(path)
+        # only serve from the configured output dir (path traversal guard)
+        if not full.startswith(self.state.output_dir + os.sep):
+            self._send_json(wrap_response(None, 403, "Forbidden"), 403)
+            return
+        if not os.path.isfile(full):
+            self._send_json(wrap_response(None, 404, "Not found"), 404)
+            return
+        ext = os.path.splitext(full)[1].lstrip(".").lower()
+        ctype = {"wav": "audio/wav", "flac": "audio/flac",
+                 "mp3": "audio/mpeg", "ogg": "audio/ogg",
+                 "opus": "audio/opus", "aac": "audio/aac",
+                 "m4a": "audio/mp4"}.get(ext, "application/octet-stream")
+        size = os.path.getsize(full)
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(size))
+        self.end_headers()
+        with open(full, "rb") as f:
+            while True:
+                chunk = f.read(1 << 16)
+                if not chunk:
+                    break
+                self.wfile.write(chunk)
+
+
+def create_server(state: AppState, host: str = "127.0.0.1",
+                  port: int = 8019) -> ThreadingHTTPServer:
+    """Build the HTTP server bound to `state` and start its workers."""
+    handler_cls = type("BoundHandler", (_Handler,), {"state": state})
+    server = ThreadingHTTPServer((host, port), handler_cls)
+    state.start_workers()
+    return server
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    """CLI launcher: initialize real handlers and serve forever."""
+    import argparse
+
+    from acestep_tpu.llm.handler import LLMHandler
+    from acestep_tpu.pipeline.handler import AceStepHandler
+
+    parser = argparse.ArgumentParser(description="ACE-Step TPU API server")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8019)
+    parser.add_argument("--checkpoint-dir", default=None)
+    parser.add_argument("--lm-checkpoint-dir", default=None)
+    parser.add_argument("--output-dir", default="outputs")
+    parser.add_argument("--persist-dir", default=".cache/acestep_tpu/api")
+    parser.add_argument("--examples-dir", default="examples")
+    parser.add_argument("--api-key", default=os.environ.get("ACESTEP_API_KEY"))
+    parser.add_argument("--workers", type=int, default=1)
+    args = parser.parse_args(argv)
+
+    dit = AceStepHandler()
+    dit.initialize_service(checkpoint_dir=args.checkpoint_dir)
+    llm = None
+    if args.lm_checkpoint_dir:
+        llm = LLMHandler()
+        llm.initialize(checkpoint_dir=args.lm_checkpoint_dir)
+
+    state = AppState({"acestep-v15-turbo": dit}, llm,
+                     output_dir=args.output_dir,
+                     persist_dir=args.persist_dir,
+                     examples_dir=args.examples_dir,
+                     api_key=args.api_key,
+                     worker_count=args.workers)
+    server = create_server(state, args.host, args.port)
+    print(f"[acestep_tpu] serving on http://{args.host}:{args.port}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        state.shutdown()
+        server.server_close()
+
+
+if __name__ == "__main__":
+    main()

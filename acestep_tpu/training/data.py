@@ -1,0 +1,115 @@
+"""Preprocessed-tensor dataset + static-shape batch iterator.
+
+Reference: training/data_module.py (`PreprocessedDataModule` over .pt dirs,
+val split). TPU redesign: batches are padded to fixed frame/text buckets so
+every training step reuses ONE compiled program; the silence/timbre/src
+conditioning tensors the flow-matching loss needs are synthesized here
+(full-song text2music training: src = silence, chunk mask = all-ones)."""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+FRAME_BUCKET = 250
+
+
+def _bucket_len(n: int, bucket: int, cap: Optional[int] = None) -> int:
+    out = max(bucket, -(-n // bucket) * bucket)
+    return min(out, cap) if cap else out
+
+
+class PreprocessedDataset:
+    """Directory of sample_*.npz files from training.preprocess."""
+
+    def __init__(self, tensor_dir: str, val_fraction: float = 0.0,
+                 seed: int = 0):
+        self.files = sorted(glob.glob(os.path.join(tensor_dir, "*.npz")))
+        if not self.files:
+            raise FileNotFoundError(f"no .npz samples in {tensor_dir}")
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(self.files))
+        n_val = int(len(self.files) * val_fraction)
+        self.val_files = [self.files[i] for i in order[:n_val]]
+        self.train_files = [self.files[i] for i in order[n_val:]]
+
+    def __len__(self) -> int:
+        return len(self.train_files)
+
+    @staticmethod
+    def load(path: str) -> Dict[str, np.ndarray]:
+        with np.load(path) as data:
+            return {k: data[k] for k in data.files if k != "caption"}
+
+
+def _pad_to(x: np.ndarray, length: int) -> np.ndarray:
+    if x.shape[0] >= length:
+        return x[:length]
+    pad = [(0, length - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(x, pad)
+
+
+def make_batches(files: Sequence[str], batch_size: int, *,
+                 latent_dim: int = 64, refer_frames: int = 10,
+                 frame_bucket: int = FRAME_BUCKET,
+                 max_frames: Optional[int] = None,
+                 shuffle: bool = True, seed: int = 0,
+                 epochs: Optional[int] = None
+                 ) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield training_loss-shaped batches forever (or for `epochs`).
+
+    All samples in the stream are padded to ONE global frame bucket (the max
+    over the dataset, bucketed) so every step hits the same compiled program.
+    """
+    lengths = []
+    for path in files:
+        with np.load(path) as data:
+            lengths.append(data["hidden_states"].shape[0])
+    frames = _bucket_len(max(lengths), frame_bucket, max_frames)
+
+    text_lens, lyric_lens = [], []
+    for path in files:
+        with np.load(path) as data:
+            text_lens.append(data["text_hidden_states"].shape[0])
+            lyric_lens.append(data["lyric_hidden_states"].shape[0])
+    text_len = max(text_lens)
+    lyric_len = max(lyric_lens)
+
+    rng = np.random.default_rng(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(len(files)) if shuffle else np.arange(len(files))
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            idxs = order[start:start + batch_size]
+            rows = [PreprocessedDataset.load(files[i]) for i in idxs]
+            B = len(rows)
+            hs = np.stack([_pad_to(r["hidden_states"], frames) for r in rows])
+            mask = np.zeros((B, frames), np.int32)
+            for j, r in enumerate(rows):
+                mask[j, : min(r["hidden_states"].shape[0], frames)] = 1
+            th = np.stack([_pad_to(r["text_hidden_states"], text_len)
+                           for r in rows])
+            tm = np.stack([_pad_to(r["text_attention_mask"], text_len)
+                           for r in rows])
+            lh = np.stack([_pad_to(r["lyric_hidden_states"], lyric_len)
+                           for r in rows])
+            lm = np.stack([_pad_to(r["lyric_attention_mask"], lyric_len)
+                           for r in rows])
+            yield dict(
+                hidden_states=hs,
+                attention_mask=mask,
+                text_hidden_states=th,
+                text_attention_mask=tm.astype(np.int32),
+                lyric_hidden_states=lh,
+                lyric_attention_mask=lm.astype(np.int32),
+                refer_audio_packed=np.zeros(
+                    (B, refer_frames, latent_dim), np.float32),
+                refer_order_mask=np.arange(B, dtype=np.int32),
+                src_latents=np.zeros_like(hs),
+                chunk_masks=np.ones((B, frames, latent_dim), np.float32),
+                is_covers=np.zeros((B,), np.int32),
+            )
+        epoch += 1

@@ -1,0 +1,136 @@
+"""LoRA/LoKr adapter + manager + trainer tests (tiny geometry, CPU)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from acestep_tpu.config import DiTConfig
+from acestep_tpu.lora import (
+    init_lokr,
+    init_lora,
+    merge_adapter,
+    target_paths,
+)
+from acestep_tpu.lora.manager import LoraManager, load_adapter_file, save_adapter
+from acestep_tpu.models.dit import init_dit_params
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = DiTConfig.tiny()
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_init_lora_shapes_and_zero_delta(tiny):
+    cfg, params = tiny
+    adapter = init_lora(jax.random.PRNGKey(1), params, rank=4)
+    targets = target_paths(params)
+    assert set(adapter["weights"]) == set(targets)
+    for name, w in targets.items():
+        L, d_in, d_out = w.shape
+        assert adapter["weights"][name]["down"].shape == (L, d_in, 4)
+        assert adapter["weights"][name]["up"].shape == (L, 4, d_out)
+    # up is zeros => merged == base exactly
+    merged = merge_adapter(params, adapter, scale=1.0)
+    for name, w in target_paths(merged).items():
+        np.testing.assert_array_equal(np.asarray(w),
+                                      np.asarray(targets[name]))
+
+
+def test_merge_changes_only_targets(tiny):
+    cfg, params = tiny
+    adapter = init_lora(jax.random.PRNGKey(1), params, rank=4)
+    # make delta nonzero
+    name = "self_attn.q_proj"
+    adapter["weights"][name]["up"] = jnp.ones_like(
+        adapter["weights"][name]["up"]) * 0.01
+    merged = merge_adapter(params, adapter, scale=0.5)
+    base_t = target_paths(params)
+    merged_t = target_paths(merged)
+    assert not np.allclose(np.asarray(merged_t[name]),
+                           np.asarray(base_t[name]))
+    # other targets untouched
+    np.testing.assert_array_equal(
+        np.asarray(merged_t["mlp.down"]), np.asarray(base_t["mlp.down"]))
+    # non-target trees untouched (object identity preserved)
+    assert merged["encoder"] is params["encoder"]
+    # scale linearity: delta(scale=1) == 2 * delta(scale=0.5)
+    merged1 = merge_adapter(params, adapter, scale=1.0)
+    d_half = np.asarray(merged_t[name]) - np.asarray(base_t[name])
+    d_full = np.asarray(target_paths(merged1)[name]) - np.asarray(base_t[name])
+    np.testing.assert_allclose(d_full, 2 * d_half, rtol=1e-5, atol=1e-7)
+
+
+def test_lokr_kron_shapes(tiny):
+    cfg, params = tiny
+    adapter = init_lokr(jax.random.PRNGKey(2), params, factor=4)
+    merged = merge_adapter(params, adapter, scale=1.0)   # b zeros -> identity
+    for name, w in target_paths(merged).items():
+        np.testing.assert_array_equal(np.asarray(w),
+                                      np.asarray(target_paths(params)[name]))
+    # nonzero b gives nonzero delta of the right shape
+    name = "mlp.gate"
+    adapter["weights"][name]["b"] = jnp.ones_like(
+        adapter["weights"][name]["b"])
+    merged = merge_adapter(params, adapter, scale=1.0)
+    assert not np.allclose(np.asarray(target_paths(merged)[name]),
+                           np.asarray(target_paths(params)[name]))
+
+
+def test_save_load_roundtrip(tiny, tmp_path):
+    cfg, params = tiny
+    adapter = init_lora(jax.random.PRNGKey(3), params, rank=2)
+    path = str(tmp_path / "a.npz")
+    save_adapter(path, {"meta": adapter["meta"],
+                        "weights": jax.tree.map(np.asarray,
+                                                adapter["weights"])})
+    loaded = load_adapter_file(path)
+    assert loaded["meta"] == adapter["meta"]
+    for name in adapter["weights"]:
+        np.testing.assert_array_equal(
+            np.asarray(loaded["weights"][name]["down"]),
+            np.asarray(adapter["weights"][name]["down"]))
+
+
+def test_manager_lifecycle(tiny, tmp_path):
+    cfg, params = tiny
+    manager = LoraManager(params)
+    # no adapter -> base identity
+    assert manager.effective_params() is params
+
+    adapter = init_lora(jax.random.PRNGKey(4), params, rank=2)
+    adapter["weights"]["self_attn.q_proj"]["up"] = jnp.ones_like(
+        adapter["weights"]["self_attn.q_proj"]["up"]) * 0.1
+    path = str(tmp_path / "b.npz")
+    save_adapter(path, {"meta": adapter["meta"],
+                        "weights": jax.tree.map(np.asarray,
+                                                adapter["weights"])})
+
+    info = manager.load(path, adapter_name="style_a", scale=0.7)
+    assert info["adapter_name"] == "style_a"
+    effective = manager.effective_params()
+    assert not np.allclose(
+        np.asarray(target_paths(effective)["self_attn.q_proj"]),
+        np.asarray(target_paths(params)["self_attn.q_proj"]))
+
+    status = manager.status()
+    assert status["active_adapter"] == "style_a"
+    assert status["adapters"][0]["scale"] == 0.7
+
+    manager.toggle(False)
+    assert manager.effective_params() is params
+    manager.toggle(True)
+
+    manager.set_scale(0.0, "style_a")
+    eff0 = manager.effective_params()
+    np.testing.assert_allclose(
+        np.asarray(target_paths(eff0)["self_attn.q_proj"]),
+        np.asarray(target_paths(params)["self_attn.q_proj"]), atol=1e-7)
+
+    out = manager.unload("style_a")
+    assert out["unloaded"] == "style_a"
+    assert manager.effective_params() is params

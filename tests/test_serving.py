@@ -1,0 +1,227 @@
+"""Serving stack tests: job lifecycle, endpoint surface, persistence.
+
+Mirrors the reference's mock-heavy test approach (SURVEY.md §4): the DiT
+handler is a fake that writes a tiny wav; the HTTP surface is driven with
+http.client against a real ThreadingHTTPServer on an ephemeral port.
+"""
+
+import json
+import http.client
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from acestep_tpu.pipeline.handler import GenerationResult
+from acestep_tpu.serving import (
+    AppState,
+    GenerateMusicRequest,
+    JobStore,
+    LocalResultCache,
+    create_server,
+)
+from acestep_tpu.serving.jobstore import RESULT_KEY_PREFIX
+from acestep_tpu.utils.audio import save_wav
+
+
+class FakeDiTHandler:
+    """Minimal fake implementing the handler surface the server uses."""
+
+    def __init__(self, output_dir):
+        self.output_dir = output_dir
+        self.calls = []
+
+    def generate_music(self, **kwargs):
+        self.calls.append(kwargs)
+        batch = kwargs.get("batch_size", 1)
+        sr = 48000
+        audio = np.zeros((sr // 10, 2), np.float32)
+        paths = []
+        for i in range(batch):
+            path = os.path.join(kwargs.get("save_dir", self.output_dir),
+                                f"fake_{len(self.calls)}_{i}.wav")
+            save_wav(path, audio, sr)
+            paths.append(path)
+        return GenerationResult(
+            audios=[audio] * batch,
+            pred_latents=np.zeros((batch, 25, 64), np.float32),
+            seeds=list(range(batch)),
+            time_costs={"diffusion_time_cost": 0.01},
+            sample_rate=sr,
+            audio_paths=paths,
+            extra={"frames": 25, "task": kwargs.get("task", "text2music")},
+        )
+
+
+@pytest.fixture()
+def server_env(tmp_path):
+    out_dir = str(tmp_path / "outputs")
+    os.makedirs(out_dir, exist_ok=True)
+    handler = FakeDiTHandler(out_dir)
+    state = AppState({"acestep-v15-turbo-tpu": handler}, None,
+                     output_dir=out_dir,
+                     persist_dir=str(tmp_path / "persist"))
+    server = create_server(state, "127.0.0.1", 0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    port = server.server_address[1]
+    yield state, handler, port
+    state.shutdown()
+    server.shutdown()
+    server.server_close()
+
+
+def _post(port, route, body):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+    conn.request("POST", route, json.dumps(body),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    data = json.loads(resp.read().decode())
+    conn.close()
+    return resp.status, data
+
+
+def _get(port, route):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+    conn.request("GET", route)
+    resp = conn.getresponse()
+    raw = resp.read()
+    conn.close()
+    try:
+        return resp.status, json.loads(raw.decode())
+    except ValueError:
+        return resp.status, raw
+
+
+def _wait_done(port, task_id, timeout=30.0):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        _, out = _post(port, "/query_result", {"task_id_list": [task_id]})
+        entry = out["data"][0]
+        if entry["status"] != 0:
+            return entry
+        time.sleep(0.05)
+    raise TimeoutError("job did not finish")
+
+
+def test_health_stats_models(server_env):
+    _, _, port = server_env
+    status, out = _get(port, "/health")
+    assert status == 200 and out["data"]["status"] == "ok"
+    status, out = _get(port, "/v1/stats")
+    assert out["data"]["jobs"]["total"] == 0
+    status, out = _get(port, "/v1/models")
+    assert out["data"]["default_model"] == "acestep-v15-turbo-tpu"
+    assert out["data"]["models"][0]["is_default"]
+
+
+def test_release_and_query_lifecycle(server_env):
+    state, handler, port = server_env
+    status, out = _post(port, "/release_task", {
+        "prompt": "an upbeat synthpop song",
+        "lyrics": "[Verse]\nhello world",
+        "audio_duration": 10,
+        "batch_size": 2,
+        "thinking": False,
+    })
+    assert status == 200
+    task_id = out["data"]["task_id"]
+    assert out["data"]["status"] == "queued"
+
+    entry = _wait_done(port, task_id)
+    assert entry["status"] == 1
+    results = json.loads(entry["result"])
+    assert len(results) == 2
+    assert results[0]["file"].endswith(".wav")
+    assert results[0]["stage"] == "succeeded"
+    # handler received the mapped request
+    call = handler.calls[0]
+    assert call["captions"] == "an upbeat synthpop song"
+    assert call["batch_size"] == 2
+
+
+def test_audio_endpoint_serves_and_guards(server_env):
+    state, handler, port = server_env
+    _, out = _post(port, "/release_task", {"prompt": "x", "thinking": False})
+    entry = _wait_done(port, out["data"]["task_id"])
+    path = json.loads(entry["result"])[0]["file"]
+
+    status, raw = _get(port, f"/v1/audio?path={path}")
+    assert status == 200 and isinstance(raw, bytes) and raw[:4] == b"RIFF"
+
+    status, _ = _get(port, "/v1/audio?path=/etc/passwd")
+    assert status == 403
+
+
+def test_unknown_task_and_route(server_env):
+    _, _, port = server_env
+    _, out = _post(port, "/query_result", {"task_id_list": ["nope"]})
+    assert out["data"][0]["status"] == 2
+    status, _ = _post(port, "/no_such_route", {})
+    assert status == 404
+
+
+def test_api_key_auth(tmp_path):
+    out_dir = str(tmp_path / "outputs")
+    handler = FakeDiTHandler(out_dir)
+    state = AppState({"m": handler}, None, output_dir=out_dir, api_key="sekrit")
+    server = create_server(state, "127.0.0.1", 0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    port = server.server_address[1]
+    try:
+        status, _ = _post(port, "/release_task", {"prompt": "x"})
+        assert status == 401
+        status, _ = _post(port, "/release_task",
+                          {"prompt": "x", "ai_token": "sekrit",
+                           "thinking": False})
+        assert status == 200
+    finally:
+        state.shutdown()
+        server.shutdown()
+        server.server_close()
+
+
+def test_request_schema_aliases():
+    req = GenerateMusicRequest.from_dict({
+        "caption": "jazz",             # alias for prompt
+        "keyscale": "C major",         # alias for key_scale
+        "duration": "30",              # alias for audio_duration, str coercion
+        "steps": 16,                   # alias for inference_steps
+        "unknown_field": 123,          # ignored
+    })
+    assert req.prompt == "jazz"
+    assert req.key_scale == "C major"
+    assert req.audio_duration == 30.0
+    assert req.inference_steps == 16
+
+
+def test_jobstore_persistence_and_restart(tmp_path):
+    persist = str(tmp_path / "persist")
+    store = JobStore(persist_dir=persist)
+    rec = store.create()
+    store.mark_running(rec.job_id)
+    rec2 = store.create()
+    store.mark_succeeded(rec2.job_id, {"ok": True})
+
+    # restart: running job becomes failed, finished one survives
+    store2 = JobStore(persist_dir=persist)
+    assert store2.get(rec.job_id).status == "failed"
+    assert store2.get(rec2.job_id).status == "succeeded"
+    assert store2.get(rec2.job_id).result == {"ok": True}
+    # JSONL history recorded both terminal transitions
+    with open(os.path.join(persist, "jobs_history.jsonl")) as f:
+        lines = [json.loads(line) for line in f]
+    assert {l["status"] for l in lines} == {"succeeded"}
+
+
+def test_result_cache_ttl(tmp_path):
+    cache = LocalResultCache(str(tmp_path / "cache.json"))
+    cache.set(RESULT_KEY_PREFIX + "a", [{"status": 1}], ex=1000)
+    assert json.loads(cache.get(RESULT_KEY_PREFIX + "a"))[0]["status"] == 1
+    cache.set(RESULT_KEY_PREFIX + "b", [{"status": 1}], ex=-1)
+    assert cache.get(RESULT_KEY_PREFIX + "b") is None
+    # restart survival
+    cache2 = LocalResultCache(str(tmp_path / "cache.json"))
+    assert cache2.get(RESULT_KEY_PREFIX + "a") is not None
