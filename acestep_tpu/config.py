@@ -61,6 +61,11 @@ class DiTConfig:
 
     model_version: str = "turbo"    # turbo | base | sft
 
+    # Attention implementation ladder (reference: FA2 -> sdpa -> eager,
+    # init_service_loader.py:45-71). "auto" = Pallas flash kernel on TPU,
+    # dense XLA attention elsewhere; "flash" / "dense" force one.
+    attention_impl: str = "auto"
+
     def __post_init__(self):
         if self.layer_types is None:
             object.__setattr__(
@@ -73,6 +78,13 @@ class DiTConfig:
 
     def layer_is_sliding(self, layer_idx: int) -> bool:
         return self.layer_types[layer_idx] == "sliding_attention"
+
+    def layers_alternate(self) -> bool:
+        """True when layer_types strictly alternate [sliding, full]* — the
+        geometry the paired-scan flash path exploits."""
+        return (self.num_hidden_layers % 2 == 0 and all(
+            self.layer_is_sliding(i) == (i % 2 == 0)
+            for i in range(self.num_hidden_layers)))
 
     @classmethod
     def tiny(cls, **overrides) -> "DiTConfig":

@@ -29,8 +29,9 @@ import numpy as np
 
 from acestep_tpu.config import DiTConfig
 from acestep_tpu.ops.basic import (
-    attention, attention_kv, cross_kv, init_attention, init_linear, init_mlp,
-    init_rms_norm, linear, mlp, rms_norm, rope_cos_sin, timestep_sinusoidal,
+    attention, attention_flash, attention_kv, cross_kv, init_attention,
+    init_linear, init_mlp, init_rms_norm, linear, mlp, rms_norm, rope_cos_sin,
+    timestep_sinusoidal,
 )
 from acestep_tpu.ops.conv import (
     conv1d, conv1d_transpose, init_conv1d, init_conv1d_transpose,
@@ -163,6 +164,19 @@ def _sliding_flags(cfg: DiTConfig, n_layers: int) -> jnp.ndarray:
     return jnp.asarray(
         np.array([cfg.layer_is_sliding(i) for i in range(n_layers)], dtype=bool)
     )
+
+
+def resolve_attention_impl(cfg: DiTConfig) -> str:
+    """'auto' -> Pallas flash on TPU backends with alternating layer_types,
+    dense XLA attention otherwise (the reference's impl ladder,
+    init_service_loader.py:45-71)."""
+    impl = getattr(cfg, "attention_impl", "auto")
+    if impl == "flash":
+        return "flash" if cfg.layers_alternate() else "dense"
+    if impl == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        return "flash" if (on_tpu and cfg.layers_alternate()) else "dense"
+    return "dense"
 
 
 # ==================================================================
@@ -412,30 +426,16 @@ def dit_decoder(params: dict, cfg: DiTConfig, xt: jnp.ndarray,
         kv = cross_kv_cache
 
     rope = rope_cos_sin(L, cfg.head_dim, cfg.rope_theta, dtype=dtype)
-    full = bidirectional_mask(L)
-    sliding = bidirectional_mask(L, window=cfg.sliding_window)
-    flags = _sliding_flags(cfg, cfg.num_hidden_layers)
 
-    def body(carry, xs):
-        if kv is None:
-            lp, is_sliding = xs
-            layer_kv = None
-        else:
-            lp, is_sliding, layer_kv = xs
-        hh = carry
+    def layer_apply(lp, hh, layer_kv, *, self_attn_fn):
+        """One AdaLN DiT layer given a self-attention closure."""
         table = lp["scale_shift_table"][None].astype(dtype)  # (1, 6, H)
         mods = table + tproj                                  # (B, 6, H)
         shift_msa, scale_msa, gate_msa, c_shift, c_scale, c_gate = [
             mods[:, i:i + 1] for i in range(6)
         ]
-        mask = jnp.where(is_sliding, sliding, full)
-
         norm_h = rms_norm(lp["self_attn_norm"], hh, eps) * (1 + scale_msa) + shift_msa
-        a = attention(lp["self_attn"], norm_h.astype(dtype),
-                      num_heads=cfg.num_attention_heads,
-                      num_kv_heads=cfg.num_key_value_heads,
-                      head_dim=cfg.head_dim, mask=mask, rope=rope, eps=eps)
-        hh = hh + a * gate_msa
+        hh = hh + self_attn_fn(lp["self_attn"], norm_h.astype(dtype)) * gate_msa
 
         norm_h = rms_norm(lp["cross_attn_norm"], hh, eps)
         if layer_kv is None:
@@ -452,10 +452,83 @@ def dit_decoder(params: dict, cfg: DiTConfig, xt: jnp.ndarray,
 
         norm_h = rms_norm(lp["mlp_norm"], hh, eps) * (1 + c_scale) + c_shift
         hh = hh + mlp(lp["mlp"], norm_h.astype(dtype)) * c_gate
-        return hh.astype(dtype), None
+        return hh.astype(dtype)
 
-    xs = (p["layers"], flags) if kv is None else (p["layers"], flags, kv)
-    h, _ = jax.lax.scan(body, h, xs)
+    def dense_attn(window):
+        mask = bidirectional_mask(L, window=window)
+
+        def fn(ap, x_in):
+            return attention(ap, x_in,
+                             num_heads=cfg.num_attention_heads,
+                             num_kv_heads=cfg.num_key_value_heads,
+                             head_dim=cfg.head_dim, mask=mask, rope=rope,
+                             eps=eps)
+        return fn
+
+    def flash_attn(window):
+        def fn(ap, x_in):
+            return attention_flash(ap, x_in,
+                                   num_heads=cfg.num_attention_heads,
+                                   num_kv_heads=cfg.num_key_value_heads,
+                                   head_dim=cfg.head_dim, rope=rope,
+                                   window=window, eps=eps)
+        return fn
+
+    if resolve_attention_impl(cfg) == "flash":
+        # Paired scan: layer_types strictly alternate [sliding, full], so one
+        # scan step applies a (banded flash, full flash) pair. The window is
+        # static per sub-layer — no traced mask select, no L x L logits.
+        make = flash_attn
+        n_pairs = cfg.num_hidden_layers // 2
+
+        def pair(tree):
+            return jax.tree.map(
+                lambda x: x.reshape(n_pairs, 2, *x.shape[1:]), tree)
+
+        sliding_fn = make(cfg.sliding_window)
+        full_fn = make(None)
+
+        def body(carry, xs):
+            lp2 = xs[0]
+            kv2 = xs[1] if kv is not None else None
+            hh = carry
+            hh = layer_apply(jax.tree.map(lambda x: x[0], lp2), hh,
+                             None if kv2 is None else jax.tree.map(
+                                 lambda x: x[0], kv2),
+                             self_attn_fn=sliding_fn)
+            hh = layer_apply(jax.tree.map(lambda x: x[1], lp2), hh,
+                             None if kv2 is None else jax.tree.map(
+                                 lambda x: x[1], kv2),
+                             self_attn_fn=full_fn)
+            return hh, None
+
+        xs = (pair(p["layers"]),) if kv is None else (pair(p["layers"]),
+                                                      pair(kv))
+        h, _ = jax.lax.scan(body, h, xs)
+    else:
+        flags = _sliding_flags(cfg, cfg.num_hidden_layers)
+        full_mask = bidirectional_mask(L)
+        sliding_mask = bidirectional_mask(L, window=cfg.sliding_window)
+
+        def body(carry, xs):
+            if kv is None:
+                lp, is_sliding = xs
+                layer_kv = None
+            else:
+                lp, is_sliding, layer_kv = xs
+            mask = jnp.where(is_sliding, sliding_mask, full_mask)
+
+            def attn_fn(ap, x_in):
+                return attention(ap, x_in,
+                                 num_heads=cfg.num_attention_heads,
+                                 num_kv_heads=cfg.num_key_value_heads,
+                                 head_dim=cfg.head_dim, mask=mask, rope=rope,
+                                 eps=eps)
+            return layer_apply(lp, carry, layer_kv,
+                               self_attn_fn=attn_fn), None
+
+        xs = (p["layers"], flags) if kv is None else (p["layers"], flags, kv)
+        h, _ = jax.lax.scan(body, h, xs)
 
     table = p["scale_shift_table"][None].astype(dtype)        # (1, 2, H)
     mods = table + temb[:, None]

@@ -217,6 +217,28 @@ def attention(p: dict, x: jnp.ndarray, *,
     return (out, w) if return_weights else out
 
 
+def attention_flash(p: dict, x: jnp.ndarray, *,
+                    num_heads: int, num_kv_heads: int, head_dim: int,
+                    rope: Optional[tuple] = None,
+                    window: Optional[int] = None,
+                    eps: float = 1e-6) -> jnp.ndarray:
+    """Self-attention through the Pallas flash kernel (full or banded).
+
+    Same projections/QK-norm/RoPE as `attention`; the softmax runs blockwise
+    on-chip (ops/flash_attention.py) so L x L logits are never materialized.
+    """
+    from acestep_tpu.ops.flash_attention import flash_attention
+
+    q, k, v = _qkv(p, x, x, num_heads, num_kv_heads, head_dim, eps)
+    if rope is not None:
+        cos, sin = rope
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+    out = flash_attention(q, k, v, window=window)
+    B, Lq = x.shape[:2]
+    return linear(p["o_proj"], out.reshape(B, Lq, num_heads * head_dim))
+
+
 # ------------------------------------------------------------------
 # Timestep embedding (reference TimestepEmbedding.timestep_embedding,
 # modeling_acestep_v15_turbo.py:222-243: scale 1000, [cos, sin] order)

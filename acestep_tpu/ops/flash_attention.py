@@ -1,0 +1,203 @@
+"""Pallas TPU flash attention (bidirectional, GQA, optional sliding band).
+
+Replaces the reference's flash-attn CUDA dependency (requirements.txt:55-57)
+with a TPU-native kernel for the DiT's two self-attention geometries
+(configuration_acestep_v15.py:170-171,250-255):
+
+- full bidirectional attention,
+- sliding-window |i-j| <= W (W=128) bidirectional attention.
+
+Design (online-softmax flash, Mosaic-friendly):
+- Grid (B, Hq, nQ, nK): TPU grids iterate sequentially with the last axis
+  fastest, so float32 accumulators (acc, running max m, running sum l) live
+  in VMEM scratch across the K sweep of each (b, h, i) triple; the output
+  block is written on the final K step.
+- GQA without materializing repeated K/V: the K/V BlockSpec index maps pick
+  head `h // (Hq // Hkv)`, so each KV head is DMA'd once per group sweep.
+- Sliding window: with BLOCK = W = 128 the band |i-j| <= 128 touches only
+  K blocks {i-1, i, i+1}; the K grid axis is just 3 wide and its index map
+  clamps i+j-1 into range (edge duplicates are masked out in-kernel). Work
+  drops from O(L^2) to O(3·L·W) — at L=7500 (600 s song) that is ~20x less
+  than dense attention.
+- Padding: sequence lengths are padded to the 128 block size outside the
+  kernel; in-kernel masks drop padded keys (static true length) so results
+  are exact for any L.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu is importable on CPU too; kernels fall back to interpret mode
+    from jax.experimental.pallas import tpu as pltpu
+
+    _VMEM = pltpu.VMEM
+except Exception:  # pragma: no cover
+    pltpu = None
+    _VMEM = None
+
+BLOCK = 128
+NEG_INF = -1e30
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+            scale: float, lq_real: int, lk_real: int, n_k: int,
+            window: Optional[int], block_q: int, block_k: int):
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q_pos = i * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0)
+    if window is None:
+        k_start = j * block_k
+        in_range = True
+    else:
+        # K grid axis is {i-1, i, i+1}; the index map clamps into range, so
+        # an out-of-range intended block aliases a real one — it must be
+        # dropped entirely or edge blocks would be double-counted.
+        intended = i + j - 1
+        in_range = (intended >= 0) & (intended <= n_k - 1)
+        k_start = jnp.clip(intended, 0, n_k - 1) * block_k
+    k_pos = k_start + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1)
+
+    valid = (q_pos < lq_real) & (k_pos < lk_real)
+    if window is not None:
+        valid &= jnp.abs(q_pos - k_pos) <= window
+        valid &= in_range
+
+    s = jax.lax.dot_general(
+        q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s = jnp.where(valid, s, NEG_INF)
+
+    m_prev = m_ref[:]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+
+    @pl.when(j == pl.num_programs(3) - 1)
+    def _finalize():
+        l_safe = jnp.where(l_ref[:] == 0.0, 1.0, l_ref[:])
+        o_ref[0, 0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "block_q", "block_k",
+                                             "interpret"))
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+                    window: Optional[int] = None,
+                    block_q: int = BLOCK, block_k: int = BLOCK,
+                    interpret: bool = False) -> jnp.ndarray:
+    """q (B, Lq, Hq, D), k/v (B, Lk, Hkv, D) -> (B, Lq, Hq, D).
+
+    Bidirectional; `window` adds the |i-j| <= window band. RoPE/QK-norm are
+    applied by the caller (ops.basic conventions)."""
+    B, Lq, Hq, D = q.shape
+    _, Lk, Hkv, _ = k.shape
+    groups = Hq // Hkv
+    scale = 1.0 / math.sqrt(D)
+
+    pad_q = (-Lq) % block_q
+    pad_k = (-Lk) % block_k
+    qt = jnp.moveaxis(q, 2, 1)                     # (B, Hq, Lq, D)
+    kt = jnp.moveaxis(k, 2, 1)
+    vt = jnp.moveaxis(v, 2, 1)
+    if pad_q:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+    Lqp, Lkp = Lq + pad_q, Lk + pad_k
+    n_q = Lqp // block_q
+    n_k = Lkp // block_k
+
+    if window is None:
+        k_axis = n_k
+
+        def k_index(b, h, i, j):
+            return (b, h // groups, j, 0)
+    else:
+        if window > block_k:
+            raise ValueError(
+                f"window {window} > block_k {block_k}: widen block_k so the "
+                "3-block band covers the window")
+        k_axis = 3   # band {i-1, i, i+1}; out-of-range steps masked in-kernel
+
+        def k_index(b, h, i, j):
+            return (b, h // groups, jnp.clip(i + j - 1, 0, n_k - 1), 0)
+
+    kernel = functools.partial(
+        _kernel, scale=scale, lq_real=Lq, lk_real=Lk, n_k=n_k,
+        window=window, block_q=block_q, block_k=block_k)
+
+    grid = (B, Hq, n_q, k_axis)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, D),
+                         lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, D), k_index),
+            pl.BlockSpec((1, 1, block_k, D), k_index),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, D),
+                               lambda b, h, i, j: (b, h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Lqp, D), q.dtype),
+        scratch_shapes=[
+            _scratch((block_q, D), jnp.float32),
+            _scratch((block_q, 1), jnp.float32),
+            _scratch((block_q, 1), jnp.float32),
+        ],
+        interpret=interpret or _force_interpret(),
+    )(qt, kt, vt)
+    out = jnp.moveaxis(out, 1, 2)[:, :Lq]
+    return out
+
+
+def _scratch(shape, dtype):
+    if pltpu is not None:
+        return pltpu.VMEM(shape, dtype)
+    return pl.MemoryRef(shape, dtype)  # pragma: no cover
+
+
+def _force_interpret() -> bool:
+    """Pallas TPU kernels only compile on TPU; elsewhere run interpreted."""
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def flash_attention_reference(q, k, v, *, window: Optional[int] = None):
+    """Dense reference (same semantics) for parity tests."""
+    B, Lq, Hq, D = q.shape
+    Hkv = k.shape[2]
+    groups = Hq // Hkv
+    scale = 1.0 / math.sqrt(D)
+    qg = q.reshape(B, Lq, Hkv, groups, D)
+    logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k,
+                        preferred_element_type=jnp.float32) * scale
+    if window is not None:
+        i = jax.lax.broadcasted_iota(jnp.int32, (Lq, k.shape[1]), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (Lq, k.shape[1]), 1)
+        band = jnp.abs(i - j) <= window
+        logits = jnp.where(band[None, None, None], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v)
+    return out.reshape(B, Lq, Hq, D)
