@@ -85,6 +85,10 @@ class AceStepHandler:
         self.lora = None          # LoraManager attached by acestep_tpu.lora
         self._fn_cache: Dict[tuple, Any] = {}
         self.initialized = False
+        from acestep_tpu.runtime_config import get_global_config
+        self.tier = get_global_config()
+        from acestep_tpu.utils.progress import ProgressEstimator
+        self.progress_estimator = ProgressEstimator()
 
     # --------------------------------------------------------------
     # Init (reference init_service_orchestrator.py)
@@ -315,6 +319,7 @@ class AceStepHandler:
         key: Optional[jax.Array] = None,
         track_name: Optional[str] = None,
         track_classes: Optional[Sequence[str]] = None,
+        progress_callback=None,
     ) -> GenerationResult:
         if not self.initialized:
             raise RuntimeError("call initialize_service() first")
@@ -323,9 +328,14 @@ class AceStepHandler:
         cfg = self.cfg
 
         # ---- normalize request lists
+        from acestep_tpu.runtime_config import (
+            effective_batch, effective_duration)
         if isinstance(captions, str):
             captions = [captions]
         B = batch_size or len(captions)
+        B = effective_batch(B, self.tier)    # tier guard (ref memory_utils)
+        if audio_duration and audio_duration > 0:
+            audio_duration = effective_duration(audio_duration, self.tier)
         captions = (list(captions) * B)[:B]
         lyrics = [lyrics] * B if isinstance(lyrics, str) else (list(lyrics) * B)[:B]
         if metas is None or isinstance(metas, (str, dict)):
@@ -516,9 +526,18 @@ class AceStepHandler:
 
         t0 = time.time()
         params = self.lora.effective_params() if self.lora is not None else self.params
-        x0 = gen(params, inputs, key if key is not None else jax.random.PRNGKey(0))
-        pred = np.asarray(x0)            # forces completion (axon: block_until_ready lies)
-        time_costs["diffusion_time_cost"] = time.time() - t0
+        n_steps = len(schedule) if cfg.model_version == "turbo" \
+            else len(schedule) - 1
+        est = self.progress_estimator.estimate_seconds(
+            n_steps, B, T_req / LATENT_RATE)
+        from acestep_tpu.utils.progress import ProgressTicker
+        with ProgressTicker(est, progress_callback or (lambda f: None)):
+            x0 = gen(params, inputs,
+                     key if key is not None else jax.random.PRNGKey(0))
+            pred = np.asarray(x0)    # forces completion (axon: block_until_ready lies)
+        dt = time.time() - t0
+        time_costs["diffusion_time_cost"] = dt
+        self.progress_estimator.record(n_steps, B, T_req / LATENT_RATE, dt)
 
         # ---- validate + post (reference generate_music_decode.py)
         if not np.all(np.isfinite(pred)):

@@ -1,0 +1,115 @@
+"""Device-memory tier policy (TPU-native analog of the GPU tier system).
+
+The reference sizes everything off CUDA VRAM tiers — max duration/batch, LM
+size, offload and quantization defaults (gpu_config.py:164-311, 8 tiers with
+a MAX_CUDA_VRAM debug override). On TPU the same decisions key off per-chip
+HBM: v5e=16 GB, v4=32 GB, ... — plus a CPU fallback for tests. Offload/
+quantization ladders are replaced by what actually matters on TPU: batch and
+duration ceilings, VAE decode chunk size, and which LM planner fits.
+
+`ACESTEP_MAX_HBM_GB` overrides detection (the reference's MAX_CUDA_VRAM
+tier-simulation hook, gpu_config.py:12) so every tier is testable anywhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceTierConfig:
+    name: str
+    hbm_gb: float
+    max_duration_s: int          # generation ceiling
+    max_batch: int               # simultaneous songs
+    lm_size: Optional[str]       # "0.6B" | "1.7B" | "4B" | None
+    decode_chunk: int            # tiled VAE decode chunk (latent frames)
+    encode_chunk: int
+    lm_max_len: int              # planner context budget
+    notes: str = ""
+
+
+# Tier table (ascending HBM). Mirrors the *policy shape* of
+# GPU_TIER_CONFIGS — thresholds re-derived for TPU memory profiles.
+_TIERS = (
+    DeviceTierConfig("tier_cpu", 0.0, 600, 8, None, 128, 512, 2048,
+                     "CPU/testing: host RAM is not the constraint; no LM "
+                     "planner by default"),
+    DeviceTierConfig("tier_8g", 8.0, 240, 2, "0.6B", 128, 512, 2048),
+    DeviceTierConfig("tier_16g", 16.0, 600, 8, "1.7B", 256, 1024, 4096,
+                     "TPU v5e single chip"),
+    DeviceTierConfig("tier_32g", 32.0, 600, 8, "4B", 512, 2048, 4096,
+                     "TPU v4/v5p class"),
+    DeviceTierConfig("tier_96g", 96.0, 600, 8, "4B", 512, 2048, 8192,
+                     "TPU v6e class / multi-chip budget"),
+)
+
+_GLOBAL: Optional[DeviceTierConfig] = None
+
+
+def detect_hbm_gb() -> float:
+    """Per-device HBM in GB; 0 for CPU backends; env override wins."""
+    override = os.environ.get("ACESTEP_MAX_HBM_GB")
+    if override:
+        try:
+            return float(override)
+        except ValueError:
+            pass
+    try:
+        import jax
+
+        device = jax.devices()[0]
+        if device.platform == "cpu":
+            return 0.0
+        stats = getattr(device, "memory_stats", lambda: None)()
+        if stats and "bytes_limit" in stats:
+            return stats["bytes_limit"] / (1 << 30)
+        # platform heuristics when memory_stats is unavailable (tunnels)
+        kind = (getattr(device, "device_kind", "") or "").lower()
+        if "v5 lite" in kind or "v5e" in kind:
+            return 16.0
+        if "v4" in kind or "v5p" in kind:
+            return 32.0
+        if "v6" in kind:
+            return 32.0
+        return 16.0
+    except Exception:
+        return 0.0
+
+
+def get_tier_config(hbm_gb: Optional[float] = None) -> DeviceTierConfig:
+    """Largest tier whose hbm_gb <= available memory."""
+    hbm = detect_hbm_gb() if hbm_gb is None else hbm_gb
+    chosen = _TIERS[0]
+    for tier in _TIERS:
+        if hbm >= tier.hbm_gb:
+            chosen = tier
+    return chosen
+
+
+def get_global_config() -> DeviceTierConfig:
+    global _GLOBAL
+    if _GLOBAL is None:
+        _GLOBAL = get_tier_config()
+    return _GLOBAL
+
+
+def set_global_config(cfg: DeviceTierConfig) -> None:
+    global _GLOBAL
+    _GLOBAL = cfg
+
+
+def effective_batch(requested: int,
+                    tier: Optional[DeviceTierConfig] = None) -> int:
+    """Clamp a requested batch to the tier ceiling (the reference's
+    VRAM-guard batch reduction, memory_utils.py:105-155)."""
+    tier = tier or get_global_config()
+    return max(1, min(requested, tier.max_batch))
+
+
+def effective_duration(requested: float,
+                       tier: Optional[DeviceTierConfig] = None) -> float:
+    tier = tier or get_global_config()
+    return float(min(max(requested, 10.0), tier.max_duration_s))

@@ -1,0 +1,187 @@
+"""Profiler / benchmark harness.
+
+Capability parity with /root/reference/profile_inference.py: modes
+- profile:        one configured generation with per-stage time costs
+- benchmark:      duration x batch x steps matrix, JSON report with RTF
+- tier-test:      iterate memory tiers via ACESTEP_MAX_HBM_GB override and
+                  validate init + a small generation per tier
+- understand / create_sample / format_sample: LM utility modes
+
+Metrics per run: wall seconds, seconds-per-song, real-time factor
+(audio seconds generated per wall second), DiT steps/s, VAE decode RTF —
+the BASELINE.md measurement set.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Any, Dict, List, Optional
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _init_handler(args, hbm_override: Optional[float] = None):
+    if hbm_override is not None:
+        os.environ["ACESTEP_MAX_HBM_GB"] = str(hbm_override)
+    from acestep_tpu.pipeline.handler import AceStepHandler
+
+    handler = AceStepHandler()
+    t0 = time.time()
+    handler.initialize_service(checkpoint_dir=args.checkpoint_dir,
+                               vae_dir=args.vae_dir)
+    return handler, time.time() - t0
+
+
+def _run_once(handler, *, duration: float, batch: int, steps: int,
+              warm: bool = False) -> Dict[str, Any]:
+    t0 = time.time()
+    result = handler.generate_music(
+        "an upbeat synthpop track with bright leads",
+        "[inst]",
+        audio_duration=duration, batch_size=batch, infer_steps=steps,
+        seeds=42, save_dir=None,
+    )
+    wall = time.time() - t0
+    costs = result.time_costs
+    diff = costs.get("diffusion_time_cost", 0.0) or 1e-9
+    vae = costs.get("vae_decode_time_cost", 0.0) or 1e-9
+    return {
+        "duration_s": duration, "batch": batch, "steps": steps,
+        "warm": warm,
+        "wall_s": round(wall, 3),
+        "seconds_per_song": round(wall / batch, 3),
+        "rtf": round(duration * batch / wall, 2),
+        "diffusion_s": round(diff, 3),
+        "dit_steps_per_s": round(steps / diff, 2),
+        "vae_decode_s": round(vae, 3),
+        "vae_rtf": round(duration * batch / vae, 2),
+        "costs": {k: round(v, 4) for k, v in costs.items()},
+    }
+
+
+def mode_profile(args) -> Dict[str, Any]:
+    handler, init_s = _init_handler(args)
+    cold = _run_once(handler, duration=args.duration, batch=args.batch,
+                     steps=args.steps)
+    warm = _run_once(handler, duration=args.duration, batch=args.batch,
+                     steps=args.steps, warm=True)
+    return {"mode": "profile", "init_s": round(init_s, 2),
+            "cold": cold, "warm": warm}
+
+
+def mode_benchmark(args) -> Dict[str, Any]:
+    handler, init_s = _init_handler(args)
+    durations = [float(d) for d in args.durations.split(",")]
+    batches = [int(b) for b in args.batches.split(",")]
+    rows: List[Dict[str, Any]] = []
+    for duration in durations:
+        for batch in batches:
+            _run_once(handler, duration=duration, batch=batch,
+                      steps=args.steps)           # compile
+            rows.append(_run_once(handler, duration=duration, batch=batch,
+                                  steps=args.steps, warm=True))
+            log(f"bench d={duration} b={batch}: "
+                f"{rows[-1]['seconds_per_song']}s/song rtf={rows[-1]['rtf']}")
+    return {"mode": "benchmark", "init_s": round(init_s, 2),
+            "steps": args.steps, "rows": rows}
+
+
+def mode_tier_test(args) -> Dict[str, Any]:
+    from acestep_tpu.runtime_config import get_tier_config
+
+    results = []
+    for hbm in (0, 8, 16, 32):
+        tier = get_tier_config(float(hbm))
+        entry: Dict[str, Any] = {"hbm_gb": hbm, "tier": tier.name,
+                                 "max_batch": tier.max_batch,
+                                 "max_duration": tier.max_duration_s,
+                                 "lm": tier.lm_size}
+        try:
+            handler, init_s = _init_handler(args, hbm_override=float(hbm))
+            run = _run_once(handler, duration=10.0,
+                            batch=min(2, tier.max_batch), steps=4)
+            entry.update(init_s=round(init_s, 2), ok=True,
+                         seconds_per_song=run["seconds_per_song"])
+        except Exception as e:  # tier failure is a result, not a crash
+            entry.update(ok=False, error=str(e))
+        results.append(entry)
+        log(f"tier {tier.name}: {entry}")
+    return {"mode": "tier-test", "tiers": results}
+
+
+def _init_llm(args):
+    from acestep_tpu.llm.handler import LLMHandler
+
+    llm = LLMHandler()
+    llm.initialize(checkpoint_dir=args.lm_checkpoint_dir)
+    return llm
+
+
+def mode_understand(args) -> Dict[str, Any]:
+    llm = _init_llm(args)
+    codes = "".join(f"<|audio_code_{i % 64000}|>" for i in range(50))
+    t0 = time.time()
+    out = llm.understand(codes)
+    return {"mode": "understand", "wall_s": round(time.time() - t0, 2),
+            "output": out}
+
+
+def mode_create_sample(args) -> Dict[str, Any]:
+    llm = _init_llm(args)
+    t0 = time.time()
+    out = llm.create_sample(args.query or "a rainy day lofi track")
+    return {"mode": "create_sample", "wall_s": round(time.time() - t0, 2),
+            "output": out}
+
+
+def mode_format_sample(args) -> Dict[str, Any]:
+    llm = _init_llm(args)
+    t0 = time.time()
+    out = llm.format_sample("edm banger", "la la la")
+    return {"mode": "format_sample", "wall_s": round(time.time() - t0, 2),
+            "output": out}
+
+
+MODES = {
+    "profile": mode_profile,
+    "benchmark": mode_benchmark,
+    "tier-test": mode_tier_test,
+    "understand": mode_understand,
+    "create_sample": mode_create_sample,
+    "format_sample": mode_format_sample,
+}
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--mode", default="profile", choices=sorted(MODES))
+    parser.add_argument("--checkpoint-dir", default=None)
+    parser.add_argument("--vae-dir", default=None)
+    parser.add_argument("--lm-checkpoint-dir", default=None)
+    parser.add_argument("--duration", type=float, default=30.0)
+    parser.add_argument("--durations", default="10,30,60")
+    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--batches", default="1,2")
+    parser.add_argument("--steps", type=int, default=8)
+    parser.add_argument("--query", default=None)
+    parser.add_argument("--output", default=None,
+                        help="write the JSON report here as well")
+    args = parser.parse_args(argv)
+
+    report = MODES[args.mode](args)
+    payload = json.dumps(report, indent=2, default=str)
+    print(payload)
+    if args.output:
+        with open(args.output, "w", encoding="utf-8") as f:
+            f.write(payload)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,125 @@
+"""Tests: tier config, progress estimator, debug timers, CLI mapping,
+examples generator."""
+
+import json
+import os
+import time
+
+import pytest
+
+from acestep_tpu.runtime_config import (
+    DeviceTierConfig,
+    detect_hbm_gb,
+    effective_batch,
+    effective_duration,
+    get_tier_config,
+)
+from acestep_tpu.utils.debug import debug_enabled, debug_timer
+from acestep_tpu.utils.progress import ProgressEstimator, ProgressTicker
+
+
+def test_tier_selection_by_hbm():
+    assert get_tier_config(0.0).name == "tier_cpu"
+    assert get_tier_config(0.0).max_batch == 8   # CPU: RAM isn't the limit
+    assert get_tier_config(15.9).name == "tier_8g"
+    assert get_tier_config(16.0).name == "tier_16g"
+    assert get_tier_config(16.0).max_batch == 8
+    assert get_tier_config(16.0).max_duration_s == 600
+    assert get_tier_config(40.0).lm_size == "4B"
+
+
+def test_env_override(monkeypatch):
+    monkeypatch.setenv("ACESTEP_MAX_HBM_GB", "32")
+    assert detect_hbm_gb() == 32.0
+    assert get_tier_config().name == "tier_32g"
+
+
+def test_effective_clamps():
+    tier = get_tier_config(16.0)
+    assert effective_batch(64, tier) == 8
+    assert effective_batch(0, tier) == 1
+    assert effective_duration(9999, tier) == 600.0
+    assert effective_duration(1, tier) == 10.0
+
+
+def test_progress_estimator_roundtrip(tmp_path):
+    path = str(tmp_path / "progress.json")
+    est = ProgressEstimator(cache_path=path, device_key="testdev")
+    assert est.estimate_seconds(8, 1, 30) is None
+    for v in (2.0, 2.4, 2.2):
+        est.record(8, 1, 30, v)
+    assert abs(est.estimate_seconds(8, 1, 35) - 2.2) < 1e-9
+    # duration-scaled fallback for unseen bucket
+    scaled = est.estimate_seconds(8, 1, 60)
+    assert scaled and scaled > 2.2
+    # persisted across instances, capped at 100
+    est2 = ProgressEstimator(cache_path=path, device_key="testdev")
+    assert est2.estimate_seconds(8, 1, 30) is not None
+    for v in range(150):
+        est2.record(4, 2, 10, float(v))
+    with open(path) as f:
+        data = json.load(f)
+    assert max(len(v) for v in data.values()) <= 100
+
+
+def test_progress_ticker_callbacks():
+    seen = []
+    with ProgressTicker(0.2, seen.append, interval=0.05):
+        time.sleep(0.25)
+    assert seen and seen[-1] == 1.0
+    assert all(0.0 <= v <= 1.0 for v in seen)
+    mid = [v for v in seen if v < 1.0]
+    assert mid and all(v <= 0.95 for v in mid)
+
+
+def test_debug_timer_gated(monkeypatch, capsys):
+    monkeypatch.delenv("ACESTEP_DEBUG", raising=False)
+    assert not debug_enabled("dit")
+    with debug_timer("off_op", "dit") as t:
+        pass
+    assert t.elapsed is None
+
+    monkeypatch.setenv("ACESTEP_DEBUG_DIT", "1")
+    with debug_timer("on_op", "dit") as t:
+        time.sleep(0.01)
+    assert t.elapsed and t.elapsed >= 0.01
+    assert "on_op" in capsys.readouterr().err
+
+
+def test_cli_parser_and_params():
+    from acestep_tpu.cli import _collect_params, build_parser
+
+    args = build_parser().parse_args([
+        "--caption", "space jazz", "--duration", "45", "--steps", "16",
+        "--no-think", "--seed", "7", "--task", "cover", "--once",
+    ])
+    params = _collect_params(args)
+    assert params.caption == "space jazz"
+    assert params.duration == 45.0
+    assert params.inference_steps == 16
+    assert params.thinking is False
+    assert params.seed == 7
+    assert params.task_type == "cover"
+
+
+def test_profiler_modes_table():
+    import profile_inference
+
+    assert set(profile_inference.MODES) == {
+        "profile", "benchmark", "tier-test", "understand",
+        "create_sample", "format_sample"}
+
+
+def test_examples_generator(tmp_path):
+    import generate_examples
+
+    generate_examples.main(str(tmp_path), n=5)
+    files = sorted((tmp_path / "text2music").glob("example_*.json"))
+    assert len(files) == 5
+    with open(files[0]) as f:
+        data = json.load(f)
+    assert {"caption", "lyrics", "bpm", "duration", "keyscale"} <= set(data)
+    simple = sorted((tmp_path / "simple_mode").glob("example_*.json"))
+    with open(simple[0]) as f:
+        sdata = json.load(f)
+    assert "sample_query" in sdata
