@@ -148,6 +148,9 @@ class AppState:
         self.avg_job_seconds = INITIAL_AVG_JOB_SECONDS
         self.completed_jobs = 0
         self.examples_dir = examples_dir
+        from acestep_tpu.serving.training_service import TrainingService
+        self.training = TrainingService(
+            self.dit_handlers[self.default_model])
         self.worker_count = max(1, worker_count)
         self._workers: List[threading.Thread] = []
         self._shutdown = threading.Event()
@@ -365,6 +368,10 @@ class _Handler(BaseHTTPRequestHandler):
                 self._get_audio(url)
             elif route == "/v1/chat/models":
                 self._send_json(openrouter.models_payload(self.state))
+            elif route == "/v1/training/status":
+                self._send_json(wrap_response(self.state.training.status()))
+            elif route in ("/", "/studio"):
+                self._serve_studio()
             else:
                 self._send_json(wrap_response(None, 404, "Not found"), 404)
         except Exception as e:
@@ -397,6 +404,21 @@ class _Handler(BaseHTTPRequestHandler):
                 self._reinitialize(body)
             elif route == "/v1/chat/completions":
                 self._chat_completions(body)
+            elif route in ("/v1/training/start", "/v1/training/start_lora",
+                           "/v1/training/start_lokr"):
+                config = dict(body.get("config") or {})
+                if route.endswith("lokr"):
+                    config.setdefault("kind", "lokr")
+                try:
+                    out = self.state.training.start(
+                        dataset_dir=body.get("dataset_dir"),
+                        manifest_path=body.get("manifest_path"),
+                        config=config)
+                    self._send_json(wrap_response(out))
+                except RuntimeError as e:
+                    self._send_json(wrap_response(None, 409, str(e)), 409)
+            elif route == "/v1/training/stop":
+                self._send_json(wrap_response(self.state.training.stop()))
             else:
                 self._send_json(wrap_response(None, 404, "Not found"), 404)
         except Exception as e:
@@ -594,6 +616,21 @@ class _Handler(BaseHTTPRequestHandler):
             return
         self._send_json(openrouter.build_completion(
             current, model_id, req.audio_format))
+
+    def _serve_studio(self) -> None:
+        """Serve the bundled single-page studio UI (ref ui/studio.html)."""
+        path = os.path.join(os.path.dirname(__file__), "studio.html")
+        try:
+            with open(path, "rb") as f:
+                body = f.read()
+        except OSError:
+            self._send_json(wrap_response(None, 404, "studio UI missing"), 404)
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
 
     def _get_audio(self, url) -> None:
         qs = parse_qs(url.query)

@@ -45,25 +45,32 @@ def main():
     dtype = jnp.bfloat16
     T = DURATION_S * 25                      # 25 Hz latent frames
 
-    key = jax.random.PRNGKey(0)
-    params = jax.tree.map(lambda x: x.astype(dtype),
-                          init_dit_params(key, cfg))
-    vae_params = jax.tree.map(lambda x: x.astype(dtype),
-                              init_vae_params(key, vae_cfg))
+    # All setup in ONE jitted program: eager per-leaf init is hundreds of
+    # tiny dispatches (minutes over a tunneled TPU).
+    @jax.jit
+    def setup(key):
+        cast = lambda tree: jax.tree.map(lambda x: x.astype(dtype), tree)
+        ks = jax.random.split(key, 8)
+        params = cast(init_dit_params(ks[4], cfg))
+        vae_params = cast(init_vae_params(ks[5], vae_cfg))
+        batch_inputs = dict(
+            text_hidden_states=jax.random.normal(ks[0], (BATCH, TEXT_LEN, cfg.text_hidden_dim), dtype),
+            text_attention_mask=jnp.ones((BATCH, TEXT_LEN), jnp.int32),
+            lyric_hidden_states=jax.random.normal(ks[1], (BATCH, LYRIC_LEN, cfg.text_hidden_dim), dtype),
+            lyric_attention_mask=jnp.ones((BATCH, LYRIC_LEN), jnp.int32),
+            refer_audio_packed=jax.random.normal(ks[2], (BATCH, 2 * cfg.pool_window_size, cfg.timbre_hidden_dim), dtype),
+            refer_order_mask=jnp.arange(BATCH, dtype=jnp.int32),
+            src_latents=jnp.zeros((BATCH, T, cfg.audio_acoustic_hidden_dim), dtype),
+            chunk_masks=jnp.ones((BATCH, T, cfg.audio_acoustic_hidden_dim), dtype),
+            is_covers=jnp.zeros((BATCH,), jnp.int32),
+        )
+        x_init = jax.random.normal(ks[3], (BATCH, T, cfg.audio_acoustic_hidden_dim), dtype)
+        return params, vae_params, batch_inputs, x_init
 
-    ks = jax.random.split(key, 8)
-    batch_inputs = dict(
-        text_hidden_states=jax.random.normal(ks[0], (BATCH, TEXT_LEN, cfg.text_hidden_dim), dtype),
-        text_attention_mask=jnp.ones((BATCH, TEXT_LEN), jnp.int32),
-        lyric_hidden_states=jax.random.normal(ks[1], (BATCH, LYRIC_LEN, cfg.text_hidden_dim), dtype),
-        lyric_attention_mask=jnp.ones((BATCH, LYRIC_LEN), jnp.int32),
-        refer_audio_packed=jax.random.normal(ks[2], (BATCH, 2 * cfg.pool_window_size, cfg.timbre_hidden_dim), dtype),
-        refer_order_mask=jnp.arange(BATCH, dtype=jnp.int32),
-        src_latents=jnp.zeros((BATCH, T, cfg.audio_acoustic_hidden_dim), dtype),
-        chunk_masks=jnp.ones((BATCH, T, cfg.audio_acoustic_hidden_dim), dtype),
-        is_covers=jnp.zeros((BATCH,), jnp.int32),
-    )
-    x_init = jax.random.normal(ks[3], (BATCH, T, cfg.audio_acoustic_hidden_dim), dtype)
+    t0 = time.perf_counter()
+    params, vae_params, batch_inputs, x_init = setup(jax.random.PRNGKey(0))
+    jax.block_until_ready(params["decoder"]["proj_in"])
+    log(f"setup: {time.perf_counter() - t0:.1f}s")
     schedule = tuple(build_turbo_schedule(shift=3.0))
 
     @jax.jit

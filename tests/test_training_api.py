@@ -1,0 +1,105 @@
+"""Training API + studio UI route tests (tiny real training run)."""
+
+import json
+import http.client
+import os
+import threading
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from acestep_tpu.config import DiTConfig, VAEConfig
+from acestep_tpu.pipeline.handler import AceStepHandler
+from acestep_tpu.serving import AppState, create_server
+from tests.test_serving import _get, _post
+
+
+@pytest.fixture()
+def tiny_server(tmp_path):
+    handler = AceStepHandler(
+        dit_config=DiTConfig.tiny(fsq_dim=64),
+        vae_config=VAEConfig.tiny(decoder_input_channels=64),
+        frame_bucket=8, min_frames=8)
+    handler.initialize_service()
+    state = AppState({"tiny": handler}, None,
+                     output_dir=str(tmp_path / "out"))
+    server = create_server(state, "127.0.0.1", 0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    yield handler, state, server.server_address[1], tmp_path
+    state.shutdown()
+    server.shutdown()
+    server.server_close()
+
+
+def _make_tensor_dir(handler, path, n=3):
+    from acestep_tpu.training.preprocess import preprocess_samples
+
+    samples = [{"audio": np.zeros((1920 * 4, 2), np.float32),
+                "caption": f"s{i}", "lyrics": "[inst]"} for i in range(n)]
+    list(preprocess_samples(handler, samples, str(path)))
+    return str(path)
+
+
+def test_training_lifecycle_over_http(tiny_server):
+    handler, state, port, tmp_path = tiny_server
+    tensor_dir = _make_tensor_dir(handler, tmp_path / "tensors")
+
+    status, out = _post(port, "/v1/training/start", {
+        "dataset_dir": tensor_dir,
+        "config": {"rank": 2, "max_steps": 3, "batch_size": 1,
+                   "checkpoint_every": 0, "log_every": 1,
+                   "output_dir": str(tmp_path / "lora_out"),
+                   "adapter_name": "api_adapter"},
+    })
+    assert status == 200 and out["data"]["status"] == "started"
+
+    # double-start rejected while running or done after completion
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        _, st = _get(port, "/v1/training/status")
+        if st["data"]["status"] in ("completed", "failed"):
+            break
+        time.sleep(0.3)
+    assert st["data"]["status"] == "completed", st["data"]
+    assert st["data"]["step"] == 3
+    assert any(e["loss"] is not None for e in st["data"]["events"])
+    # metrics JSONL written
+    with open(tmp_path / "lora_out" / "metrics.jsonl") as f:
+        rows = [json.loads(line) for line in f]
+    assert rows and rows[-1]["step"] == 3
+    # trained adapter auto-loaded into the LoRA runtime
+    assert handler.lora.status()["active_adapter"] == "api_adapter"
+    # lora status endpoint reflects it
+    _, lst = _get(port, "/v1/lora/status")
+    assert lst["data"]["active_adapter"] == "api_adapter"
+
+
+def test_training_stop_and_restart(tiny_server):
+    handler, state, port, tmp_path = tiny_server
+    tensor_dir = _make_tensor_dir(handler, tmp_path / "tensors2")
+    _post(port, "/v1/training/start", {
+        "dataset_dir": tensor_dir,
+        "config": {"rank": 2, "max_steps": 500, "batch_size": 1,
+                   "checkpoint_every": 0, "log_every": 1,
+                   "output_dir": str(tmp_path / "lora_out2")}})
+    status, out = _post(port, "/v1/training/start", {
+        "dataset_dir": tensor_dir, "config": {}})
+    assert status == 409
+    _, out = _post(port, "/v1/training/stop", {})
+    assert out["data"]["status"] == "stopping"
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        _, st = _get(port, "/v1/training/status")
+        if st["data"]["status"] in ("stopped", "completed", "failed"):
+            break
+        time.sleep(0.3)
+    assert st["data"]["status"] in ("stopped", "completed")
+
+
+def test_studio_ui_served(tiny_server):
+    _, _, port, _ = tiny_server
+    status, raw = _get(port, "/")
+    assert status == 200
+    assert b"ACE-Step" in raw and b"/release_task" in raw
