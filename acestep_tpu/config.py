@@ -87,6 +87,23 @@ class DiTConfig:
             for i in range(self.num_hidden_layers)))
 
     @classmethod
+    def turbo(cls, **overrides) -> "DiTConfig":
+        """Flagship 8-step CFG-free model (ref models/turbo/)."""
+        return cls(model_version="turbo", **overrides)
+
+    @classmethod
+    def base(cls, **overrides) -> "DiTConfig":
+        """50-step continuous-schedule model with CFG/APG/ADG guidance
+        (ref models/base/modeling_acestep_v15_base.py). Same architecture;
+        the sampler family differs (models/sampler.sample_guided)."""
+        return cls(model_version="base", **overrides)
+
+    @classmethod
+    def sft(cls, **overrides) -> "DiTConfig":
+        """Base + custom-timesteps support (ref models/sft/)."""
+        return cls(model_version="sft", **overrides)
+
+    @classmethod
     def tiny(cls, **overrides) -> "DiTConfig":
         """A miniature config for CPU unit tests."""
         kw = dict(

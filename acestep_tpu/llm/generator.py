@@ -181,3 +181,109 @@ class LMEngine:
             texts[i] = self.tok.decode(generated[i])
         return GenOutput(token_ids=generated, texts=texts,
                          stop_reasons=stop_reasons)
+
+    # --------------------------------------------------------------
+    # On-device codes decoding (phase 2 fast path)
+    # --------------------------------------------------------------
+
+    def _audio_code_range(self):
+        """(start_id, end_id) of the contiguous <|audio_code_N|> block."""
+        tok = self.tok
+        if hasattr(tok, "audio_code_id"):
+            start = tok.audio_code_id(0)
+            return start, start + tok.num_audio_codes
+        first = tok.convert_tokens_to_ids("<|audio_code_0|>")
+        second = tok.convert_tokens_to_ids("<|audio_code_1|>")
+        if first is None or second != first + 1:
+            raise ValueError("audio code tokens are not contiguous")
+        last = tok.convert_tokens_to_ids("<|audio_code_63999|>")
+        return first, (last + 1 if last else first + 64000)
+
+    def _codes_scan_fn(self, n_codes: int, do_cfg: bool, cfg_scale: float,
+                       temperature: float, top_k: int, top_p: float):
+        """One compiled program decoding all n_codes tokens on device.
+
+        The reference streams every token through the host FSM
+        (constrained_logits_processor.__call__ per token). For the codes
+        phase the FSM degenerates to 'audio-code tokens only, EOS blocked
+        until target count' (constrained_logits_processor.py:1285) — a
+        static rule, so the whole loop runs as lax.scan with zero host
+        round-trips (the dominant cost over a tunneled TPU: ~4 transfers
+        x hundreds of tokens otherwise)."""
+        cfg_ = self.cfg
+        code_start, code_end = self._audio_code_range()
+
+        def scan_fn(params, logits0, cache, row_lens, key):
+            vocab = logits0.shape[-1]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)
+            allow = (iota >= code_start) & (iota < code_end)
+
+            def mix(lg):
+                B = lg.shape[0] // 2 if do_cfg else lg.shape[0]
+                if do_cfg:
+                    return lg[B:] + cfg_scale * (lg[:B] - lg[B:])
+                return lg
+
+            def step(carry, _):
+                logits, cache, row_lens, key = carry
+                key, sub = jax.random.split(key)
+                mixed = jnp.where(allow, mix(logits), -jnp.inf)
+                toks = sample_tokens(sub, mixed, temperature=temperature,
+                                     top_k=top_k, top_p=top_p)
+                feed = jnp.concatenate([toks, toks]) if do_cfg else toks
+                hidden, cache = lm_forward(params, cfg_, feed[:, None], cache,
+                                           start_pos=row_lens)
+                logits = lm_logits(params, cfg_, hidden)[:, 0]
+                return (logits, cache, row_lens + 1, key), toks
+
+            (_, _, _, _), codes = jax.lax.scan(
+                step, (logits0, cache, row_lens, key), None, length=n_codes)
+            return codes.T - code_start        # (B, n_codes) 0-based
+
+        return jax.jit(scan_fn)
+
+    def generate_codes(
+        self,
+        prompts: Sequence[str],
+        *,
+        unconditional_prompts: Optional[Sequence[str]] = None,
+        cfg_scale: float = 1.0,
+        temperature: float = 0.85,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        n_codes: int = 150,
+        seed: int = 0,
+    ) -> List[List[int]]:
+        """Decode exactly n_codes audio codes per prompt, fully on device.
+
+        Returns 0-based code indices (B, n_codes)."""
+        B = len(prompts)
+        do_cfg = cfg_scale != 1.0 and unconditional_prompts is not None
+        all_prompts = list(prompts) + (list(unconditional_prompts)
+                                       if do_cfg else [])
+        rows = [self.tok.encode(p) for p in all_prompts]
+        lens = np.asarray([len(r) for r in rows], np.int32)
+        L = _bucket(int(lens.max()))
+        pad_id = getattr(self.tok, "pad_token_id", 0) or 0
+        ids = np.full((len(rows), L), pad_id, np.int32)
+        for i, r in enumerate(rows):
+            ids[i, : min(len(r), L)] = r[:L]
+        lens = np.minimum(lens, L)
+
+        cache = KVCache.create(self.cfg, len(rows),
+                               min(self.max_len, L + n_codes + 8),
+                               dtype=self.dtype)
+        logits, cache = self._prefill(self.params, jnp.asarray(ids),
+                                      jnp.asarray(lens), cache)
+
+        cache_key = ("codes", n_codes, do_cfg, round(cfg_scale, 4),
+                     round(temperature, 4), top_k, round(top_p, 4))
+        if not hasattr(self, "_codes_fns"):
+            self._codes_fns = {}
+        if cache_key not in self._codes_fns:
+            self._codes_fns[cache_key] = self._codes_scan_fn(
+                n_codes, do_cfg, cfg_scale, temperature, top_k, top_p)
+        codes = self._codes_fns[cache_key](
+            self.params, logits, cache, jnp.asarray(lens),
+            jax.random.PRNGKey(seed))
+        return np.asarray(codes)[:B].tolist()

@@ -244,6 +244,21 @@ class LLMHandler:
         n2 = self.build_formatted_prompt_with_cot(
             caption, lyrics, cot_text, is_negative_prompt=True,
             negative_prompt=negative_prompt)
+        if constrained and max_code_tokens is None:
+            # Constrained codes == 'exactly duration*5 audio-code tokens'
+            # (constrained_logits_processor.py:1285 EOS blocking) — a static
+            # rule, so the whole phase runs as ONE on-device scan with zero
+            # per-token host round-trips.
+            n_codes = max(1, int(dur * 5))
+            codes_idx = self.engine.generate_codes(
+                [p2], unconditional_prompts=[n2], cfg_scale=cfg_scale,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                n_codes=n_codes, seed=seed + 1)[0]
+            codes = "".join(f"<|audio_code_{c}|>" for c in codes_idx)
+            result["audio_codes"] = codes
+            result["raw"] = cot_raw + "\n" + codes
+            return result
+
         fsm2 = MetadataFSM(self.tables, phase="codes", enabled=constrained)
         fsm2.begin_codes(target_duration=dur)
         max_codes = max_code_tokens or (int(dur) * 5 + 8)

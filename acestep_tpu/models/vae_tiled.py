@@ -49,12 +49,15 @@ def _windows(x: jnp.ndarray, stride: int, overlap: int):
 
 def tiled_decode(params: dict, cfg: VAEConfig, latents: jnp.ndarray, *,
                  chunk_size: int = DEFAULT_DECODE_CHUNK,
-                 overlap: int = DEFAULT_DECODE_OVERLAP) -> jnp.ndarray:
+                 overlap: int = DEFAULT_DECODE_OVERLAP,
+                 parallel_windows: int = 16) -> jnp.ndarray:
     """latents (B, T, C) -> audio (B, T*hop, audio_channels).
 
-    Memory scales with one chunk, not the song: 600 s (15 000 frames) decodes
-    as ~59 sequential chunks of ~0.5 MB latent each.
-    """
+    Windows are decoded in parallel groups of `parallel_windows` (folded into
+    the conv batch axis — far better MXU/VPU utilization than one-at-a-time),
+    with `lax.map` over the groups bounding peak memory for very long songs:
+    600 s decodes as 59 windows = 4 groups of 16. `parallel_windows=1`
+    degenerates to the fully sequential reference-style loop."""
     B, T, _ = latents.shape
     hop = cfg.hop_length
     stride = chunk_size - 2 * overlap
@@ -64,13 +67,22 @@ def tiled_decode(params: dict, cfg: VAEConfig, latents: jnp.ndarray, *,
     if T <= chunk_size:
         return vae_decode(params, cfg, latents)
 
-    wins, n = _windows(latents, stride, overlap)
+    wins, n = _windows(latents, stride, overlap)      # (n, B, win, C)
 
-    def decode_one(w):
-        audio = vae_decode(params, cfg, w)           # (B, win*hop, ch)
-        return audio[:, overlap * hop:-(overlap * hop) if overlap else None]
+    def decode_group(group):                          # (G, B, win, C)
+        G = group.shape[0]
+        flat = group.reshape(G * B, *group.shape[2:])
+        audio = vae_decode(params, cfg, flat)         # (G*B, win*hop, ch)
+        audio = audio.reshape(G, B, *audio.shape[1:])
+        return audio[:, :, overlap * hop:-(overlap * hop) if overlap else None]
 
-    cores = jax.lax.map(decode_one, wins)            # (n, B, stride*hop, ch)
+    groups = max(1, min(parallel_windows, n))
+    pad_n = (-n) % groups
+    if pad_n:
+        wins = jnp.concatenate([wins, jnp.zeros_like(wins[:pad_n])], axis=0)
+    wins = wins.reshape((n + pad_n) // groups, groups, *wins.shape[1:])
+    cores = jax.lax.map(decode_group, wins)           # (ng, G, B, s*hop, ch)
+    cores = cores.reshape(-1, *cores.shape[2:])[:n]   # (n, B, stride*hop, ch)
     audio = jnp.moveaxis(cores, 0, 1).reshape(B, n * stride * hop, -1)
     return audio[:, : T * hop]
 

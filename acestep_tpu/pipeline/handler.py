@@ -480,6 +480,13 @@ class AceStepHandler:
         # ---- schedule
         if cfg.model_version == "turbo":
             schedule = build_turbo_schedule(shift=shift, timesteps=timesteps)
+        elif cfg.model_version == "sft" and timesteps is not None:
+            # sft: user-supplied continuous timesteps (ref models/sft/
+            # modeling_acestep_v15_base.py:1811,1864-1875)
+            ts = [float(t) for t in timesteps]
+            if not ts or ts[-1] != 0.0:
+                ts = ts + [0.0]
+            schedule = ts
         else:
             schedule = build_continuous_schedule(infer_steps, shift=shift)
         start_t = None

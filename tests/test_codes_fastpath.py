@@ -1,0 +1,52 @@
+"""On-device codes decoding fast path tests."""
+
+import numpy as np
+import pytest
+
+from acestep_tpu.llm.handler import LLMHandler
+
+
+@pytest.fixture(scope="module")
+def handler():
+    h = LLMHandler()
+    h.initialize()   # tiny random LM + SimpleTokenizer
+    return h
+
+
+def test_generate_codes_shape_and_range(handler):
+    engine = handler.engine
+    codes = engine.generate_codes(
+        ["make music"], unconditional_prompts=["NO USER INPUT"],
+        cfg_scale=2.0, n_codes=12, seed=0)
+    assert len(codes) == 1 and len(codes[0]) == 12
+    n = handler.tokenizer.num_audio_codes
+    assert all(0 <= c < n for c in codes[0])
+
+
+def test_generate_codes_deterministic_per_seed(handler):
+    engine = handler.engine
+    a = engine.generate_codes(["x"], n_codes=8, seed=3, temperature=0.8)
+    b = engine.generate_codes(["x"], n_codes=8, seed=3, temperature=0.8)
+    c = engine.generate_codes(["x"], n_codes=8, seed=4, temperature=0.8)
+    assert a == b
+    assert a != c   # astronomically unlikely to collide
+
+
+def test_phase2_uses_fastpath_and_counts(handler):
+    out = handler.generate_with_stop_condition(
+        "an energetic track", "[inst]", target_duration=4.0,
+        constrained=True, seed=1)
+    codes = out["audio_codes"]
+    assert codes.count("<|audio_code_") == 20   # 4 s * 5 codes/s
+    # parseable by the DiT-side bridge
+    from acestep_tpu.pipeline.handler import AceStepHandler
+
+    arr = AceStepHandler._parse_code_hint(codes)
+    assert arr is not None and len(arr) == 20
+
+
+def test_phase2_unconstrained_still_works(handler):
+    out = handler.generate_with_stop_condition(
+        "chill", "", target_duration=2.0, constrained=False, seed=2,
+        max_cot_tokens=32)
+    assert "metadata" in out

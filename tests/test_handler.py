@@ -122,3 +122,43 @@ def test_audio_cover_strength_non_cover_branch(handler):
         audio_cover_strength=0.5, audio_duration=0.8, seeds=4,
     )
     assert np.all(np.isfinite(res.pred_latents))
+
+
+@pytest.fixture(scope="module")
+def base_handler():
+    h = AceStepHandler(
+        dit_config=DiTConfig.tiny(fsq_dim=64, model_version="base"),
+        vae_config=VAEConfig.tiny(decoder_input_channels=64),
+        dtype=jnp.float32,
+        frame_bucket=20, min_frames=20, refer_frames=10,
+    )
+    h.initialize_service(seed=0)
+    return h
+
+
+def test_base_model_guided_sampler(base_handler):
+    res = base_handler.generate_music(
+        "orchestral swell", "[inst]", audio_duration=0.8, seeds=5,
+        infer_steps=4, guidance_scale=4.0)
+    assert np.isfinite(res.audios[0]).all()
+    # APG guidance variant
+    res2 = base_handler.generate_music(
+        "orchestral swell", "[inst]", audio_duration=0.8, seeds=5,
+        infer_steps=4, guidance_scale=4.0, use_adg=True)
+    assert np.isfinite(res2.audios[0]).all()
+
+
+def test_sft_custom_timesteps():
+    h = AceStepHandler(
+        dit_config=DiTConfig.tiny(fsq_dim=64, model_version="sft"),
+        vae_config=VAEConfig.tiny(decoder_input_channels=64),
+        dtype=jnp.float32,
+        frame_bucket=20, min_frames=20, refer_frames=10,
+    )
+    h.initialize_service(seed=0)
+    res = h.generate_music(
+        "piano etude", "[inst]", audio_duration=0.8, seeds=3,
+        timesteps=[0.97, 0.76, 0.5, 0.28, 0.085], guidance_scale=3.0)
+    assert np.isfinite(res.audios[0]).all()
+    assert len(res.extra["schedule"]) == 6          # appended terminal 0.0
+    assert res.extra["schedule"][-1] == 0.0
