@@ -586,6 +586,31 @@ class AceStepHandler:
         )
 
     # --------------------------------------------------------------
+    # Audio -> 5 Hz codes (reference audio_codes.py:68-99)
+    # --------------------------------------------------------------
+
+    def audio_to_codes(self, audio: np.ndarray) -> str:
+        """(samples, ch) -> '<|audio_code_N|>...' 5 Hz semantic codes."""
+        from acestep_tpu.models.dit import audio_tokenize
+
+        latents = self.encode_audio(np.asarray(audio))
+        P = self.cfg.pool_window_size
+        T = latents.shape[0]
+        pad = (-T) % P
+        if pad:
+            latents = np.concatenate(
+                [latents, self._silence(pad).astype(latents.dtype)], axis=0)
+        key = ("tok", latents.shape)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = jax.jit(
+                lambda p, z: audio_tokenize(p, self.cfg,
+                                            z.astype(self.dtype)[None])[1])
+        params = self.lora.effective_params() if self.lora is not None \
+            else self.params
+        indices = np.asarray(self._fn_cache[key](params, latents))[0]
+        return "".join(f"<|audio_code_{int(i)}|>" for i in indices)
+
+    # --------------------------------------------------------------
     # LRC lyric alignment (reference lyric_timestamp.py + scoring/)
     # --------------------------------------------------------------
 

@@ -53,6 +53,11 @@ class GenerateMusicRequest:
 
     reference_audio_path: Optional[str] = None
     src_audio_path: Optional[str] = None
+    # stdlib-server upload channel (the reference uses multipart uploads,
+    # api_server.py:1149-1171): base64-encoded audio bytes + format
+    reference_audio_b64: Optional[str] = None
+    src_audio_b64: Optional[str] = None
+    upload_audio_format: str = "wav"
     audio_duration: Optional[float] = None
     batch_size: Optional[int] = None
 

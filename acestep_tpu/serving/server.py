@@ -199,6 +199,15 @@ class AppState:
         self._cache_progress(job_id, 0.01, "running")
 
         model_name, dit_handler = self._select_handler(req.model)
+        temp_files = []
+        if req.reference_audio_b64:
+            req.reference_audio_path = openrouter.base64_to_temp_file(
+                req.reference_audio_b64, req.upload_audio_format)
+            temp_files.append(req.reference_audio_path)
+        if req.src_audio_b64:
+            req.src_audio_path = openrouter.base64_to_temp_file(
+                req.src_audio_b64, req.upload_audio_format)
+            temp_files.append(req.src_audio_path)
         params = request_to_params(req)
         config = GenerationConfig(
             batch_size=req.batch_size or 1,
@@ -221,8 +230,15 @@ class AppState:
                 params.caption = fmt.get("caption", params.caption)
                 params.lyrics = fmt.get("lyrics", params.lyrics)
 
-        result = inference.generate_music(dit_handler, self.llm_handler,
-                                          params, config)
+        try:
+            result = inference.generate_music(dit_handler, self.llm_handler,
+                                              params, config)
+        finally:
+            for path in temp_files:     # ref _cleanup_job_temp_files
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
         payload = result.to_dict()
         payload["dit_model"] = model_name
         payload["prompt"] = params.caption

@@ -1,0 +1,95 @@
+"""Dataset builder + presets + sensitivity estimation tests."""
+
+import json
+import os
+import wave
+
+import jax
+import numpy as np
+import pytest
+
+from acestep_tpu.config import DiTConfig
+from acestep_tpu.models.dit import init_dit_params
+from acestep_tpu.training.dataset_builder import (
+    auto_label,
+    build_dataset,
+    scan_audio_dir,
+    write_manifest,
+)
+from acestep_tpu.training.presets import (
+    PRESETS,
+    estimate_gradient_sensitivity,
+    get_preset,
+)
+
+
+def _write_wav(path, seconds=0.2, sr=48000):
+    with wave.open(str(path), "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes(b"\x00\x00" * 2 * int(sr * seconds))
+
+
+def test_scan_audio_dir_with_sidecars(tmp_path):
+    _write_wav(tmp_path / "songA.wav")
+    (tmp_path / "songA.json").write_text(json.dumps(
+        {"caption": "lofi beat", "metas": {"bpm": 80}, "ignored_field": 1}))
+    _write_wav(tmp_path / "songB.wav")
+    (tmp_path / "songB.txt").write_text("[Verse]\nhello")
+    entries = scan_audio_dir(str(tmp_path))
+    assert len(entries) == 2
+    by_name = {os.path.basename(e["audio_path"]): e for e in entries}
+    assert by_name["songA.wav"]["caption"] == "lofi beat"
+    assert by_name["songA.wav"]["metas"] == {"bpm": 80}
+    assert "ignored_field" not in by_name["songA.wav"]
+    assert by_name["songB.wav"]["lyrics"].startswith("[Verse]")
+
+
+def test_auto_label_fallback_names(tmp_path):
+    _write_wav(tmp_path / "my_cool_track.wav")
+    entries = scan_audio_dir(str(tmp_path))
+    labeled = auto_label(entries, dit_handler=None, llm_handler=None)
+    assert labeled[0]["caption"] == "my cool track"
+    assert labeled[0]["lyrics"] == "[inst]"
+
+
+def test_build_dataset_end_to_end(tmp_path):
+    from tests.test_training import _FakeHandler
+
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    _write_wav(audio_dir / "one.wav")
+    _write_wav(audio_dir / "two.wav")
+    out = build_dataset(str(audio_dir), str(tmp_path / "ds"), _FakeHandler())
+    assert out["num_samples"] == 2
+    assert os.path.exists(out["manifest"])
+    files = os.listdir(out["tensor_dir"])
+    assert len([f for f in files if f.endswith(".npz")]) == 2
+
+
+def test_presets():
+    cfg = get_preset("standard", output_dir="/tmp/x")
+    assert cfg.rank == 16 and cfg.output_dir == "/tmp/x"
+    assert get_preset("fixed").timestep_mode == "continuous"
+    assert get_preset("lokr").kind == "lokr"
+    with pytest.raises(KeyError):
+        get_preset("nope")
+    assert set(PRESETS) >= {"quick", "standard", "fixed", "quality", "lokr"}
+
+
+def test_gradient_sensitivity_ranking():
+    from acestep_tpu.training.step import tiny_batch
+
+    cfg = DiTConfig.tiny()
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    batches = [tiny_batch(cfg, jax.random.PRNGKey(i), batch=2, frames=10)
+               for i in range(2)]
+    ranked = estimate_gradient_sensitivity(params, cfg, batches,
+                                           num_batches=2)
+    assert len(ranked) == 11          # all LORA_TARGETS
+    names = [n for n, _ in ranked]
+    assert "self_attn.q_proj" in names and "mlp.down" in names
+    sens = [s for _, s in ranked]
+    assert sens == sorted(sens, reverse=True)
+    assert all(np.isfinite(s) and s >= 0 for s in sens)

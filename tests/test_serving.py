@@ -225,3 +225,23 @@ def test_result_cache_ttl(tmp_path):
     # restart survival
     cache2 = LocalResultCache(str(tmp_path / "cache.json"))
     assert cache2.get(RESULT_KEY_PREFIX + "a") is not None
+
+
+def test_base64_audio_upload(server_env):
+    import base64, io, wave
+    state, handler, port = server_env
+    # tiny 0.1s wav
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(2); f.setsampwidth(2); f.setframerate(48000)
+        f.writeframes(b"\x00\x00" * 2 * 4800)
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    _, out = _post(port, "/release_task", {
+        "prompt": "cover it", "task_type": "cover", "thinking": False,
+        "src_audio_b64": b64, "upload_audio_format": "wav",
+    })
+    entry = _wait_done(port, out["data"]["task_id"])
+    assert entry["status"] == 1
+    call = handler.calls[-1]
+    # src audio path was materialized and forwarded, then cleaned up
+    assert call.get("src_audio") is None or isinstance(call["src_audio"], str)
