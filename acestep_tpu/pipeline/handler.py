@@ -83,6 +83,7 @@ class AceStepHandler:
         self.silence_latent: Optional[jnp.ndarray] = None  # (1, T, 64)
         self.text_embedder = None
         self.lora = None          # LoraManager attached by acestep_tpu.lora
+        self.mesh = None          # set via enable_mesh() for multi-chip dp
         self._fn_cache: Dict[tuple, Any] = {}
         self.initialized = False
         from acestep_tpu.runtime_config import get_global_config
@@ -126,6 +127,21 @@ class AceStepHandler:
         from acestep_tpu.lora.manager import LoraManager
         self.lora = LoraManager(self.params)
         self.initialized = True
+
+    def enable_mesh(self, dp: Optional[int] = None) -> None:
+        """Shard generation over a dp-way device mesh (batch parallelism).
+
+        Weights replicate over ICI; latents/noise/conditioning shard on the
+        batch axis. Batch sizes must be multiples of dp."""
+        from jax.sharding import Mesh
+
+        devices = jax.devices()
+        dp = dp or len(devices)
+        if len(devices) < dp:
+            raise ValueError(f"mesh dp={dp} needs {dp} devices, "
+                             f"have {len(devices)}")
+        self.mesh = Mesh(np.asarray(devices[:dp]).reshape(dp), ("dp",))
+        self._fn_cache.clear()
 
     def get_service_status(self) -> Dict[str, Any]:
         return {
@@ -269,6 +285,24 @@ class AceStepHandler:
                                    infer_method=method, key=noise_key)
             return x0.astype(jnp.float32)
 
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh = self.mesh
+            replicated = NamedSharding(mesh, P())
+            batched = NamedSharding(mesh, P("dp"))
+
+            # params replicated over ICI, every batch-leading input sharded
+            # on dp (prefix pytree applies to all dict leaves); XLA runs the
+            # whole trajectory SPMD with zero cross-chip collectives (batch
+            # parallelism) — the TPU-native replacement for the reference's
+            # single-GPU batch loop (SURVEY §7.7). silence_latent is tiled
+            # to the batch in generate_music when a mesh is active.
+            return jax.jit(
+                fn,
+                in_shardings=(replicated, batched, replicated),
+                out_shardings=batched,
+            )
         return jax.jit(fn)
 
     def _get_generate_fn(self, cache_key: tuple, **kwargs):
@@ -499,6 +533,16 @@ class AceStepHandler:
                 else len(schedule) - 1
             cover_steps = int(n_steps * audio_cover_strength)
 
+        if self.mesh is not None:
+            dp = self.mesh.shape["dp"]
+            if B % dp:
+                raise ValueError(
+                    f"batch {B} must be a multiple of mesh dp={dp} "
+                    "(pad the request batch or disable the mesh)")
+        silence_input = (np.broadcast_to(silence_T[None],
+                                         (B, T, silence_T.shape[-1])).copy()
+                         if self.mesh is not None else silence_T[None])
+
         # all host numpy: one transfer into the jitted program, zero eager ops
         inputs = dict(
             text_hidden_states=np.asarray(text_h, np.float32),
@@ -510,7 +554,7 @@ class AceStepHandler:
             src_latents=src_latents,
             chunk_masks=chunk_masks,
             is_covers=np.asarray(is_cover_rows, np.int32),
-            silence_latent=silence_T[None],
+            silence_latent=silence_input,
             seeds=np.asarray(seeds_list, np.uint32),
             **extra_inputs,
         )

@@ -1,0 +1,38 @@
+"""`acestep-tpu-download` entry point (reference: acestep-download)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+from acestep_tpu.utils.downloads import REPO_IDS, ensure_model
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(
+        description="Download / locate ACE-Step TPU checkpoints")
+    parser.add_argument("models", nargs="*",
+                        default=["acestep-v15-turbo", "vae",
+                                 "Qwen3-Embedding-0.6B"],
+                        help=f"model names (known: {sorted(REPO_IDS)})")
+    parser.add_argument("--root", default=None,
+                        help="checkpoint root (default ./checkpoints)")
+    parser.add_argument("--no-download", action="store_true",
+                        help="only resolve locally")
+    args = parser.parse_args(argv)
+
+    status = 0
+    for name in args.models:
+        try:
+            path = ensure_model(name, root=args.root,
+                                allow_download=not args.no_download)
+            print(f"{name}: {path}")
+        except FileNotFoundError as e:
+            print(f"{name}: MISSING\n{e}", file=sys.stderr)
+            status = 1
+    return status
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,43 @@
+"""Multi-chip (virtual 8-device CPU mesh) batch-sharded inference tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from acestep_tpu.config import DiTConfig, VAEConfig
+from acestep_tpu.pipeline.handler import AceStepHandler
+
+
+def _handler(mesh_dp=None):
+    h = AceStepHandler(
+        dit_config=DiTConfig.tiny(fsq_dim=64),
+        vae_config=VAEConfig.tiny(decoder_input_channels=64),
+        dtype=jnp.float32, frame_bucket=20, min_frames=20, refer_frames=10)
+    h.initialize_service(seed=0)
+    if mesh_dp:
+        h.enable_mesh(dp=mesh_dp)
+    return h
+
+
+def test_mesh_matches_single_device():
+    assert len(jax.devices()) >= 4
+    kw = dict(audio_duration=0.8, seeds=[1, 2, 3, 4], normalize=False)
+    ref = _handler().generate_music(["a", "b", "c", "d"], ["x"] * 4, **kw)
+    sharded = _handler(mesh_dp=4).generate_music(["a", "b", "c", "d"],
+                                                 ["x"] * 4, **kw)
+    np.testing.assert_allclose(sharded.pred_latents, ref.pred_latents,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_mesh_batch_divisibility_guard():
+    h = _handler(mesh_dp=4)
+    with pytest.raises(ValueError, match="multiple of mesh dp"):
+        h.generate_music(["a"], ["x"], audio_duration=0.8, batch_size=3,
+                         seeds=[1, 2, 3])
+
+
+def test_enable_mesh_too_many_devices():
+    h = _handler()
+    with pytest.raises(ValueError):
+        h.enable_mesh(dp=4096)
