@@ -55,7 +55,18 @@ class LMEngine:
     """Holds params + compiled prefill/decode programs."""
 
     def __init__(self, params: dict, cfg: LMConfig, tokenizer,
-                 dtype=jnp.bfloat16, max_len: int = 4096):
+                 dtype=jnp.bfloat16, max_len: int = 4096, mesh=None):
+        if mesh is not None:
+            # Tensor parallelism nano-vllm-style (its column/row-partitioned
+            # linears + NCCL all-reduce, nanovllm/layers/linear.py) — here:
+            # place params with TP PartitionSpecs and let XLA propagate
+            # shardings + insert the all-reduces over ICI.
+            from acestep_tpu.parallel import lm_param_pspecs, shard_pytree
+            from acestep_tpu.parallel.mesh import sanitize_pspecs
+
+            pspecs = sanitize_pspecs(params, lm_param_pspecs(params), mesh)
+            params = shard_pytree(params, mesh, pspecs)
+        self.mesh = mesh
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer

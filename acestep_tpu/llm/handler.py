@@ -111,7 +111,8 @@ class LLMHandler:
                    cfg: Optional[LMConfig] = None, tokenizer=None,
                    params: Optional[dict] = None, seed: int = 0,
                    max_duration: int = 600,
-                   num_fallback_codes: int = 64) -> None:
+                   num_fallback_codes: int = 64,
+                   tensor_parallel: int = 1) -> None:
         """Load a checkpoint dir (HF layout) or build the self-contained
         fallback stack (SimpleTokenizer + random-init tiny LM)."""
         self.max_duration = max_duration
@@ -130,11 +131,16 @@ class LLMHandler:
                 vocab_size=self.tokenizer.vocab_size)
             if params is None:
                 from acestep_tpu.models.lm import init_lm_params
-                params = jax.tree.map(
-                    lambda x: x.astype(self.dtype),
-                    init_lm_params(jax.random.PRNGKey(seed), self.cfg))
+                cfg_ = self.cfg
+                lm_init = jax.jit(lambda k: jax.tree.map(
+                    lambda x: x.astype(self.dtype), init_lm_params(k, cfg_)))
+                params = lm_init(jax.random.PRNGKey(seed))
+        mesh = None
+        if tensor_parallel > 1:
+            from acestep_tpu.parallel import make_mesh
+            mesh = make_mesh(dp=1, tp=tensor_parallel)
         self.engine = LMEngine(params, self.cfg, self.tokenizer,
-                               dtype=self.dtype)
+                               dtype=self.dtype, mesh=mesh)
         self.tables = TokenTables(self.tokenizer)
         self.initialized = True
 

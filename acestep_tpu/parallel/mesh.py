@@ -88,6 +88,21 @@ def lm_param_pspecs(params: dict, tp_axis: str = "tp") -> dict:
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
+def sanitize_pspecs(params: dict, pspecs: dict, mesh: Mesh) -> dict:
+    """Replicate any leaf whose sharded dims aren't divisible by the mesh
+    axis size (e.g. an odd vocab under tp=2) instead of erroring."""
+    def fix(leaf, spec):
+        for axis_idx, name in enumerate(spec):
+            if name is None:
+                continue
+            size = mesh.shape[name]
+            if axis_idx >= leaf.ndim or leaf.shape[axis_idx] % size:
+                return P()
+        return spec
+
+    return jax.tree.map(fix, params, pspecs)
+
+
 def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
