@@ -260,11 +260,17 @@ class AceStepHandler:
                 null_cond = ConditionSet.build(params, cfg, null, ctx)
 
             B, T = inputs["src_latents"].shape[:2]
-            keys = jax.vmap(lambda s: jax.random.fold_in(noise_key, s))(
-                inputs["seeds"])
-            noise = jax.vmap(
-                lambda k: jax.random.normal(
-                    k, (T, cfg.audio_acoustic_hidden_dim), self.dtype))(keys)
+            if "initial_noise" in inputs:
+                # seed-parity seam (SURVEY §7 hard parts): externally
+                # supplied noise (e.g. torch.randn from the reference) so
+                # trajectories can be compared bit-for-bit across frameworks.
+                noise = inputs["initial_noise"].astype(self.dtype)
+            else:
+                keys = jax.vmap(lambda s: jax.random.fold_in(noise_key, s))(
+                    inputs["seeds"])
+                noise = jax.vmap(
+                    lambda k: jax.random.normal(
+                        k, (T, cfg.audio_acoustic_hidden_dim), self.dtype))(keys)
             if start_t is not None:
                 x_init = renoise(inputs["src_latents"], jnp.asarray(start_t), noise)
             else:
@@ -351,6 +357,7 @@ class AceStepHandler:
         save_dir: Optional[str] = None,
         audio_format: str = "wav",
         key: Optional[jax.Array] = None,
+        initial_noise: Optional[np.ndarray] = None,
         track_name: Optional[str] = None,
         track_classes: Optional[Sequence[str]] = None,
         progress_callback=None,
@@ -558,6 +565,16 @@ class AceStepHandler:
             seeds=np.asarray(seeds_list, np.uint32),
             **extra_inputs,
         )
+        if initial_noise is not None:
+            noise_arr = np.asarray(initial_noise, np.float32)
+            if noise_arr.ndim == 2:
+                noise_arr = noise_arr[None]
+            if noise_arr.shape[1] < T:
+                noise_arr = np.pad(noise_arr, ((0, 0),
+                                               (0, T - noise_arr.shape[1]),
+                                               (0, 0)))
+            inputs["initial_noise"] = np.broadcast_to(
+                noise_arr[:, :T], (B, T, cfg.audio_acoustic_hidden_dim)).copy()
         if has_non_cover:
             inputs["non_cover_text_hidden_states"] = nc_h
             inputs["non_cover_text_attention_mask"] = nc_m

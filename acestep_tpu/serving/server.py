@@ -218,6 +218,42 @@ class AppState:
             constrained_decoding_debug=req.constrained_decoding_debug,
         )
 
+        if req.analysis_only or req.full_analysis_only:
+            # audio understanding instead of generation (ref api_server
+            # analysis branch): src audio -> 5 Hz codes -> LM understand
+            try:
+                if not req.src_audio_path:
+                    raise ValueError("analysis requires src audio")
+                from acestep_tpu.utils.audio import load_audio
+
+                audio = load_audio(req.src_audio_path)
+                codes = dit_handler.audio_to_codes(audio)
+                analysis = inference.understand_music(
+                    self.llm_handler, codes,
+                    temperature=req.lm_temperature).to_dict()
+                analysis["audio_codes"] = codes if req.full_analysis_only else ""
+                if analysis.get("success"):
+                    self.job_store.mark_succeeded(job_id, {
+                        "audios": [], "prompt": analysis.get("caption", ""),
+                        "lyrics": analysis.get("lyrics", ""),
+                        "status_message": "analysis",
+                        "extra_outputs": {"analysis": analysis,
+                                          "lm_metadata": analysis},
+                    })
+                else:
+                    self.job_store.mark_failed(
+                        job_id, analysis.get("error") or "analysis failed")
+            except Exception as e:
+                self.job_store.mark_failed(job_id, str(e))
+            finally:
+                for path in temp_files:
+                    try:
+                        os.unlink(path)
+                    except OSError:
+                        pass
+            self._cache_result(job_id)
+            return
+
         if req.sample_mode or req.sample_query:
             sample = inference.create_sample(self.llm_handler, req.sample_query)
             if sample.get("success"):

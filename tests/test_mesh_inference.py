@@ -60,3 +60,18 @@ def test_lm_tensor_parallel_matches_single():
     cb = b.engine.generate_codes(["make music"], n_codes=10, seed=5,
                                  temperature=0.7)
     assert ca == cb
+
+
+def test_initial_noise_seam():
+    """Externally-supplied noise makes trajectories reproducible across
+    RNG implementations (the seed-parity seam)."""
+    h = _handler()
+    rng = np.random.default_rng(0)
+    noise = rng.standard_normal((20, 64)).astype(np.float32)
+    kw = dict(audio_duration=0.8, normalize=False)
+    a = h.generate_music("song", "x", initial_noise=noise, seeds=1, **kw)
+    b = h.generate_music("song", "x", initial_noise=noise, seeds=999, **kw)
+    # same noise -> identical latents regardless of seed
+    np.testing.assert_array_equal(a.pred_latents, b.pred_latents)
+    c = h.generate_music("song", "x", seeds=1, **kw)
+    assert not np.allclose(a.pred_latents, c.pred_latents)

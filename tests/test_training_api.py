@@ -103,3 +103,45 @@ def test_studio_ui_served(tiny_server):
     status, raw = _get(port, "/")
     assert status == 200
     assert b"ACE-Step" in raw and b"/release_task" in raw
+
+
+def test_analysis_only_flow(tmp_path):
+    """analysis_only: src audio -> codes -> LM understand via REST."""
+    import wave
+
+    from acestep_tpu.llm.handler import LLMHandler
+
+    handler = AceStepHandler(
+        dit_config=DiTConfig.tiny(fsq_dim=64),
+        vae_config=VAEConfig.tiny(decoder_input_channels=64),
+        frame_bucket=8, min_frames=8)
+    handler.initialize_service()
+    llm = LLMHandler()
+    llm.initialize()
+    state = AppState({"tiny": handler}, llm, output_dir=str(tmp_path / "o"))
+    server = create_server(state, "127.0.0.1", 0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    port = server.server_address[1]
+    try:
+        wav_path = str(tmp_path / "src.wav")
+        with wave.open(wav_path, "wb") as f:
+            f.setnchannels(2); f.setsampwidth(2); f.setframerate(48000)
+            f.writeframes(b"\x01\x00" * 2 * 9600)
+        _, out = _post(port, "/release_task", {
+            "analysis_only": True, "src_audio_path": wav_path,
+            "thinking": False})
+        task_id = out["data"]["task_id"]
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            _, res = _post(port, "/query_result", {"task_id_list": [task_id]})
+            entry = res["data"][0]
+            if entry["status"] != 0:
+                break
+            time.sleep(0.3)
+        assert entry["status"] == 1, entry
+        payload = json.loads(entry["result"])[0]
+        assert payload["stage"] == "succeeded"
+    finally:
+        state.shutdown()
+        server.shutdown()
+        server.server_close()
