@@ -65,7 +65,10 @@ def parse_timesteps(s: Optional[str]) -> Optional[List[float]]:
 
 
 def load_examples(examples_dir: str, sample_mode: str = "simple_mode") -> list:
-    pattern = os.path.join(examples_dir, sample_mode, "example_*.json")
+    # "custom_mode" -> text2music examples (ref SIMPLE/CUSTOM dirs,
+    # api_server.py:260-262)
+    subdir = "simple_mode" if sample_mode == "simple_mode" else "text2music"
+    pattern = os.path.join(examples_dir, subdir, "example_*.json")
     out = []
     for path in sorted(glob.glob(pattern)):
         try:
