@@ -190,8 +190,14 @@ class LoraManager:
                 meta = adapter["meta"]
                 meta_key = json.dumps(meta, sort_keys=True)
                 if meta_key not in self._merge_fns:
-                    self._merge_fns[meta_key] = jax.jit(
-                        partial(merge_weights, meta=meta))
+                    from acestep_tpu.ops.quant import dequantize_params
+
+                    def _merge(base, weights, scale, *, meta=meta):
+                        # int8 base weights dequantize before the delta add
+                        return merge_weights(dequantize_params(base),
+                                             weights, scale, meta)
+
+                    self._merge_fns[meta_key] = jax.jit(_merge)
                 self._merged = self._merge_fns[meta_key](
                     self._base, adapter["weights"],
                     jnp.float32(scale))

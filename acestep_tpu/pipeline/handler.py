@@ -97,9 +97,15 @@ class AceStepHandler:
 
     def initialize_service(self, checkpoint_dir: Optional[str] = None,
                            vae_dir: Optional[str] = None,
-                           text_embedder=None, seed: int = 0) -> None:
+                           text_embedder=None, seed: int = 0,
+                           quantization: Optional[str] = None) -> None:
         """Load checkpoints when given, otherwise seeded random init (all
-        structural behavior is weight-independent)."""
+        structural behavior is weight-independent).
+
+        quantization='int8' stores DiT weights int8 + per-channel scales
+        (reference torchao int8_weight_only policy, DiT-only filter,
+        init_service_loader.py:89-114); dequant runs inside each jitted
+        program so XLA fuses it into the consuming matmuls."""
         if checkpoint_dir:
             from acestep_tpu.utils.checkpoint import load_dit_checkpoint
             self.params, silence = load_dit_checkpoint(checkpoint_dir, self.cfg,
@@ -122,6 +128,13 @@ class AceStepHandler:
         if self.silence_latent is None:
             self.silence_latent = np.zeros(
                 (1, 15360, self.cfg.audio_acoustic_hidden_dim), np.float32)
+        self.quantization = quantization
+        if quantization == "int8":
+            from acestep_tpu.ops.quant import quantize_tree_int8
+            self.params = jax.jit(quantize_tree_int8)(self.params)
+        elif quantization:
+            raise ValueError(f"unsupported quantization {quantization!r}; "
+                             "supported: 'int8'")
         self.text_embedder = text_embedder or HashTextEmbedder(
             dim=self.cfg.text_hidden_dim)
         from acestep_tpu.lora.manager import LoraManager
@@ -210,6 +223,8 @@ class AceStepHandler:
         do_cfg = (not is_turbo) and guidance_scale > 1.0
 
         def fn(params, inputs, noise_key):
+            from acestep_tpu.ops.quant import dequantize_params
+            params = dequantize_params(params, self.dtype)
             # cast float inputs to compute dtype on-device (host arrays are f32)
             inputs = {
                 k: (v.astype(self.dtype)
@@ -663,9 +678,11 @@ class AceStepHandler:
                 [latents, self._silence(pad).astype(latents.dtype)], axis=0)
         key = ("tok", latents.shape)
         if key not in self._fn_cache:
+            from acestep_tpu.ops.quant import dequantize_params
             self._fn_cache[key] = jax.jit(
-                lambda p, z: audio_tokenize(p, self.cfg,
-                                            z.astype(self.dtype)[None])[1])
+                lambda p, z: audio_tokenize(
+                    dequantize_params(p, self.dtype), self.cfg,
+                    z.astype(self.dtype)[None])[1])
         params = self.lora.effective_params() if self.lora is not None \
             else self.params
         indices = np.asarray(self._fn_cache[key](params, latents))[0]
@@ -733,6 +750,8 @@ class AceStepHandler:
             dtype = self.dtype
 
             def fn(params, inputs, key):
+                from acestep_tpu.ops.quant import dequantize_params
+                params = dequantize_params(params, dtype)
                 cast = {
                     k: (v.astype(dtype)
                         if jnp.issubdtype(v.dtype, jnp.floating) else v)

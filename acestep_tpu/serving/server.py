@@ -474,6 +474,10 @@ class _Handler(BaseHTTPRequestHandler):
                     self._send_json(wrap_response(None, 409, str(e)), 409)
             elif route == "/v1/training/stop":
                 self._send_json(wrap_response(self.state.training.stop()))
+            elif route == "/v1/training/load_tensor_info":
+                self._tensor_info(body)
+            elif route == "/v1/training/export":
+                self._training_export(body)
             else:
                 self._send_json(wrap_response(None, 404, "Not found"), 404)
         except Exception as e:
@@ -671,6 +675,45 @@ class _Handler(BaseHTTPRequestHandler):
             return
         self._send_json(openrouter.build_completion(
             current, model_id, req.audio_format))
+
+    def _tensor_info(self, body: Dict[str, Any]) -> None:
+        """Stats for a preprocessed tensor dir (ref /v1/training/load_tensor_info)."""
+        import numpy as np
+
+        tensor_dir = body.get("dataset_dir") or body.get("tensor_dir", "")
+        try:
+            from acestep_tpu.training.data import PreprocessedDataset
+
+            ds = PreprocessedDataset(tensor_dir)
+        except FileNotFoundError as e:
+            self._send_json(wrap_response(None, 404, str(e)), 404)
+            return
+        frames = []
+        for path in ds.files[:50]:
+            with np.load(path) as data:
+                frames.append(int(data["hidden_states"].shape[0]))
+        self._send_json(wrap_response({
+            "num_samples": len(ds.files),
+            "frames_min": min(frames) if frames else 0,
+            "frames_max": max(frames) if frames else 0,
+            "total_seconds": round(sum(frames) / 25.0, 1),
+        }))
+
+    def _training_export(self, body: Dict[str, Any]) -> None:
+        """Report the exported adapter artifact for a finished run."""
+        status = self.state.training.status()
+        output_dir = body.get("output_dir") or status.get("output_dir")
+        if not output_dir or not os.path.isdir(output_dir):
+            self._send_json(wrap_response(None, 404, "no training output"), 404)
+            return
+        adapters = [os.path.join(output_dir, f)
+                    for f in sorted(os.listdir(output_dir))
+                    if f.endswith(".npz")]
+        self._send_json(wrap_response({
+            "output_dir": output_dir,
+            "adapters": adapters,
+            "status": status.get("status"),
+        }))
 
     def _serve_studio(self) -> None:
         """Serve the bundled single-page studio UI (ref ui/studio.html)."""

@@ -100,15 +100,16 @@ class TrainingService:
                                             "ts": time.time()})
                 if self._stop_flag.is_set():
                     break
-            self._update(status="stopped" if self._stop_flag.is_set()
-                         else "completed", finished_at=time.time())
-            # hand the trained adapter to the live LoRA runtime
+            # hand the trained adapter to the live LoRA runtime BEFORE the
+            # terminal status flips (clients poll status then use the adapter)
             adapter_path = os.path.join(tcfg.output_dir,
                                         f"{tcfg.adapter_name}.npz")
             if os.path.exists(adapter_path) and self.handler.lora is not None:
                 self.handler.lora.load(adapter_path,
                                        adapter_name=tcfg.adapter_name)
                 self._update(adapter_loaded=tcfg.adapter_name)
+            self._update(status="stopped" if self._stop_flag.is_set()
+                         else "completed", finished_at=time.time())
         except Exception as e:
             self._update(status="failed", error=str(e))
 

@@ -1,0 +1,74 @@
+"""Int8 weight-only quantization tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from acestep_tpu.config import DiTConfig, VAEConfig
+from acestep_tpu.models.dit import init_dit_params
+from acestep_tpu.ops.quant import (
+    QUANT_KEY,
+    dequantize_params,
+    quantize_tree_int8,
+    quantized_bytes,
+)
+
+
+def test_quantize_roundtrip_error_and_exclusions():
+    cfg = DiTConfig.tiny()
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    q = quantize_tree_int8(params)
+
+    # decoder attention weight got quantized
+    node = q["decoder"]["layers"]["self_attn"]["q_proj"]["w"]
+    assert QUANT_KEY in node and node[QUANT_KEY].dtype == jnp.int8
+    # tokenizer / detokenizer excluded (reference DiT-only filter)
+    assert not isinstance(
+        q["tokenizer"]["audio_acoustic_proj"]["w"], dict)
+    assert not isinstance(q["detokenizer"]["proj_out"]["w"], dict)
+    # norms untouched
+    assert q["decoder"]["norm_out"]["scale"].ndim == 1
+
+    deq = dequantize_params(q, jnp.float32)
+    w0 = np.asarray(params["decoder"]["layers"]["self_attn"]["q_proj"]["w"])
+    w1 = np.asarray(deq["decoder"]["layers"]["self_attn"]["q_proj"]["w"])
+    rel = np.abs(w0 - w1).max() / np.abs(w0).max()
+    assert rel < 0.02
+    # memory halves vs f32 on quantized leaves
+    assert quantized_bytes(q) < quantized_bytes(params)
+
+
+def test_quantized_generation_close_to_full():
+    from acestep_tpu.pipeline.handler import AceStepHandler
+
+    kw = dict(dit_config=DiTConfig.tiny(fsq_dim=64),
+              vae_config=VAEConfig.tiny(decoder_input_channels=64),
+              dtype=jnp.float32, frame_bucket=20, min_frames=20,
+              refer_frames=10)
+    full = AceStepHandler(**kw)
+    full.initialize_service(seed=0)
+    quant = AceStepHandler(**kw)
+    quant.initialize_service(seed=0, quantization="int8")
+
+    gen_kw = dict(audio_duration=0.8, seeds=7, normalize=False)
+    a = full.generate_music("song", "x", **gen_kw)
+    b = quant.generate_music("song", "x", **gen_kw)
+    # int8 weights perturb the trajectory but keep it sane and correlated
+    assert np.all(np.isfinite(b.pred_latents))
+    corr = np.corrcoef(a.pred_latents.ravel(), b.pred_latents.ravel())[0, 1]
+    assert corr > 0.95
+
+    # audio_to_codes still works (tokenizer unquantized)
+    audio = np.zeros((full.vae_cfg.hop_length * 20, 2), np.float32)
+    codes = quant.audio_to_codes(audio)
+    assert codes.startswith("<|audio_code_")
+
+
+def test_unknown_quantization_rejected():
+    from acestep_tpu.pipeline.handler import AceStepHandler
+
+    h = AceStepHandler(dit_config=DiTConfig.tiny(fsq_dim=64),
+                       vae_config=VAEConfig.tiny(decoder_input_channels=64))
+    with pytest.raises(ValueError):
+        h.initialize_service(quantization="fp4")

@@ -145,3 +145,32 @@ def test_analysis_only_flow(tmp_path):
         state.shutdown()
         server.shutdown()
         server.server_close()
+
+
+def test_tensor_info_and_export(tiny_server):
+    handler, state, port, tmp_path = tiny_server
+    tensor_dir = _make_tensor_dir(handler, tmp_path / "tensors3")
+    _, out = _post(port, "/v1/training/load_tensor_info",
+                   {"dataset_dir": tensor_dir})
+    assert out["data"]["num_samples"] == 3
+    assert out["data"]["frames_max"] >= out["data"]["frames_min"] > 0
+
+    status, _ = _post(port, "/v1/training/load_tensor_info",
+                      {"dataset_dir": str(tmp_path / "nope")})
+    assert status == 404
+
+    # quick training run, then export lists the adapter artifact
+    _post(port, "/v1/training/start", {
+        "dataset_dir": tensor_dir,
+        "config": {"rank": 2, "max_steps": 2, "batch_size": 1,
+                   "checkpoint_every": 0, "log_every": 1,
+                   "output_dir": str(tmp_path / "exp_out"),
+                   "adapter_name": "exported"}})
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        _, st = _get(port, "/v1/training/status")
+        if st["data"]["status"] in ("completed", "failed"):
+            break
+        time.sleep(0.3)
+    _, out = _post(port, "/v1/training/export", {})
+    assert any(p.endswith("exported.npz") for p in out["data"]["adapters"])
