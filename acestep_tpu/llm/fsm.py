@@ -107,6 +107,34 @@ def default_keyscales() -> List[str]:
             for m in KEYSCALE_MODES]
 
 
+class GenresVocab:
+    """Hot-reloaded genres list (reference: genres trie reloaded from
+    genres_vocab.txt on change, constrained_logits_processor.py)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._mtime = 0.0
+        self._values: List[str] = []
+
+    def get(self) -> List[str]:
+        import os
+
+        try:
+            mtime = os.path.getmtime(self.path)
+        except OSError:
+            return self._values
+        if mtime != self._mtime:
+            try:
+                with open(self.path, "r", encoding="utf-8") as f:
+                    self._values = [line.strip() for line in f
+                                    if line.strip()
+                                    and not line.startswith("#")]
+                self._mtime = mtime
+            except OSError:
+                pass
+        return self._values
+
+
 class MetadataFSM:
     """Single-sequence FSM. One per generated (conditional) sequence; the
     unconditional CFG twin shares the sampled tokens so it needs no FSM."""

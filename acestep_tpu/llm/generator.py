@@ -138,13 +138,18 @@ class LMEngine:
         stop_reasons = ["length"] * B
         eos_id = getattr(self.tok, "eos_token_id", None)
 
-        for step in range(max_new_tokens):
-            lg = np.asarray(logits, np.float32)
-            mixed = (lg[B:] + cfg_scale * (lg[:B] - lg[B:])) if do_cfg else lg[:B]
+        # One fused device step per token: CFG mix + FSM mask + sample +
+        # KV-cache decode in a single dispatch, so the host loop does exactly
+        # one upload (the mask) and one readback (the token) per step — the
+        # difference between ~4 and ~1 tunnel round-trips per token.
+        step_fn = self._masked_step(do_cfg, cfg_scale, temperature,
+                                    top_k, top_p)
+        vocab = self.cfg.vocab_size
+        row_lens_dev = jnp.asarray(row_lens)
 
-            allow = None
+        for step in range(max_new_tokens):
+            allow = np.ones((B, vocab), bool)
             if fsms is not None:
-                allow = np.ones((B, mixed.shape[-1]), bool)
                 for i, fsm in enumerate(fsms):
                     if fsm is None or done[i]:
                         continue
@@ -154,11 +159,11 @@ class LMEngine:
                         allow[i, : len(m)] |= m
 
             key, sub = jax.random.split(key)
-            toks = sample_tokens(
-                sub, jnp.asarray(mixed), temperature=temperature, top_k=top_k,
-                top_p=top_p,
-                allow_mask=None if allow is None else jnp.asarray(allow))
-            toks = np.asarray(toks)
+            toks_dev, logits, cache = step_fn(
+                self.params, logits, jnp.asarray(allow), cache,
+                row_lens_dev, sub)
+            row_lens_dev = row_lens_dev + 1
+            toks = np.asarray(toks_dev)
 
             for i in range(B):
                 if done[i]:
@@ -182,16 +187,38 @@ class LMEngine:
             if done.all():
                 break
 
-            # feed token to both halves (CFG shares sampled tokens)
-            next_tokens = np.concatenate([toks, toks]) if do_cfg else toks
-            logits, cache = self._decode(self.params, jnp.asarray(next_tokens),
-                                         jnp.asarray(row_lens), cache)
-            row_lens = row_lens + 1
-
         for i in range(B):
             texts[i] = self.tok.decode(generated[i])
         return GenOutput(token_ids=generated, texts=texts,
                          stop_reasons=stop_reasons)
+
+    def _masked_step(self, do_cfg: bool, cfg_scale: float, temperature: float,
+                     top_k: int, top_p: float):
+        """Cached jitted fused step: mix -> mask -> sample -> decode."""
+        if not hasattr(self, "_step_fns"):
+            self._step_fns = {}
+        cache_key = (do_cfg, round(cfg_scale, 4), round(temperature, 4),
+                     top_k, round(top_p, 4))
+        if cache_key in self._step_fns:
+            return self._step_fns[cache_key]
+
+        cfg_ = self.cfg
+
+        @jax.jit
+        def step(params, logits, allow, cache, row_lens, key):
+            B = logits.shape[0] // 2 if do_cfg else logits.shape[0]
+            mixed = (logits[B:] + cfg_scale * (logits[:B] - logits[B:])
+                     if do_cfg else logits)
+            toks = sample_tokens(key, mixed, temperature=temperature,
+                                 top_k=top_k, top_p=top_p, allow_mask=allow)
+            feed = jnp.concatenate([toks, toks]) if do_cfg else toks
+            hidden, cache = lm_forward(params, cfg_, feed[:, None], cache,
+                                       start_pos=row_lens)
+            logits = lm_logits(params, cfg_, hidden)[:, 0]
+            return toks, logits, cache
+
+        self._step_fns[cache_key] = step
+        return step
 
     # --------------------------------------------------------------
     # On-device codes decoding (phase 2 fast path)

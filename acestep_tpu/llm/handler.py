@@ -13,6 +13,7 @@ TPU equivalent of all three.
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -142,6 +143,13 @@ class LLMHandler:
         self.engine = LMEngine(params, self.cfg, self.tokenizer,
                                dtype=self.dtype, mesh=mesh)
         self.tables = TokenTables(self.tokenizer)
+        self.genres_vocab = None
+        genres_path = os.environ.get("ACESTEP_GENRES_VOCAB") or (
+            os.path.join(checkpoint_dir, "genres_vocab.txt")
+            if checkpoint_dir else None)
+        if genres_path and os.path.exists(genres_path):
+            from acestep_tpu.llm.fsm import GenresVocab
+            self.genres_vocab = GenresVocab(genres_path)
         self.initialized = True
 
     # --------------------------------------------------------------
@@ -222,8 +230,11 @@ class LLMHandler:
         neg = self.build_formatted_prompt(caption, lyrics,
                                           is_negative_prompt=True,
                                           negative_prompt=negative_prompt)
+        genres = self.genres_vocab.get() if self.genres_vocab else None
         fsm = MetadataFSM(self.tables, user_metadata=user_metadata,
                           max_duration=self.max_duration,
+                          genres_vocab=genres,
+                          skip_genres=not genres,
                           enabled=constrained)
         out = self.engine.generate(
             [prompt], unconditional_prompts=[neg], cfg_scale=cfg_scale,

@@ -175,3 +175,17 @@ def test_unconstrained_still_runs(handler):
         "x", "", infer_type="dit", constrained=False, seed=2,
         max_cot_tokens=16)
     assert "metadata" in res
+
+
+def test_genres_vocab_hot_reload(tmp_path):
+    from acestep_tpu.llm.fsm import GenresVocab
+
+    path = tmp_path / "genres_vocab.txt"
+    path.write_text("synthwave\nlofi\n# comment\n\n")
+    vocab = GenresVocab(str(path))
+    assert vocab.get() == ["synthwave", "lofi"]
+    import os, time
+    time.sleep(0.01)
+    path.write_text("ambient\n")
+    os.utime(path)
+    assert vocab.get() == ["ambient"]
