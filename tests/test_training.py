@@ -150,3 +150,43 @@ def test_trained_adapter_loads_into_manager(tmp_path):
     assert info["adapter_name"] == "mystyle"
     effective = manager.effective_params()
     assert effective is not params
+
+
+def test_full_trainer_with_orbax_resume(tmp_path):
+    from acestep_tpu.training.trainer_full import FullTrainer, FullTrainingConfig
+
+    cfg = DiTConfig.tiny()
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    out = str(tmp_path / "full")
+    tcfg = FullTrainingConfig(max_steps=4, checkpoint_every=2, log_every=1,
+                              warmup_steps=1, output_dir=out)
+    trainer = FullTrainer(params, cfg, tcfg)
+    events = list(trainer.train(_tiny_training_batches(cfg, 6)))
+    assert trainer.step == 4
+    assert any("checkpoint" in e[2] for e in events)
+
+    # fresh trainer restores the latest checkpoint and continues
+    trainer2 = FullTrainer(params, cfg, dataclasses_replace(tcfg, max_steps=6))
+    assert trainer2.restore()
+    assert trainer2.step == 4
+    events2 = list(trainer2.train(_tiny_training_batches(cfg, 6)))
+    assert trainer2.step == 6
+    assert all(np.isfinite(e[1]) for e in events2)
+
+
+def test_full_trainer_sharded_mesh(tmp_path):
+    from acestep_tpu.training.trainer_full import FullTrainer, FullTrainingConfig
+
+    cfg = DiTConfig.tiny()
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    tcfg = FullTrainingConfig(max_steps=2, checkpoint_every=0, log_every=1,
+                              warmup_steps=1, mesh_dp=2, mesh_tp=2,
+                              output_dir=str(tmp_path / "mesh"))
+    trainer = FullTrainer(params, cfg, tcfg)
+    events = list(trainer.train(_tiny_training_batches(cfg, 3, batch=4)))
+    assert trainer.step == 2 and np.isfinite(events[-1][1])
+
+
+def dataclasses_replace(tcfg, **kw):
+    import dataclasses
+    return dataclasses.replace(tcfg, **kw)
