@@ -145,6 +145,7 @@ class MetadataFSM:
                  genres_vocab: Optional[Sequence[str]] = None,
                  max_duration: int = DURATION_MAX,
                  codes_per_second: int = 5,
+                 caption_max_tokens: int = 64,
                  phase: str = "cot",
                  enabled: bool = True):
         self.t = tables
@@ -154,6 +155,7 @@ class MetadataFSM:
         self.skip_genres = skip_genres and "genres" not in self.user
         self.max_duration = int(max_duration)
         self.codes_per_second = codes_per_second
+        self.caption_max_tokens = caption_max_tokens
         self.metadata_text: Dict[str, str] = {}
         self.target_codes: Optional[int] = None
         self.n_codes = 0
@@ -268,6 +270,10 @@ class MetadataFSM:
                 m[self.t.newline_ids] = True
             return m
         if self._mode == "caption":
+            if len(self._value_tokens) >= self.caption_max_tokens:
+                m = np.zeros(V, bool)   # budget exhausted: newline only
+                m[self.t.newline_ids] = True
+                return m
             m = self.t.caption_mask.copy()
             if self._value_tokens:   # newline ends the field, but not first
                 m[self.t.newline_ids] = True

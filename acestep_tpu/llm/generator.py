@@ -221,6 +221,109 @@ class LMEngine:
         return step
 
     # --------------------------------------------------------------
+    # On-device constrained CoT decoding (phase 1 fast path)
+    # --------------------------------------------------------------
+
+    def _cot_loop_fn(self, do_cfg: bool, cfg_scale: float, temperature: float,
+                     top_k: int, top_p: float, max_tokens: int,
+                     done_state: int):
+        """One compiled lax.while_loop decoding the whole CoT phase against
+        device-resident FSM tables (llm/fsm_device.py) — zero per-token host
+        round-trips (the host loop costs ~1 RTT/token over a TPU tunnel)."""
+        cfg_ = self.cfg
+
+        def loop(params, logits0, cache, row_lens, key, tbl):
+            V = logits0.shape[-1]
+
+            def mix(lg):
+                B = lg.shape[0] // 2 if do_cfg else lg.shape[0]
+                return (lg[B:] + cfg_scale * (lg[:B] - lg[B:])) if do_cfg \
+                    else lg
+
+            def cond(carry):
+                _, _, _, _, state, _, i = carry
+                return (state != done_state) & (i < max_tokens)
+
+            def body(carry):
+                logits, cache, row_lens, key, state, toks, i = carry
+                key, sub = jax.random.split(key)
+                allowed = jnp.zeros((V,), bool).at[tbl["alphabet"]].set(
+                    tbl["mask"][state])
+                allowed = allowed | (tbl["use_caption"][state]
+                                     & tbl["caption_mask"])
+                tok = sample_tokens(sub, mix(logits),
+                                    temperature=temperature, top_k=top_k,
+                                    top_p=top_p,
+                                    allow_mask=allowed[None])[0]
+                a = tbl["token_to_alpha"][tok]
+                state = jnp.where(a >= 0, tbl["trans"][state, a],
+                                  tbl["other_next"][state])
+                toks = toks.at[i].set(tok)
+                feed = jnp.full((2 if do_cfg else 1,), tok, jnp.int32)
+                hidden, cache = lm_forward(params, cfg_, feed[:, None], cache,
+                                           start_pos=row_lens)
+                logits = lm_logits(params, cfg_, hidden)[:, 0]
+                return (logits, cache, row_lens + 1, key, state, toks, i + 1)
+
+            toks0 = jnp.full((max_tokens,), -1, jnp.int32)
+            state0 = tbl["start"]
+            carry = (logits0, cache, row_lens, key, state0, toks0,
+                     jnp.zeros((), jnp.int32))
+            carry = jax.lax.while_loop(cond, body, carry)
+            return carry[5], carry[6]          # tokens, count
+
+        return jax.jit(loop)
+
+    def generate_cot_device(self, prompt: str, *,
+                            unconditional_prompt: Optional[str] = None,
+                            cfg_scale: float = 1.0, temperature: float = 0.85,
+                            top_k: int = 0, top_p: float = 1.0,
+                            fsm_tables=None, max_tokens: int = 256,
+                            seed: int = 0) -> List[int]:
+        """Decode one CoT sequence fully on device. Returns token ids."""
+        do_cfg = cfg_scale != 1.0 and unconditional_prompt is not None
+        all_prompts = [prompt] + ([unconditional_prompt] if do_cfg else [])
+        rows = [self.tok.encode(p) for p in all_prompts]
+        lens = np.asarray([len(r) for r in rows], np.int32)
+        L = _bucket(int(lens.max()))
+        pad_id = getattr(self.tok, "pad_token_id", 0) or 0
+        ids = np.full((len(rows), L), pad_id, np.int32)
+        for i, r in enumerate(rows):
+            ids[i, : min(len(r), L)] = r[:L]
+        lens = np.minimum(lens, L)
+
+        cache = KVCache.create(self.cfg, len(rows),
+                               min(self.max_len, L + max_tokens + 8),
+                               dtype=self.dtype)
+        logits, cache = self._prefill(self.params, jnp.asarray(ids),
+                                      jnp.asarray(lens), cache)
+
+        key = ("cot", do_cfg, round(cfg_scale, 4), round(temperature, 4),
+               top_k, round(top_p, 4), max_tokens, fsm_tables.done,
+               fsm_tables.num_states, len(fsm_tables.alphabet))
+        if not hasattr(self, "_cot_fns"):
+            self._cot_fns = {}
+        if key not in self._cot_fns:
+            self._cot_fns[key] = self._cot_loop_fn(
+                do_cfg, cfg_scale, temperature, top_k, top_p, max_tokens,
+                fsm_tables.done)
+        tbl = {
+            "alphabet": jnp.asarray(fsm_tables.alphabet),
+            "token_to_alpha": jnp.asarray(fsm_tables.token_to_alpha),
+            "mask": jnp.asarray(fsm_tables.mask),
+            "use_caption": jnp.asarray(fsm_tables.use_caption),
+            "trans": jnp.asarray(fsm_tables.trans),
+            "other_next": jnp.asarray(fsm_tables.other_next),
+            "caption_mask": jnp.asarray(fsm_tables.caption_mask),
+            "start": jnp.asarray(fsm_tables.start, jnp.int32),
+        }
+        toks, count = self._cot_fns[key](
+            self.params, logits, cache, jnp.asarray(lens),
+            jax.random.PRNGKey(seed), tbl)
+        count = int(count)
+        return np.asarray(toks)[:count].tolist()
+
+    # --------------------------------------------------------------
     # On-device codes decoding (phase 2 fast path)
     # --------------------------------------------------------------
 

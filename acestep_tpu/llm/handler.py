@@ -204,6 +204,23 @@ class LLMHandler:
             formatted += "\n"
         return formatted
 
+    def _cot_tables(self, user_metadata: Optional[dict], genres):
+        """Cached device-FSM tables per (user metadata, genres) shape."""
+        from acestep_tpu.llm.fsm_device import build_cot_tables
+
+        user = {k: v for k, v in (user_metadata or {}).items()
+                if v not in (None, "", "N/A")}
+        key = (tuple(sorted((k, str(v)) for k, v in user.items())),
+               tuple(genres) if genres else None, self.max_duration)
+        if not hasattr(self, "_cot_table_cache"):
+            self._cot_table_cache = {}
+        if key not in self._cot_table_cache:
+            self._cot_table_cache[key] = build_cot_tables(
+                self.tables, user_metadata=user,
+                skip_genres=not genres, genres_vocab=genres,
+                max_duration=self.max_duration)
+        return self._cot_table_cache[key]
+
     # --------------------------------------------------------------
     # Two-phase generation (reference generate_with_stop_condition)
     # --------------------------------------------------------------
@@ -236,12 +253,25 @@ class LLMHandler:
                           genres_vocab=genres,
                           skip_genres=not genres,
                           enabled=constrained)
-        out = self.engine.generate(
-            [prompt], unconditional_prompts=[neg], cfg_scale=cfg_scale,
-            temperature=temperature, top_k=top_k, top_p=top_p,
-            max_new_tokens=max_cot_tokens, stop_strings=("</think>",),
-            fsms=[fsm], seed=seed)
-        cot_raw = out.texts[0]
+        if constrained:
+            # device-resident FSM: the whole CoT phase is one on-device
+            # while_loop (fsm_device.py); replay tokens through the host FSM
+            # afterwards to extract metadata.
+            tables = self._cot_tables(user_metadata, genres)
+            token_ids = self.engine.generate_cot_device(
+                prompt, unconditional_prompt=neg, cfg_scale=cfg_scale,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                fsm_tables=tables, max_tokens=max_cot_tokens, seed=seed)
+            for t in token_ids:
+                fsm.advance(t)
+            cot_raw = self.tokenizer.decode(token_ids)
+        else:
+            out = self.engine.generate(
+                [prompt], unconditional_prompts=[neg], cfg_scale=cfg_scale,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                max_new_tokens=max_cot_tokens, stop_strings=("</think>",),
+                fsms=None, seed=seed)
+            cot_raw = out.texts[0]
         metadata, _ = parse_lm_output(cot_raw)
         for k, v in (fsm.metadata() or {}).items():
             metadata.setdefault(k, v)

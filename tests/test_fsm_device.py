@@ -1,0 +1,105 @@
+"""Device-FSM parity tests: compiled tables vs the host MetadataFSM."""
+
+import numpy as np
+import pytest
+
+from acestep_tpu.llm.fsm import MetadataFSM, TokenTables
+from acestep_tpu.llm.fsm_device import build_cot_tables
+from acestep_tpu.llm.handler import LLMHandler
+from acestep_tpu.llm.tokenizer import SimpleTokenizer
+
+
+@pytest.fixture(scope="module")
+def handler():
+    h = LLMHandler()
+    h.initialize()
+    return h
+
+
+def _host_replay_check(tables_obj, tokens, **fsm_kwargs):
+    """Every device-sampled token must be allowed by the host FSM, and the
+    host FSM must reach the finished state."""
+    fsm = MetadataFSM(tables_obj, **fsm_kwargs)
+    for t in tokens:
+        mask = fsm.next_mask()
+        assert mask is None or mask[t], (
+            f"device emitted token {t} ({tables_obj.tok.decode([t])!r}) "
+            f"not allowed by host FSM")
+        fsm.advance(t)
+    assert fsm.finished
+    return fsm
+
+
+def test_device_trajectory_valid_under_host_fsm(handler):
+    tables = handler._cot_tables(None, None)
+    tokens = handler.engine.generate_cot_device(
+        "write a song", fsm_tables=tables, max_tokens=256, seed=0,
+        temperature=0.9)
+    fsm = _host_replay_check(handler.tables, tokens,
+                             max_duration=handler.max_duration)
+    meta = fsm.metadata()
+    assert 30 <= int(meta["bpm"]) <= 300
+    assert 10 <= int(meta["duration"]) <= 600
+    assert meta["timesignature"] in (2, 3, 4, 6)
+    assert meta["language"]
+    text = handler.tokenizer.decode(tokens)
+    assert text.startswith("<think>") and text.endswith("</think>")
+
+
+def test_device_matches_host_loop_greedy(handler):
+    """temperature=0 greedy: device while_loop == host per-token loop."""
+    prompt = handler.build_formatted_prompt("happy tune", "[inst]")
+    tables = handler._cot_tables(None, None)
+    dev = handler.engine.generate_cot_device(
+        prompt, fsm_tables=tables, max_tokens=200, seed=1, temperature=0.0)
+
+    fsm = MetadataFSM(handler.tables, max_duration=handler.max_duration)
+    out = handler.engine.generate(
+        [prompt], max_new_tokens=200, stop_strings=("</think>",),
+        fsms=[fsm], seed=1, temperature=0.0)
+    assert dev == out.token_ids[0]
+
+
+def test_device_respects_user_metadata(handler):
+    user = {"bpm": 128, "duration": 42, "timesignature": 4}
+    tables = handler._cot_tables(user, None)
+    tokens = handler.engine.generate_cot_device(
+        "x", fsm_tables=tables, max_tokens=256, seed=3, temperature=0.8)
+    fsm = _host_replay_check(handler.tables, tokens, user_metadata=user,
+                             max_duration=handler.max_duration)
+    meta = fsm.metadata()
+    assert meta["bpm"] == 128
+    assert meta["duration"] == 42
+    assert fsm.target_codes == 42 * 5
+
+
+def test_device_cfg_pairing(handler):
+    tables = handler._cot_tables(None, None)
+    tokens = handler.engine.generate_cot_device(
+        "energetic metal", unconditional_prompt="NO USER INPUT",
+        cfg_scale=2.0, fsm_tables=tables, max_tokens=256, seed=4,
+        temperature=0.9)
+    _host_replay_check(handler.tables, tokens,
+                       max_duration=handler.max_duration)
+
+
+def test_phase1_uses_device_fsm_end_to_end(handler):
+    out = handler.generate_with_stop_condition(
+        "a calm piano piece", "[inst]", infer_type="dit",
+        constrained=True, seed=6)
+    meta = out["metadata"]
+    assert 30 <= int(meta["bpm"]) <= 300
+    assert out["cot_text"].startswith("<think>")
+
+
+def test_tables_shape_sanity(handler):
+    tables = build_cot_tables(handler.tables)
+    S, A = tables.mask.shape
+    assert tables.trans.shape == (S, A)
+    assert tables.use_caption.shape == (S,)
+    assert 0 <= tables.start < S and 0 <= tables.done < S
+    # done is absorbing
+    assert (tables.trans[tables.done] == tables.done).all()
+    assert tables.other_next[tables.done] == tables.done
+    # alphabet is deduplicated + sorted
+    assert (np.diff(tables.alphabet) > 0).all()
