@@ -785,10 +785,20 @@ def main(argv: Optional[List[str]] = None) -> None:
     parser.add_argument("--examples-dir", default="examples")
     parser.add_argument("--api-key", default=os.environ.get("ACESTEP_API_KEY"))
     parser.add_argument("--workers", type=int, default=1)
+    parser.add_argument("--warmup", default="10,30,60",
+                        help="comma-separated durations to precompile "
+                             "('' disables)")
+    parser.add_argument("--quantization", default=None,
+                        choices=[None, "int8"])
     args = parser.parse_args(argv)
 
     dit = AceStepHandler()
-    dit.initialize_service(checkpoint_dir=args.checkpoint_dir)
+    dit.initialize_service(checkpoint_dir=args.checkpoint_dir,
+                           quantization=args.quantization)
+    if args.warmup:
+        durations = [float(d) for d in args.warmup.split(",") if d]
+        print(f"[acestep_tpu] warming {durations}...")
+        print(f"[acestep_tpu] warmup: {dit.warmup(durations)}")
     llm = None
     if args.lm_checkpoint_dir:
         llm = LLMHandler()

@@ -162,3 +162,9 @@ def test_sft_custom_timesteps():
     assert np.isfinite(res.audios[0]).all()
     assert len(res.extra["schedule"]) == 6          # appended terminal 0.0
     assert res.extra["schedule"][-1] == 0.0
+
+
+def test_warmup_compiles_buckets(handler):
+    timings = handler.warmup(durations=(0.8,), batch_sizes=(1,),
+                             infer_steps=4)
+    assert "b1_d0" in timings and timings["b1_d0"] >= 0
