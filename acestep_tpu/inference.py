@@ -95,6 +95,7 @@ class GenerationConfig:
     constrained_decoding_debug: bool = False
     audio_format: str = "wav"   # reference defaults to flac; wav is always available
     output_dir: str = "outputs"
+    want_lrc: bool = False      # per-result LRC + alignment score
 
     def to_dict(self) -> Dict[str, Any]:
         return asdict(self)
@@ -260,13 +261,26 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
         for i, path in enumerate(res.audio_paths or [None] * len(res.audios)):
             p_dict = params.to_dict()
             p_dict["seed"] = res.seeds[i]
-            audios.append({
+            entry = {
                 "path": path,
                 "key": generate_uuid_from_params(p_dict),
                 "seed": res.seeds[i],
                 "params": p_dict,
                 "sample_rate": res.sample_rate,
-            })
+            }
+            if config.want_lrc and lyrics.strip().lower() not in (
+                    "", "[inst]", "[instrumental]"):
+                try:
+                    lrc = dit_handler.generate_lrc(
+                        res.pred_latents[i], meta.get("caption", ""), lyrics,
+                        metas={k: v for k, v in meta.items()
+                               if k != "caption"},
+                        vocal_language=meta.get("language", "en"))
+                    entry["lrc"] = lrc["lrc"]
+                    entry["alignment_score"] = lrc["score"]
+                except Exception as e:   # best-effort decoration
+                    entry["lrc_error"] = str(e)
+            audios.append(entry)
         return GenerationResult(
             audios=audios,
             status_message="success",

@@ -738,6 +738,12 @@ class AceStepHandler:
         from acestep_tpu.scoring.lyric_score import lyric_alignment_score
 
         capture = capture or DEFAULT_CAPTURE
+        n_heads = self.cfg.num_attention_heads
+        capture = {layer: [h for h in heads if h < n_heads] or [0]
+                   for layer, heads in capture.items()
+                   if layer < self.cfg.num_hidden_layers}
+        if not capture:
+            capture = {0: [0]}
         x0 = np.asarray(pred_latents, np.float32)
         if x0.ndim == 2:
             x0 = x0[None]

@@ -85,6 +85,7 @@ class GenerateMusicRequest:
 
     constrained_decoding: bool = True
     constrained_decoding_debug: bool = False
+    want_lrc: bool = False          # attach LRC + alignment score per result
     use_cot_caption: bool = True
     use_cot_language: bool = True
     is_format_caption: bool = False

@@ -219,6 +219,7 @@ class AppState:
             output_dir=self.output_dir,
             allow_lm_batch=req.allow_lm_batch,
             constrained_decoding_debug=req.constrained_decoding_debug,
+            want_lrc=req.want_lrc,
         )
 
         if req.analysis_only or req.full_analysis_only:

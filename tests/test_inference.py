@@ -95,3 +95,32 @@ def test_understand_music_stub():
     assert res.caption == "understood"
     res2 = understand_music(None, "")
     assert not res2.success
+
+
+def test_want_lrc_attaches_lrc_and_score():
+    import jax.numpy as jnp
+
+    from acestep_tpu.config import DiTConfig, VAEConfig
+    from acestep_tpu.inference import (
+        GenerationConfig, GenerationParams, generate_music)
+    from acestep_tpu.pipeline.handler import AceStepHandler
+
+    h = AceStepHandler(
+        dit_config=DiTConfig.tiny(fsq_dim=64),
+        vae_config=VAEConfig.tiny(decoder_input_channels=64),
+        dtype=jnp.float32, frame_bucket=16, min_frames=16, refer_frames=10)
+    h.initialize_service(seed=0)
+    params = GenerationParams(caption="a song", lyrics="la la\nla la",
+                              duration=0.64, thinking=False, seed=1)
+    config = GenerationConfig(batch_size=1, want_lrc=True,
+                              output_dir=None)
+    res = generate_music(h, None, params, config)
+    assert res.success, res.error
+    assert "lrc" in res.audios[0], res.audios[0].get("lrc_error")
+    assert isinstance(res.audios[0]["lrc"], str)
+    assert 0.0 <= res.audios[0]["alignment_score"]["score"] <= 1.0
+
+    # instrumental: no LRC attempted
+    params.lyrics = "[inst]"
+    res2 = generate_music(h, None, params, config)
+    assert "lrc" not in res2.audios[0]
