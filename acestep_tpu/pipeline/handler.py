@@ -667,6 +667,11 @@ class AceStepHandler:
                    "schedule": list(schedule)},
         )
 
+    # Batch-level alias matching the reference's service_generate entry
+    # (service_generate.py:21 — same capability; generate_music already
+    # operates on batches here).
+    service_generate = generate_music
+
     # --------------------------------------------------------------
     # Shape prewarming (serving: compile common buckets before traffic)
     # --------------------------------------------------------------

@@ -463,6 +463,12 @@ class _Handler(BaseHTTPRequestHandler):
             elif route in ("/v1/training/start", "/v1/training/start_lora",
                            "/v1/training/start_lokr"):
                 config = dict(body.get("config") or {})
+                preset = body.get("preset")
+                if preset:
+                    from acestep_tpu.training.presets import PRESETS
+                    base = dict(PRESETS.get(preset, {}))
+                    base.update(config)
+                    config = base
                 if route.endswith("lokr"):
                     config.setdefault("kind", "lokr")
                 try:

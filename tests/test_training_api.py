@@ -174,3 +174,23 @@ def test_tensor_info_and_export(tiny_server):
         time.sleep(0.3)
     _, out = _post(port, "/v1/training/export", {})
     assert any(p.endswith("exported.npz") for p in out["data"]["adapters"])
+
+
+def test_training_start_with_preset(tiny_server):
+    handler, state, port, tmp_path = tiny_server
+    tensor_dir = _make_tensor_dir(handler, tmp_path / "tensors_p")
+    status, out = _post(port, "/v1/training/start", {
+        "dataset_dir": tensor_dir, "preset": "quick",
+        "config": {"max_steps": 2, "checkpoint_every": 0, "log_every": 1,
+                   "output_dir": str(tmp_path / "p_out")}})
+    assert status == 200
+    cfg = out["data"]["config"]
+    assert cfg["rank"] == 8            # from 'quick' preset
+    assert cfg["max_steps"] == 2       # explicit override wins
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        _, st = _get(port, "/v1/training/status")
+        if st["data"]["status"] in ("completed", "failed"):
+            break
+        time.sleep(0.3)
+    assert st["data"]["status"] == "completed"
