@@ -786,6 +786,12 @@ def main(argv: Optional[List[str]] = None) -> None:
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8019)
     parser.add_argument("--checkpoint-dir", default=None)
+    # multi-model: up to three DiT variants (reference ACESTEP_CONFIG_PATH2/3,
+    # api_server.py:1272-1289); request field `model` selects one.
+    parser.add_argument("--checkpoint-dir2",
+                        default=os.environ.get("ACESTEP_CONFIG_PATH2"))
+    parser.add_argument("--checkpoint-dir3",
+                        default=os.environ.get("ACESTEP_CONFIG_PATH3"))
     parser.add_argument("--lm-checkpoint-dir", default=None)
     parser.add_argument("--output-dir", default="outputs")
     parser.add_argument("--persist-dir", default=".cache/acestep_tpu/api")
@@ -799,19 +805,28 @@ def main(argv: Optional[List[str]] = None) -> None:
                         choices=[None, "int8"])
     args = parser.parse_args(argv)
 
-    dit = AceStepHandler()
-    dit.initialize_service(checkpoint_dir=args.checkpoint_dir,
-                           quantization=args.quantization)
+    handlers = {}
+    for idx, ckpt in enumerate([args.checkpoint_dir, args.checkpoint_dir2,
+                                args.checkpoint_dir3]):
+        if idx > 0 and not ckpt:
+            continue
+        name = (os.path.basename(ckpt.rstrip("/")) if ckpt
+                else "acestep-v15-turbo")
+        dit = AceStepHandler()
+        dit.initialize_service(checkpoint_dir=ckpt,
+                               quantization=args.quantization)
+        handlers[name] = dit
+    primary = next(iter(handlers.values()))
     if args.warmup:
         durations = [float(d) for d in args.warmup.split(",") if d]
         print(f"[acestep_tpu] warming {durations}...")
-        print(f"[acestep_tpu] warmup: {dit.warmup(durations)}")
+        print(f"[acestep_tpu] warmup: {primary.warmup(durations)}")
     llm = None
     if args.lm_checkpoint_dir:
         llm = LLMHandler()
         llm.initialize(checkpoint_dir=args.lm_checkpoint_dir)
 
-    state = AppState({"acestep-v15-turbo": dit}, llm,
+    state = AppState(handlers, llm,
                      output_dir=args.output_dir,
                      persist_dir=args.persist_dir,
                      examples_dir=args.examples_dir,
