@@ -98,7 +98,8 @@ class AceStepHandler:
     def initialize_service(self, checkpoint_dir: Optional[str] = None,
                            vae_dir: Optional[str] = None,
                            text_embedder=None, seed: int = 0,
-                           quantization: Optional[str] = None) -> None:
+                           quantization: Optional[str] = None,
+                           vae_params: Optional[dict] = None) -> None:
         """Load checkpoints when given, otherwise seeded random init (all
         structural behavior is weight-independent).
 
@@ -117,7 +118,10 @@ class AceStepHandler:
             dit_init = jax.jit(lambda k: jax.tree.map(
                 lambda x: x.astype(self.dtype), init_dit_params(k, self.cfg)))
             self.params = dit_init(jax.random.PRNGKey(seed))
-        if vae_dir:
+        if vae_params is not None:
+            # multi-model serving shares one VAE across DiT variants
+            self.vae_params = vae_params
+        elif vae_dir:
             from acestep_tpu.utils.checkpoint import load_vae_checkpoint
             self.vae_params = load_vae_checkpoint(vae_dir, self.vae_cfg, self.dtype)
         else:

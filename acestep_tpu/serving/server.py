@@ -191,9 +191,13 @@ class AppState:
             finally:
                 self.job_queue.task_done()
 
-    def _select_handler(self, model: Optional[str]):
+    def _select_handler(self, model: Optional[str], strict: bool = False):
         if model and model in self.dit_handlers:
             return model, self.dit_handlers[model]
+        if model and strict:
+            raise KeyError(
+                f"unknown model {model!r}; available: "
+                f"{sorted(self.dit_handlers)}")
         return self.default_model, self.dit_handlers[self.default_model]
 
     def _run_one_job(self, job_id: str, req: GenerateMusicRequest) -> None:
@@ -495,6 +499,11 @@ class _Handler(BaseHTTPRequestHandler):
     def _release_task(self, body: Dict[str, Any]) -> None:
         req = GenerateMusicRequest.from_dict(body)
         state = self.state
+        try:
+            state._select_handler(req.model, strict=True)
+        except KeyError as e:
+            self._send_json(wrap_response(None, 400, str(e)), 400)
+            return
         rec = state.job_store.create()
         with state.pending_lock:
             state.pending_ids.append(rec.job_id)
@@ -785,7 +794,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     parser = argparse.ArgumentParser(description="ACE-Step TPU API server")
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8019)
-    parser.add_argument("--checkpoint-dir", default=None)
+    parser.add_argument("--checkpoint-dir",
+                        default=os.environ.get("ACESTEP_CONFIG_PATH"))
     # multi-model: up to three DiT variants (reference ACESTEP_CONFIG_PATH2/3,
     # api_server.py:1272-1289); request field `model` selects one.
     parser.add_argument("--checkpoint-dir2",
@@ -805,22 +815,52 @@ def main(argv: Optional[List[str]] = None) -> None:
                         choices=[None, "int8"])
     args = parser.parse_args(argv)
 
+    from acestep_tpu.config import DiTConfig
+
+    def variant_config(ckpt):
+        """Resolve model_version from the checkpoint (config.json or dir
+        name) so base/sft variants get the right sampler family."""
+        version = "turbo"
+        if ckpt:
+            cfg_path = os.path.join(ckpt, "config.json")
+            if os.path.exists(cfg_path):
+                try:
+                    import json as _json
+
+                    with open(cfg_path) as f:
+                        version = _json.load(f).get("model_version", version)
+                except (OSError, ValueError):
+                    pass
+            name = os.path.basename(ckpt.rstrip("/")).lower()
+            for v in ("base", "sft"):
+                if v in name.split("-"):
+                    version = v
+        return DiTConfig(model_version=version)
+
     handlers = {}
+    shared_vae = None
+    shared_embedder = None
     for idx, ckpt in enumerate([args.checkpoint_dir, args.checkpoint_dir2,
                                 args.checkpoint_dir3]):
         if idx > 0 and not ckpt:
             continue
         name = (os.path.basename(ckpt.rstrip("/")) if ckpt
                 else "acestep-v15-turbo")
-        dit = AceStepHandler()
+        while name in handlers:      # basename collision: disambiguate
+            name += "+"
+        dit = AceStepHandler(dit_config=variant_config(ckpt))
         dit.initialize_service(checkpoint_dir=ckpt,
-                               quantization=args.quantization)
+                               quantization=args.quantization,
+                               vae_params=shared_vae,
+                               text_embedder=shared_embedder)
+        shared_vae = dit.vae_params          # one VAE across variants
+        shared_embedder = dit.text_embedder
         handlers[name] = dit
-    primary = next(iter(handlers.values()))
     if args.warmup:
         durations = [float(d) for d in args.warmup.split(",") if d]
-        print(f"[acestep_tpu] warming {durations}...")
-        print(f"[acestep_tpu] warmup: {primary.warmup(durations)}")
+        print(f"[acestep_tpu] warming {durations} x {list(handlers)}...")
+        for name, dit in handlers.items():
+            print(f"[acestep_tpu] warmup {name}: {dit.warmup(durations)}")
     llm = None
     if args.lm_checkpoint_dir:
         llm = LLMHandler()

@@ -245,3 +245,17 @@ def test_base64_audio_upload(server_env):
     call = handler.calls[-1]
     # src audio path was materialized and forwarded, then cleaned up
     assert call.get("src_audio") is None or isinstance(call["src_audio"], str)
+
+
+def test_unknown_model_rejected_400(server_env):
+    _, _, port = server_env
+    status, out = _post(port, "/release_task",
+                        {"prompt": "x", "model": "no-such-model",
+                         "thinking": False})
+    assert status == 400
+    assert "no-such-model" in (out.get("error") or "")
+    # valid model name still accepted
+    status, _ = _post(port, "/release_task",
+                      {"prompt": "x", "model": "acestep-v15-turbo-tpu",
+                       "thinking": False})
+    assert status == 200
