@@ -93,7 +93,7 @@ def _init_timestep_embedding(key, cfg: DiTConfig, in_channels: int = 256) -> dic
 
 def init_dit_params(key, cfg: DiTConfig) -> dict:
     """Full parameter tree for AceStepConditionGenerationModel."""
-    ks = jax.random.split(key, 16)
+    ks = jax.random.split(key, 24)
     h = cfg.hidden_size
     decoder = {
         "layers": _init_layer_stack(ks[0], cfg, cfg.num_hidden_layers, _init_dit_layer),
@@ -123,40 +123,40 @@ def init_dit_params(key, cfg: DiTConfig) -> dict:
             "norm": init_rms_norm(h),
             # Kept for checkpoint parity; the reference never prepends it
             # (ref :1084 is commented out).
-            "special_token": jax.random.normal(ks[11], (1, 1, h)),
+            "special_token": jax.random.normal(ks[16], (1, 1, h)),
         },
     }
     klev = len(cfg.fsq_levels)
     tokenizer = {
         "audio_acoustic_proj": init_linear(ks[12], cfg.audio_acoustic_hidden_dim, h),
         "pooler": {
-            "embed_tokens": init_linear(ks[12], h, h),
+            "embed_tokens": init_linear(ks[17], h, h),
             "special_token": jax.random.normal(ks[13], (1, 1, h)) * 0.02,
-            "layers": _init_layer_stack(ks[13], cfg,
+            "layers": _init_layer_stack(ks[18], cfg,
                                         cfg.num_attention_pooler_hidden_layers,
                                         _init_encoder_layer),
             "norm": init_rms_norm(h),
         },
         "fsq": {
             "project_in": init_linear(ks[14], cfg.fsq_dim, klev),
-            "project_out": init_linear(ks[14], klev, cfg.fsq_dim),
+            "project_out": init_linear(ks[19], klev, cfg.fsq_dim),
         },
     }
     detokenizer = {
         "embed_tokens": init_linear(ks[15], h, h),
-        "special_tokens": jax.random.normal(ks[15], (cfg.pool_window_size, h)) * 0.02,
-        "layers": _init_layer_stack(ks[15], cfg,
+        "special_tokens": jax.random.normal(ks[20], (cfg.pool_window_size, h)) * 0.02,
+        "layers": _init_layer_stack(ks[21], cfg,
                                     cfg.num_attention_pooler_hidden_layers,
                                     _init_encoder_layer),
         "norm": init_rms_norm(h),
-        "proj_out": init_linear(ks[15], h, cfg.audio_acoustic_hidden_dim),
+        "proj_out": init_linear(ks[22], h, cfg.audio_acoustic_hidden_dim),
     }
     return {
         "decoder": decoder,
         "encoder": encoder,
         "tokenizer": tokenizer,
         "detokenizer": detokenizer,
-        "null_condition_emb": jax.random.normal(key, (1, 1, h)),
+        "null_condition_emb": jax.random.normal(ks[23], (1, 1, h)),
     }
 
 
@@ -734,4 +734,7 @@ def training_loss(params: dict, cfg: DiTConfig, key, *,
     v = dit_decoder(params, cfg, xt, t, t, context_latents,
                     encoder_hidden_states=enc)
     flow = x1 - x0
-    return jnp.mean((v.astype(jnp.float32) - flow.astype(jnp.float32)) ** 2)
+    sq = (v.astype(jnp.float32) - flow.astype(jnp.float32)) ** 2
+    # mask padded frames out of the MSE (bucketed batches pad short songs)
+    m = attention_mask.astype(jnp.float32)[:, :, None]
+    return jnp.sum(sq * m) / jnp.maximum(jnp.sum(m) * sq.shape[-1], 1.0)

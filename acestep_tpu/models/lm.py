@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from acestep_tpu.config import LMConfig
 from acestep_tpu.ops.basic import (
     apply_rope, init_attention, init_linear, init_mlp, init_rms_norm, linear,
-    mlp, rms_norm, rope_cos_sin,
+    mlp, rms_norm, rope_cos_sin, sdpa,
 )
 
 # ------------------------------------------------------------------
@@ -91,17 +91,10 @@ class KVCache:
 
 
 def _attend(q, k, v, mask):
-    """GQA attention, fp32 softmax. q (B,Lq,Hq,D), k/v (B,Lk,Hkv,D)."""
-    B, Lq, Hq, D = q.shape
-    Hkv = k.shape[2]
-    g = Hq // Hkv
-    qg = q.reshape(B, Lq, Hkv, g, D)
-    logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k,
-                        preferred_element_type=jnp.float32) * (D ** -0.5)
-    logits = jnp.where(mask[:, None, None], logits, jnp.finfo(jnp.float32).min)
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
-    return out.reshape(B, Lq, Hq, D)
+    """GQA attention via the shared kernel (ops/basic.sdpa).
+    q (B,Lq,Hq,D), k/v (B,Lk,Hkv,D), mask (B, Lq, Lk) bool."""
+    out, _ = sdpa(q, k, v, mask[:, None])
+    return out
 
 
 def lm_forward(params: dict, cfg: LMConfig, input_ids: jnp.ndarray,
@@ -129,7 +122,11 @@ def lm_forward(params: dict, cfg: LMConfig, input_ids: jnp.ndarray,
     kpos = jnp.arange(max_len)
     mask = kpos[None, None, :] <= positions[:, :, None]         # (B, L, max_len)
     if attention_mask is not None:
-        written = kpos[None, :] >= start[:, None]               # write window+
+        # only the freshly written window [start, start+L) overrides the
+        # caller mask — anything else marked invalid (e.g. left padding at
+        # positions < start) must stay hidden
+        written = ((kpos[None, :] >= start[:, None])
+                   & (kpos[None, :] < (start + L)[:, None]))
         valid = attention_mask.astype(bool) | written
         mask = mask & valid[:, None, :]
 
@@ -166,12 +163,9 @@ def lm_forward(params: dict, cfg: LMConfig, input_ids: jnp.ndarray,
 
 
 def _rope_table(positions: jnp.ndarray, head_dim: int, theta: float):
-    """Per-row RoPE tables: positions (B, L) -> cos/sin (B, L, D)."""
-    half = head_dim // 2
-    inv_freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
-    freqs = positions.astype(jnp.float32)[..., None] * inv_freq
-    emb = jnp.concatenate([freqs, freqs], axis=-1)
-    return jnp.cos(emb), jnp.sin(emb)
+    """Per-row RoPE tables: positions (B, L) -> cos/sin (B, L, D)
+    (shared builder in ops/basic)."""
+    return rope_cos_sin(None, head_dim, theta, positions=positions)
 
 
 def lm_logits(params: dict, cfg: LMConfig, hidden: jnp.ndarray) -> jnp.ndarray:

@@ -210,15 +210,15 @@ def sample_turbo(params, cfg: DiTConfig, *,
         kv, ctx = _select_condition(cond, cond_non_cover, i < cover_cut)
         vt = dit_decoder(params, cfg, xt, t_vec, t_vec, ctx, cross_kv_cache=kv)
 
-        is_last = i == n - 1
-        x_last = get_x0_from_noise(xt, vt, t_vec)
+        # both updates reduce to x0 exactly when t_next == 0 (the final
+        # step), so no is_last special case is needed:
+        # ODE: xt - vt*(t-0) == get_x0_from_noise; SDE: renoise(x0, 0, .) == x0
         if infer_method == "sde":
             k, sub = jax.random.split(k)
             noise = jax.random.normal(sub, xt.shape, xt.dtype)
-            x_next = renoise(get_x0_from_noise(xt, vt, t_vec), t_next, noise)
+            xt = renoise(get_x0_from_noise(xt, vt, t_vec), t_next, noise)
         else:
-            x_next = xt - vt * (t - t_next)
-        xt = jnp.where(is_last, x_last, x_next)
+            xt = xt - vt * (t - t_next)
         return (xt, k), None
 
     (x, _), _ = jax.lax.scan(step, (x_init, key), jnp.arange(n))

@@ -90,12 +90,14 @@ def tiled_decode(params: dict, cfg: VAEConfig, latents: jnp.ndarray, *,
 def tiled_encode(params: dict, cfg: VAEConfig, audio: jnp.ndarray, *,
                  chunk_size: int = DEFAULT_ENCODE_CHUNK,
                  overlap: int = DEFAULT_ENCODE_OVERLAP,
+                 parallel_windows: int = 8,
                  key=None) -> jnp.ndarray:
     """audio (B, L, ch) -> latents (B, ceil(L/hop), latent_dim).
 
     chunk_size / overlap are in latent frames; sample-domain windows are the
     corresponding hop multiples, so trims land exactly on latent frames.
-    """
+    Windows fold into the conv batch in groups (same scheme as
+    tiled_decode) instead of one-at-a-time lax.map."""
     B, L, _ = audio.shape
     hop = cfg.hop_length
     T = -(-L // hop)
@@ -109,13 +111,24 @@ def tiled_encode(params: dict, cfg: VAEConfig, audio: jnp.ndarray, *,
     stride_s, overlap_s = (chunk_size - 2 * overlap) * hop, overlap * hop
     wins, n = _windows(audio, stride_s, overlap_s)
 
-    def encode_one(w):
-        mean, std = vae_encode_moments(params, cfg, w)
-        return mean[:, overlap:-overlap if overlap else None], \
-            std[:, overlap:-overlap if overlap else None]
+    def encode_group(group):                      # (G, B, win_s, ch)
+        G = group.shape[0]
+        flat = group.reshape(G * B, *group.shape[2:])
+        mean, std = vae_encode_moments(params, cfg, flat)
+        mean = mean.reshape(G, B, *mean.shape[1:])
+        std = std.reshape(G, B, *std.shape[1:])
+        trim = slice(overlap, -overlap if overlap else None)
+        return mean[:, :, trim], std[:, :, trim]
 
-    means, stds = jax.lax.map(encode_one, wins)
+    groups = max(1, min(parallel_windows, n))
+    pad_n = (-n) % groups
+    if pad_n:
+        wins = jnp.concatenate([wins, jnp.zeros_like(wins[:pad_n])], axis=0)
+    wins = wins.reshape((n + pad_n) // groups, groups, *wins.shape[1:])
+    means, stds = jax.lax.map(encode_group, wins)
     stride_t = chunk_size - 2 * overlap
+    means = means.reshape(-1, *means.shape[2:])[:n]
+    stds = stds.reshape(-1, *stds.shape[2:])[:n]
     mean = jnp.moveaxis(means, 0, 1).reshape(B, n * stride_t, -1)[:, :T]
     std = jnp.moveaxis(stds, 0, 1).reshape(B, n * stride_t, -1)[:, :T]
     return _sample(mean, std, key)

@@ -89,18 +89,17 @@ def mlp(p: dict, x: jnp.ndarray) -> jnp.ndarray:
 # ------------------------------------------------------------------
 
 
-def rope_cos_sin(seq_len: int, head_dim: int, theta: float,
+def rope_cos_sin(seq_len: Optional[int], head_dim: int, theta: float,
                  dtype=jnp.float32, positions: Optional[jnp.ndarray] = None):
-    """Returns (cos, sin), each (seq_len, head_dim), matching HF convention:
-    frequencies duplicated across both halves of the head dim."""
+    """Returns (cos, sin), each (*positions.shape, head_dim), HF convention:
+    frequencies duplicated across both halves of the head dim. `positions`
+    may be (L,) or per-row (B, L); default arange(seq_len)."""
     half = head_dim // 2
     inv_freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
     if positions is None:
         positions = jnp.arange(seq_len, dtype=jnp.float32)
-    else:
-        positions = positions.astype(jnp.float32)
-    freqs = jnp.outer(positions, inv_freq)              # (L, half)
-    emb = jnp.concatenate([freqs, freqs], axis=-1)      # (L, D)
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., half)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)               # (..., D)
     return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
 
 
@@ -189,6 +188,10 @@ def _sdpa(q, k, v, mask, *, scale: Optional[float] = None,
         w = probs.reshape(B, Hkv * groups, Lq, -1)
         return out, w
     return out, None
+
+
+# public alias: models/lm.py shares the same GQA kernel
+sdpa = _sdpa
 
 
 def attention(p: dict, x: jnp.ndarray, *,

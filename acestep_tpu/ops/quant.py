@@ -43,9 +43,10 @@ def quantize_tree_int8(params: dict, *,
         if not _is_quantizable(keys, leaf):
             return leaf
         w = jnp.asarray(leaf, jnp.float32)
-        # per-output-channel scale (last axis = out features)
-        amax = jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1)),
-                       keepdims=True)
+        # scale per output channel AND per leading (layer) axis: stacked
+        # layer leaves are (L, in, out) — reducing only the in-features axis
+        # keeps each layer's scale independent
+        amax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
         scale = jnp.maximum(amax / 127.0, 1e-12)
         q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
         return {QUANT_KEY: q, "scale": scale.astype(jnp.float32)}
