@@ -189,6 +189,18 @@ class LMConfig:
         return self.num_attention_heads // self.num_key_value_heads
 
     @classmethod
+    def from_checkpoint(cls, checkpoint_dir: str) -> "LMConfig":
+        """Build from an HF checkpoint's config.json (Qwen3 field names)."""
+        import json
+        import os
+
+        with open(os.path.join(checkpoint_dir, "config.json")) as f:
+            raw = json.load(f)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kw = {k: v for k, v in raw.items() if k in fields}
+        return cls(**kw)
+
+    @classmethod
     def tiny(cls, **overrides) -> "LMConfig":
         kw = dict(
             vocab_size=512,

@@ -115,20 +115,8 @@ class LMEngine:
         B = len(prompts)
         do_cfg = cfg_scale != 1.0 and unconditional_prompts is not None
         all_prompts = list(prompts) + (list(unconditional_prompts) if do_cfg else [])
-        rows = [self.tok.encode(p) for p in all_prompts]
-        lens = np.asarray([len(r) for r in rows], np.int32)
-        L = _bucket(int(lens.max()))
-        pad_id = getattr(self.tok, "pad_token_id", 0) or 0
-        ids = np.full((len(rows), L), pad_id, np.int32)
-        for i, r in enumerate(rows):
-            ids[i, : min(len(r), L)] = r[:L]
-        lens = np.minimum(lens, L)
-
-        total = len(rows)
-        cache = KVCache.create(self.cfg, total, min(self.max_len, L + max_new_tokens + 8),
-                               dtype=self.dtype)
-        logits, cache = self._prefill(self.params, jnp.asarray(ids),
-                                      jnp.asarray(lens), cache)
+        logits, cache, lens, max_new_tokens = self._prefill_prompts(
+            all_prompts, max_new_tokens)
 
         key = jax.random.PRNGKey(seed)
         row_lens = lens.copy()
@@ -155,8 +143,12 @@ class LMEngine:
                         continue
                     m = fsm.next_mask()
                     if m is not None:
-                        allow[i, : len(m)] = False
-                        allow[i, : len(m)] |= m
+                        # default-deny the WHOLE model vocab: padded /
+                        # added ids beyond the tokenizer's mask length must
+                        # not escape the constraint
+                        allow[i, :] = False
+                        n = min(len(m), vocab)
+                        allow[i, :n] = m[:n]
 
             key, sub = jax.random.split(key)
             toks_dev, logits, cache = step_fn(
@@ -191,6 +183,32 @@ class LMEngine:
             texts[i] = self.tok.decode(generated[i])
         return GenOutput(token_ids=generated, texts=texts,
                          stop_reasons=stop_reasons)
+
+    def _prefill_prompts(self, all_prompts: Sequence[str],
+                         new_tokens_budget: int):
+        """Tokenize + bucket-pad + prefill. Returns (logits, cache, lens,
+        clamped_budget). The KV cache is sized for prompt + budget; the
+        budget is clamped so decode can never write past the cache (the
+        write would silently alias the last slot otherwise)."""
+        rows = [self.tok.encode(p) for p in all_prompts]
+        lens = np.asarray([len(r) for r in rows], np.int32)
+        L = _bucket(int(lens.max()))
+        pad_id = getattr(self.tok, "pad_token_id", 0) or 0
+        ids = np.full((len(rows), L), pad_id, np.int32)
+        for i, r in enumerate(rows):
+            ids[i, : min(len(r), L)] = r[:L]
+        lens = np.minimum(lens, L)
+
+        budget = min(new_tokens_budget, self.max_len - L)
+        if budget <= 0:
+            raise ValueError(
+                f"prompt bucket {L} leaves no room for generation within "
+                f"max_len {self.max_len}; raise LMEngine(max_len=...)")
+        cache = KVCache.create(self.cfg, len(rows), L + budget,
+                               dtype=self.dtype)
+        logits, cache = self._prefill(self.params, jnp.asarray(ids),
+                                      jnp.asarray(lens), cache)
+        return logits, cache, lens, budget
 
     def _masked_step(self, do_cfg: bool, cfg_scale: float, temperature: float,
                      top_k: int, top_p: float):
@@ -283,20 +301,8 @@ class LMEngine:
         """Decode one CoT sequence fully on device. Returns token ids."""
         do_cfg = cfg_scale != 1.0 and unconditional_prompt is not None
         all_prompts = [prompt] + ([unconditional_prompt] if do_cfg else [])
-        rows = [self.tok.encode(p) for p in all_prompts]
-        lens = np.asarray([len(r) for r in rows], np.int32)
-        L = _bucket(int(lens.max()))
-        pad_id = getattr(self.tok, "pad_token_id", 0) or 0
-        ids = np.full((len(rows), L), pad_id, np.int32)
-        for i, r in enumerate(rows):
-            ids[i, : min(len(r), L)] = r[:L]
-        lens = np.minimum(lens, L)
-
-        cache = KVCache.create(self.cfg, len(rows),
-                               min(self.max_len, L + max_tokens + 8),
-                               dtype=self.dtype)
-        logits, cache = self._prefill(self.params, jnp.asarray(ids),
-                                      jnp.asarray(lens), cache)
+        logits, cache, lens, max_tokens = self._prefill_prompts(
+            all_prompts, max_tokens)
 
         key = ("cot", do_cfg, round(cfg_scale, 4), round(temperature, 4),
                top_k, round(top_p, 4), max_tokens, fsm_tables.done,
@@ -307,14 +313,23 @@ class LMEngine:
             self._cot_fns[key] = self._cot_loop_fn(
                 do_cfg, cfg_scale, temperature, top_k, top_p, max_tokens,
                 fsm_tables.done)
+        # tables are tokenizer-vocab-sized; the model vocab may be padded
+        # larger — pad with deny (False) / not-in-alphabet (-1) so padded
+        # ids can never be sampled or transition
+        V = self.cfg.vocab_size
+        t2a = fsm_tables.token_to_alpha
+        cap = fsm_tables.caption_mask
+        if len(t2a) < V:
+            t2a = np.concatenate([t2a, np.full(V - len(t2a), -1, np.int32)])
+            cap = np.concatenate([cap, np.zeros(V - len(cap), bool)])
         tbl = {
             "alphabet": jnp.asarray(fsm_tables.alphabet),
-            "token_to_alpha": jnp.asarray(fsm_tables.token_to_alpha),
+            "token_to_alpha": jnp.asarray(t2a[:V]),
             "mask": jnp.asarray(fsm_tables.mask),
             "use_caption": jnp.asarray(fsm_tables.use_caption),
             "trans": jnp.asarray(fsm_tables.trans),
             "other_next": jnp.asarray(fsm_tables.other_next),
-            "caption_mask": jnp.asarray(fsm_tables.caption_mask),
+            "caption_mask": jnp.asarray(cap[:V]),
             "start": jnp.asarray(fsm_tables.start, jnp.int32),
         }
         toks, count = self._cot_fns[key](
@@ -333,12 +348,20 @@ class LMEngine:
         if hasattr(tok, "audio_code_id"):
             start = tok.audio_code_id(0)
             return start, start + tok.num_audio_codes
-        first = tok.convert_tokens_to_ids("<|audio_code_0|>")
-        second = tok.convert_tokens_to_ids("<|audio_code_1|>")
-        if first is None or second != first + 1:
-            raise ValueError("audio code tokens are not contiguous")
-        last = tok.convert_tokens_to_ids("<|audio_code_63999|>")
-        return first, (last + 1 if last else first + 64000)
+        # HF tokenizer: scan the full vocab (added tokens included); HF
+        # returns unk for unknown tokens, so probing ids is unreliable.
+        import re
+
+        vocab = tok.get_vocab()
+        code_re = re.compile(r"^<\|audio_code_(\d+)\|>$")
+        ids = sorted(tid for text, tid in vocab.items()
+                     if code_re.match(text))
+        if not ids:
+            raise ValueError("tokenizer has no <|audio_code_N|> tokens")
+        start, end = ids[0], ids[-1] + 1
+        if end - start != len(ids):
+            raise ValueError("audio code token ids are not contiguous")
+        return start, end
 
     def _codes_scan_fn(self, n_codes: int, do_cfg: bool, cfg_scale: float,
                        temperature: float, top_k: int, top_p: float):
@@ -402,20 +425,14 @@ class LMEngine:
         do_cfg = cfg_scale != 1.0 and unconditional_prompts is not None
         all_prompts = list(prompts) + (list(unconditional_prompts)
                                        if do_cfg else [])
-        rows = [self.tok.encode(p) for p in all_prompts]
-        lens = np.asarray([len(r) for r in rows], np.int32)
-        L = _bucket(int(lens.max()))
-        pad_id = getattr(self.tok, "pad_token_id", 0) or 0
-        ids = np.full((len(rows), L), pad_id, np.int32)
-        for i, r in enumerate(rows):
-            ids[i, : min(len(r), L)] = r[:L]
-        lens = np.minimum(lens, L)
-
-        cache = KVCache.create(self.cfg, len(rows),
-                               min(self.max_len, L + n_codes + 8),
-                               dtype=self.dtype)
-        logits, cache = self._prefill(self.params, jnp.asarray(ids),
-                                      jnp.asarray(lens), cache)
+        logits, cache, lens, budget = self._prefill_prompts(
+            all_prompts, n_codes)
+        if budget < n_codes:
+            # codes count is a hard semantic (duration * 5) — refuse rather
+            # than silently truncate the song
+            raise ValueError(
+                f"{n_codes} codes need more context than max_len "
+                f"{self.max_len} allows after the prompt; raise max_len")
 
         cache_key = ("codes", n_codes, do_cfg, round(cfg_scale, 4),
                      round(temperature, 4), top_k, round(top_p, 4))

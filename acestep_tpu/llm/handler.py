@@ -122,7 +122,10 @@ class LLMHandler:
             from acestep_tpu.utils.checkpoint import load_lm_checkpoint
 
             self.tokenizer = tokenizer or load_hf_tokenizer(checkpoint_dir)
-            self.cfg = cfg or self.cfg
+            # config comes from the checkpoint, not the placeholder default
+            # (loading a 28-layer Qwen3 through a tiny cfg would silently
+            # truncate it to 2 layers)
+            self.cfg = cfg or LMConfig.from_checkpoint(checkpoint_dir)
             params = params or load_lm_checkpoint(checkpoint_dir, self.cfg,
                                                   self.dtype)
         else:

@@ -62,6 +62,21 @@ def _load_safetensors_adapter(path: str) -> dict:
 
     from safetensors import safe_open
 
+    # PEFT convention: adapter_config.json beside the safetensors carries
+    # lora_alpha / r; without it delta strength would silently halve for
+    # alpha != rank adapters.
+    sidecar_alpha = sidecar_rank = None
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(path)),
+                           "adapter_config.json")
+    if os.path.exists(sidecar):
+        try:
+            with open(sidecar, "r", encoding="utf-8") as f:
+                cfg = json.load(f)
+            sidecar_alpha = cfg.get("lora_alpha")
+            sidecar_rank = cfg.get("r")
+        except (OSError, ValueError):
+            pass
+
     per_layer: Dict[str, Dict[int, Dict[str, np.ndarray]]] = {}
     rank = None
     with safe_open(path, framework="np") as f:
@@ -90,7 +105,9 @@ def _load_safetensors_adapter(path: str) -> dict:
             "down": jnp.stack([jnp.asarray(by_layer[i]["down"]) for i in idxs]),
             "up": jnp.stack([jnp.asarray(by_layer[i]["up"]) for i in idxs]),
         }
-    return {"meta": {"kind": "lora", "rank": rank or 16, "alpha": rank or 16},
+    rank = sidecar_rank or rank or 16
+    alpha = sidecar_alpha if sidecar_alpha is not None else rank
+    return {"meta": {"kind": "lora", "rank": rank, "alpha": alpha},
             "weights": weights}
 
 

@@ -64,17 +64,13 @@ def make_batches(files: Sequence[str], batch_size: int, *,
     All samples in the stream are padded to ONE global frame bucket (the max
     over the dataset, bucketed) so every step hits the same compiled program.
     """
-    lengths = []
-    for path in files:
+    lengths, text_lens, lyric_lens = [], [], []
+    for path in files:        # one IO pass for all bucket dimensions
         with np.load(path) as data:
             lengths.append(data["hidden_states"].shape[0])
-    frames = _bucket_len(max(lengths), frame_bucket, max_frames)
-
-    text_lens, lyric_lens = [], []
-    for path in files:
-        with np.load(path) as data:
             text_lens.append(data["text_hidden_states"].shape[0])
             lyric_lens.append(data["lyric_hidden_states"].shape[0])
+    frames = _bucket_len(max(lengths), frame_bucket, max_frames)
     text_len = max(text_lens)
     lyric_len = max(lyric_lens)
 

@@ -189,3 +189,23 @@ def test_genres_vocab_hot_reload(tmp_path):
     path.write_text("ambient\n")
     os.utime(path)
     assert vocab.get() == ["ambient"]
+
+
+def test_fsm_mask_denies_padded_vocab():
+    """Model vocab padded beyond the tokenizer: FSM constraint must cover
+    the extra ids (they were previously always allowed)."""
+    from acestep_tpu.config import LMConfig
+    from acestep_tpu.llm.handler import LLMHandler
+    from acestep_tpu.llm.tokenizer import SimpleTokenizer
+
+    tok = SimpleTokenizer(num_audio_codes=8)
+    cfg = LMConfig.tiny(vocab_size=tok.vocab_size + 32)   # padded vocab
+    h = LLMHandler()
+    h.initialize(tokenizer=tok, cfg=cfg)
+    out = h.generate_with_stop_condition(
+        "beat", "", infer_type="dit", constrained=True, seed=0,
+        max_cot_tokens=220)
+    # replay: every emitted token must be < tokenizer vocab (no padded ids)
+    ids = tok.encode(out["cot_text"])
+    assert all(i < tok.vocab_size for i in ids)
+    assert out["metadata"].get("bpm")

@@ -134,3 +134,30 @@ def test_manager_lifecycle(tiny, tmp_path):
     out = manager.unload("style_a")
     assert out["unloaded"] == "style_a"
     assert manager.effective_params() is params
+
+
+def test_peft_sidecar_alpha_respected(tmp_path):
+    """adapter_config.json lora_alpha must scale foreign PEFT adapters."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    from acestep_tpu.lora.manager import load_adapter_file
+
+    rng = np.random.default_rng(0)
+    tensors = {}
+    for layer in range(2):
+        tensors[f"base.layers.{layer}.self_attn.q_proj.lora_A.weight"] = \
+            rng.standard_normal((4, 16)).astype(np.float32)   # (r, in)
+        tensors[f"base.layers.{layer}.self_attn.q_proj.lora_B.weight"] = \
+            rng.standard_normal((16, 4)).astype(np.float32)   # (out, r)
+    path = str(tmp_path / "adapter_model.safetensors")
+    save_file(tensors, path)
+    (tmp_path / "adapter_config.json").write_text(
+        json.dumps({"r": 4, "lora_alpha": 32}))
+
+    adapter = load_adapter_file(path)
+    assert adapter["meta"]["rank"] == 4
+    assert adapter["meta"]["alpha"] == 32
+    assert adapter["weights"]["self_attn.q_proj"]["down"].shape == (2, 16, 4)
+    assert adapter["weights"]["self_attn.q_proj"]["up"].shape == (2, 4, 16)
