@@ -20,27 +20,37 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_LOGPROB_FNS: dict = {}
+
+
+def _logprob_fn(cfg, dtype):
+    """Jitted teacher-forced logprob program, cached per (cfg, dtype) —
+    a fresh closure per call would recompile the whole LM every score."""
+    key = (id(cfg), str(dtype))
+    if key not in _LOGPROB_FNS:
+        from acestep_tpu.models.lm import lm_encode, lm_logits
+
+        def fn(params, ids):
+            mask = jnp.ones_like(ids)
+            hidden = lm_encode(params, cfg, ids, mask, dtype=dtype)
+            logits = lm_logits(params, cfg, hidden).astype(jnp.float32)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            # token at position i+1 predicted from position i
+            pred = logp[0, :-1]
+            tgt = ids[0, 1:]
+            return jnp.take_along_axis(pred, tgt[:, None], axis=-1)[:, 0]
+
+        _LOGPROB_FNS[key] = jax.jit(fn)
+    return _LOGPROB_FNS[key]
+
+
 def sequence_logprob(params: dict, cfg, input_ids: np.ndarray,
                      target_start: int, dtype=jnp.bfloat16) -> float:
     """Sum of log P(token_i | tokens_<i) for i >= target_start.
 
     input_ids: (L,) full prompt+target token ids."""
-    from acestep_tpu.models.lm import lm_encode, lm_logits
-
     ids = jnp.asarray(input_ids, jnp.int32)[None]
-
-    def fn(params, ids):
-        mask = jnp.ones_like(ids)
-        hidden = lm_encode(params, cfg, ids, mask, dtype=dtype)
-        logits = lm_logits(params, cfg, hidden).astype(jnp.float32)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        # token at position i+1 predicted from position i
-        pred = logp[0, :-1]
-        tgt = ids[0, 1:]
-        token_lp = jnp.take_along_axis(pred, tgt[:, None], axis=-1)[:, 0]
-        return token_lp
-
-    token_lp = np.asarray(jax.jit(fn)(params, ids))
+    token_lp = np.asarray(_logprob_fn(cfg, dtype)(params, ids))
     return float(token_lp[max(target_start - 1, 0):].sum())
 
 

@@ -190,6 +190,7 @@ class AppState:
                 self._cache_result(job_id)
             finally:
                 self.job_queue.task_done()
+                self.job_store.cleanup()   # age out finished jobs (24 h)
 
     def _select_handler(self, model: Optional[str], strict: bool = False):
         if model and model in self.dit_handlers:
@@ -207,6 +208,15 @@ class AppState:
 
         model_name, dit_handler = self._select_handler(req.model)
         temp_files = []
+        # chat-adapter uploads (openrouter.base64_to_temp_file) are ours to
+        # clean as well — they'd otherwise leak one audio file per request
+        import tempfile as _tempfile
+
+        tmpdir = _tempfile.gettempdir()
+        for path in (req.reference_audio_path, req.src_audio_path):
+            if path and os.path.dirname(path) == tmpdir and \
+                    os.path.basename(path).startswith("acestep_or_"):
+                temp_files.append(path)
         if req.reference_audio_b64:
             req.reference_audio_path = openrouter.base64_to_temp_file(
                 req.reference_audio_b64, req.upload_audio_format)
@@ -411,6 +421,13 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self) -> None:  # noqa: N802
         url = urlparse(self.path)
         route = url.path.rstrip("/") or "/"
+        # /health and the studio page stay open; everything else (audio
+        # downloads, stats, lora/training state) is API-key gated like POST
+        if route not in ("/health", "/", "/studio") and \
+                not self.state.check_auth(None,
+                                          self.headers.get("Authorization")):
+            self._unauthorized()
+            return
         try:
             if route == "/health":
                 self._send_json(wrap_response({
@@ -662,6 +679,9 @@ class _Handler(BaseHTTPRequestHandler):
             state.job_queue.put_nowait((rec.job_id, req))
         except queue.Full:
             state.job_store.mark_failed(rec.job_id, "queue full")
+            with state.pending_lock:
+                if rec.job_id in state.pending_ids:
+                    state.pending_ids.remove(rec.job_id)
             self._send_json({"error": {"message": "Queue full",
                                        "code": 503}}, 503)
             return
@@ -822,19 +842,23 @@ def main(argv: Optional[List[str]] = None) -> None:
         name) so base/sft variants get the right sampler family."""
         version = "turbo"
         if ckpt:
+            explicit = None
             cfg_path = os.path.join(ckpt, "config.json")
             if os.path.exists(cfg_path):
                 try:
                     import json as _json
 
                     with open(cfg_path) as f:
-                        version = _json.load(f).get("model_version", version)
+                        explicit = _json.load(f).get("model_version")
                 except (OSError, ValueError):
                     pass
-            name = os.path.basename(ckpt.rstrip("/")).lower()
-            for v in ("base", "sft"):
-                if v in name.split("-"):
-                    version = v
+            if explicit:
+                version = explicit
+            else:  # name heuristic only when config.json doesn't say
+                name = os.path.basename(ckpt.rstrip("/")).lower()
+                for v in ("base", "sft"):
+                    if v in name.split("-"):
+                        version = v
         return DiTConfig(model_version=version)
 
     handlers = {}

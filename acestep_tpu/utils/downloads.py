@@ -41,12 +41,12 @@ def candidate_dirs(name: str, root: Optional[str] = None) -> List[str]:
 
 
 def _looks_like_checkpoint(path: str) -> bool:
+    """A usable checkpoint has weight files, not just config JSONs — an
+    interrupted download must not satisfy resolution forever."""
     if not os.path.isdir(path):
         return False
-    for entry in os.listdir(path):
-        if entry.endswith((".safetensors", ".bin", ".npz", ".json")):
-            return True
-    return False
+    return any(entry.endswith((".safetensors", ".bin", ".npz", ".pt"))
+               for entry in os.listdir(path))
 
 
 def has_egress(timeout: float = 3.0) -> bool:
@@ -74,8 +74,10 @@ def ensure_model(name: str, root: Optional[str] = None,
         from huggingface_hub import snapshot_download
 
         target = os.path.join(root or DEFAULT_ROOT, name)
-        os.makedirs(target, exist_ok=True)
-        snapshot_download(repo_id=repo_id, local_dir=target)
+        partial = target + ".partial"       # atomic: download then rename
+        os.makedirs(partial, exist_ok=True)
+        snapshot_download(repo_id=repo_id, local_dir=partial)
+        os.replace(partial, target)
         return target
 
     searched = "\n  ".join(candidate_dirs(name, root))

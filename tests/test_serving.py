@@ -259,3 +259,29 @@ def test_unknown_model_rejected_400(server_env):
                       {"prompt": "x", "model": "acestep-v15-turbo-tpu",
                        "thinking": False})
     assert status == 200
+
+
+def test_get_endpoints_require_api_key(tmp_path):
+    out_dir = str(tmp_path / "outputs")
+    handler = FakeDiTHandler(out_dir)
+    state = AppState({"m": handler}, None, output_dir=out_dir,
+                     api_key="sekrit")
+    server = create_server(state, "127.0.0.1", 0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    port = server.server_address[1]
+    try:
+        status, _ = _get(port, "/v1/stats")
+        assert status == 401
+        status, _ = _get(port, "/v1/audio?path=/etc/passwd")
+        assert status == 401
+        status, _ = _get(port, "/health")      # health stays open
+        assert status == 200
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", "/v1/stats",
+                     headers={"Authorization": "Bearer sekrit"})
+        assert conn.getresponse().status == 200
+        conn.close()
+    finally:
+        state.shutdown()
+        server.shutdown()
+        server.server_close()
