@@ -330,7 +330,14 @@ class LLMHandler:
 
     def understand(self, audio_codes: str, temperature: float = 0.85,
                    seed: int = 0) -> Dict[str, Any]:
-        """Understanding mode: audio codes -> metadata."""
+        """Understanding mode: audio codes -> metadata.
+
+        Codes are truncated to fit the engine context (the reference caps
+        LM context at 4096 and samples the head of long songs)."""
+        budget = max(self.engine.max_len - 1024, 256)
+        ids = self.tokenizer.encode(audio_codes)
+        if len(ids) > budget:
+            audio_codes = self.tokenizer.decode(ids[:budget])
         prompt = self.tokenizer.apply_chat_template(
             [
                 {"role": "system",

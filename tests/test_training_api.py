@@ -117,7 +117,7 @@ def test_analysis_only_flow(tmp_path):
         frame_bucket=8, min_frames=8)
     handler.initialize_service()
     llm = LLMHandler()
-    llm.initialize()
+    llm.initialize(num_fallback_codes=64000)   # match the DiT FSQ code space
     state = AppState({"tiny": handler}, llm, output_dir=str(tmp_path / "o"))
     server = create_server(state, "127.0.0.1", 0)
     threading.Thread(target=server.serve_forever, daemon=True).start()
