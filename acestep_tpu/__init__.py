@@ -42,3 +42,34 @@ def _enable_compilation_cache() -> None:
 
 
 _enable_compilation_cache()
+
+
+# Lazy top-level API (imports stay cheap; jax loads on first use):
+#   from acestep_tpu import AceStepHandler, LLMHandler, generate_music, ...
+_LAZY = {
+    "AceStepHandler": ("acestep_tpu.pipeline.handler", "AceStepHandler"),
+    "LLMHandler": ("acestep_tpu.llm.handler", "LLMHandler"),
+    "generate_music": ("acestep_tpu.inference", "generate_music"),
+    "understand_music": ("acestep_tpu.inference", "understand_music"),
+    "create_sample": ("acestep_tpu.inference", "create_sample"),
+    "format_sample": ("acestep_tpu.inference", "format_sample"),
+    "GenerationParams": ("acestep_tpu.inference", "GenerationParams"),
+    "GenerationConfig": ("acestep_tpu.inference", "GenerationConfig"),
+    "GenerationResult": ("acestep_tpu.inference", "GenerationResult"),
+    "DiTConfig": ("acestep_tpu.config", "DiTConfig"),
+    "VAEConfig": ("acestep_tpu.config", "VAEConfig"),
+    "LMConfig": ("acestep_tpu.config", "LMConfig"),
+}
+
+
+def __getattr__(name: str):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'acestep_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))
