@@ -178,7 +178,7 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
         skip_lm = params.task_type in ("cover", "repaint") and audio_codes
         if llm_handler is not None and params.thinking and not skip_lm:
             t_lm = time.time()
-            phase = llm_handler.plan(
+            plan_kwargs = dict(
                 caption=params.caption, lyrics=lyrics,
                 temperature=params.lm_temperature,
                 cfg_scale=params.lm_cfg_scale,
@@ -198,9 +198,21 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
                             or audio_codes else "llm_dit"),
                 constrained=params.use_constrained_decoding,
             )
+            # per-item plans when allowed: each song in a batch gets its own
+            # CoT + codes (reference allow_lm_batch / lm_batch_chunk_size)
+            n_plans = (config.batch_size
+                       if config.allow_lm_batch and config.batch_size > 1
+                       else 1)
+            phases = [llm_handler.plan(seed=i, **plan_kwargs)
+                      for i in range(n_plans)]
+            phase = phases[0]
             lm_meta = phase.get("metadata", {})
             if phase.get("audio_codes") and not audio_codes:
-                audio_codes = phase["audio_codes"]
+                if n_plans > 1:
+                    audio_codes = [p.get("audio_codes") or None
+                                   for p in phases]
+                else:
+                    audio_codes = phase["audio_codes"]
             time_costs["lm_time_cost"] = time.time() - t_lm
 
         meta = _merge_metadata(params, lm_meta)

@@ -642,11 +642,21 @@ def prepare_condition(params: dict, cfg: DiTConfig, *,
         max_refer_count=max_refer_count,
     )
     T = src_latents.shape[1]
+
+    def fit_to_T(hints):
+        """Crop/zero-pad hints to exactly T frames (codes cover a multiple
+        of pool_window frames, which may undershoot a non-multiple T)."""
+        hints = hints[:, :T, :]
+        short = T - hints.shape[1]
+        if short > 0:
+            hints = jnp.pad(hints, ((0, 0), (0, short), (0, 0)))
+        return hints
+
     if precomputed_lm_hints_25hz is not None:
-        lm_hints = precomputed_lm_hints_25hz[:, :T, :]
+        lm_hints = fit_to_T(precomputed_lm_hints_25hz)
     elif audio_codes is not None:
         q = audio_codes_to_quantized(params, cfg, audio_codes)
-        lm_hints = audio_detokenize(params, cfg, q)[:, :T, :]
+        lm_hints = fit_to_T(audio_detokenize(params, cfg, q))
     else:
         x = src_latents if tokenize_latents is None else tokenize_latents
         pad = (-x.shape[1]) % cfg.pool_window_size

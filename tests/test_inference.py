@@ -124,3 +124,32 @@ def test_want_lrc_attaches_lrc_and_score():
     params.lyrics = "[inst]"
     res2 = generate_music(h, None, params, config)
     assert "lrc" not in res2.audios[0]
+
+
+def test_batch_thinking_per_item_plans():
+    """allow_lm_batch: each song in a batch gets its own LM codes."""
+    import jax.numpy as jnp
+
+    from acestep_tpu.config import DiTConfig, VAEConfig
+    from acestep_tpu.inference import (
+        GenerationConfig, GenerationParams, generate_music)
+    from acestep_tpu.llm.handler import LLMHandler
+    from acestep_tpu.pipeline.handler import AceStepHandler
+
+    h = AceStepHandler(
+        dit_config=DiTConfig.tiny(fsq_dim=64),
+        vae_config=VAEConfig.tiny(decoder_input_channels=64),
+        dtype=jnp.float32, frame_bucket=16, min_frames=16, refer_frames=10)
+    h.initialize_service(seed=0)
+    llm = LLMHandler()
+    llm.initialize()
+    params = GenerationParams(caption="edm", lyrics="[inst]", duration=2,
+                              thinking=True, seed=1, lm_temperature=0.9)
+    config = GenerationConfig(batch_size=2, allow_lm_batch=True,
+                              output_dir=None, seeds=[1, 2])
+    res = generate_music(h, llm, params, config)
+    assert res.success, res.error
+    codes = res.extra_outputs["audio_codes"]
+    assert isinstance(codes, list) and len(codes) == 2
+    assert codes[0] != codes[1]          # per-item plans differ
+    assert res.extra_outputs["task"] == "cover"   # codes => cover switch
