@@ -8,9 +8,14 @@ functions over param pytrees:
   (one compiled layer body instead of 24 unrolled ones).
 - The condition "packing" uses fixed-layout concat [lyrics, timbre, text].
   The reference sorts valid tokens first (pack_sequences, ref :135-166) but
-  its DiT decoder drops all padding masks (ref :1379-1382), so cross-attn
-  is permutation-invariant over the packed set and fixed concat is exactly
-  equivalent (see tests/test_ops.py::test_cross_attention_permutation_invariance).
+  its DiT decoder drops all padding masks (ref :1379-1382: the cross mask is
+  built from attention_mask=None), so cross-attn is permutation-invariant
+  over the packed MULTISET and fixed concat is exactly equivalent — verified
+  against the real reference encoder in tests/test_reference_parity.py.
+  Convention: max_refer_count defaults to 1 (this stack packs exactly one
+  timbre reference per item), keeping the packed length identical to the
+  reference's; a larger count would append zero rows the reference doesn't
+  have, shifting maskless cross-attention.
 - Cross-attention K/V over the condition sequence are precomputed once per
   trajectory (`decoder_cross_kv`) — the XLA-native analogue of the
   reference's EncoderDecoderCache (ref :307-330).
@@ -278,7 +283,7 @@ def condition_encoder(p: dict, cfg: DiTConfig, *,
                       text_hidden_states, text_attention_mask,
                       lyric_hidden_states, lyric_attention_mask,
                       refer_audio_packed, refer_order_mask,
-                      max_refer_count: int = 4):
+                      max_refer_count: int = 1):
     """Returns (encoder_hidden_states, encoder_attention_mask).
 
     Fixed layout [lyrics | timbre | text]; equivalent to the reference's
@@ -625,7 +630,7 @@ def prepare_condition(params: dict, cfg: DiTConfig, *,
                       tokenize_latents=None,
                       precomputed_lm_hints_25hz=None,
                       audio_codes=None,
-                      max_refer_count: int = 4):
+                      max_refer_count: int = 1):
     """Build (encoder_hidden_states, encoder_attention_mask, context_latents).
 
     LM-hint source precedence mirrors the reference: precomputed 25 Hz hints
@@ -702,7 +707,7 @@ def training_loss(params: dict, cfg: DiTConfig, key, *,
                   refer_audio_packed, refer_order_mask,
                   src_latents, chunk_masks, is_covers,
                   silence_latent=None, cfg_ratio: float = 0.15,
-                  max_refer_count: int = 4,
+                  max_refer_count: int = 1,
                   discrete_timesteps: Optional[tuple] = None):
     """Flow-matching MSE with CFG condition dropout.
 

@@ -235,3 +235,108 @@ def test_lm_forward_matches_transformers_qwen3():
                            start_pos=jnp.zeros((), jnp.int32))
     ours = np.asarray(lm_logits(params, cfg, hidden))
     np.testing.assert_allclose(ours, ref_logits, rtol=3e-4, atol=3e-4)
+
+
+def test_condition_encoder_functionally_matches_reference(ref_modeling):
+    """Our fixed-layout packing vs the reference's sorted pack_sequences:
+    the packed sets must be equivalent under (maskless) cross-attention —
+    exactly how the DiT consumes them (it drops padding masks, ref
+    modeling_acestep_v15_turbo.py:1379-1382)."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from acestep_tpu.config import DiTConfig
+    from acestep_tpu.models.dit import condition_encoder
+    from acestep_tpu.utils.checkpoint import _Src, _encoder_stack
+
+    ref_cfg_mod, ref_mod = ref_modeling
+    tiny = dict(TINY)
+    tiny.update(text_hidden_dim=32, timbre_hidden_dim=64,
+                num_lyric_encoder_hidden_layers=2,
+                num_timbre_encoder_hidden_layers=1)
+    torch.manual_seed(2)
+    ref_config = ref_cfg_mod.AceStepConfig(**tiny)
+    ref_config._attn_implementation = "eager"
+    ref_enc = ref_mod.AceStepConditionEncoder(ref_config).eval()
+
+    state = {f"encoder.{k}": v.detach().numpy()
+             for k, v in ref_enc.state_dict().items()}
+    src = _Src(state, jnp.float32)
+    encoder = {
+        "text_projector": src.linear("encoder.text_projector"),
+        "lyric_encoder": _encoder_stack(
+            src, "encoder.lyric_encoder",
+            tiny["num_lyric_encoder_hidden_layers"]),
+        "timbre_encoder": {
+            **_encoder_stack(src, "encoder.timbre_encoder",
+                             tiny["num_timbre_encoder_hidden_layers"]),
+            "special_token": src.tensor("encoder.timbre_encoder.special_token"),
+        },
+    }
+    leftover = [n for n in src.unused() if "rotary" not in n]
+    assert not leftover, f"unconverted: {leftover}"
+
+    cfg = DiTConfig.tiny(text_hidden_dim=32,
+                         num_lyric_encoder_hidden_layers=2,
+                         num_timbre_encoder_hidden_layers=1,
+                         attention_impl="dense")
+
+    rng = np.random.default_rng(2)
+    B, Lt, Ll, Lr = 2, 4, 6, 10   # Lr = 2 * pool_window_size(5)
+    text_h = rng.standard_normal((B, Lt, 32)).astype(np.float32)
+    text_m = np.asarray([[1, 1, 1, 0], [1, 1, 0, 0]], np.int32)
+    lyric_h = rng.standard_normal((B, Ll, 32)).astype(np.float32)
+    lyric_m = np.asarray([[1, 1, 1, 1, 0, 0], [1, 1, 1, 1, 1, 1]], np.int32)
+    refer = rng.standard_normal((B, Lr, 64)).astype(np.float32)
+    order = np.asarray([0, 1], np.int32)
+
+    with torch.no_grad():
+        ref_out, ref_mask = ref_enc(
+            text_hidden_states=torch.from_numpy(text_h),
+            text_attention_mask=torch.from_numpy(text_m),
+            lyric_hidden_states=torch.from_numpy(lyric_h),
+            lyric_attention_mask=torch.from_numpy(lyric_m),
+            refer_audio_acoustic_hidden_states_packed=torch.from_numpy(refer),
+            refer_audio_order_mask=torch.from_numpy(order),
+        )
+    import jax
+
+    with jax.default_matmul_precision("float32"):
+        ours, ours_mask = condition_encoder(
+            {"encoder": encoder}, cfg,
+            text_hidden_states=jnp.asarray(text_h),
+            text_attention_mask=jnp.asarray(text_m),
+            lyric_hidden_states=jnp.asarray(lyric_h),
+            lyric_attention_mask=jnp.asarray(lyric_m),
+            refer_audio_packed=jnp.asarray(refer),
+            refer_order_mask=jnp.asarray(order),
+            max_refer_count=1,
+        )
+    ref_np, ours_np = ref_out.numpy(), np.asarray(ours)
+
+    # identical packed length and per-row valid counts — the reference DiT
+    # attends maskless over the WHOLE packed sequence, so totals must match
+    assert ours_np.shape == ref_np.shape
+    assert (np.asarray(ours_mask).sum(1) == ref_mask.numpy().sum(1)).all()
+
+    # full-multiset equality (sorted rows): our fixed-layout concat is the
+    # reference's sorted packing under a permutation
+    for b in range(B):
+        ra = ref_np[b][np.lexsort(ref_np[b].T)]
+        oa = ours_np[b][np.lexsort(ours_np[b].T)]
+        np.testing.assert_allclose(oa, ra, rtol=2e-3, atol=2e-3)
+
+    # functional equivalence under maskless softmax cross-attention (how
+    # the decoder consumes the packed sequence)
+    q = rng.standard_normal((3, ref_np.shape[-1])).astype(np.float32)
+    for b in range(B):
+        lo = q @ ours_np[b].T
+        lr = q @ ref_np[b].T
+        ao = (np.exp(lo - lo.max(1, keepdims=True)) /
+              np.exp(lo - lo.max(1, keepdims=True)).sum(1, keepdims=True)
+              ) @ ours_np[b]
+        ar = (np.exp(lr - lr.max(1, keepdims=True)) /
+              np.exp(lr - lr.max(1, keepdims=True)).sum(1, keepdims=True)
+              ) @ ref_np[b]
+        np.testing.assert_allclose(ao, ar, rtol=2e-3, atol=2e-3)
