@@ -64,6 +64,8 @@ def make_lora_train_step(cfg: DiTConfig, meta: dict,
                          discrete_timesteps: Optional[tuple] = None,
                          cfg_ratio: float = 0.15):
     """step(base, weights, opt_state, batch, key) -> (weights, opt_state, loss)."""
+    # flash attention has no VJP; gradients need the dense path
+    cfg = dataclasses.replace(cfg, attention_impl="dense")
 
     def step(base, weights, opt_state, batch, key):
         def loss_fn(w):

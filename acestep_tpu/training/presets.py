@@ -50,9 +50,12 @@ def estimate_gradient_sensitivity(base_params: dict, cfg,
                                   ) -> List[Tuple[str, float]]:
     """Mean per-target gradient norm (normalized by weight norm) over a few
     batches. Returns [(target, sensitivity)] sorted descending."""
+    import dataclasses
+
     from acestep_tpu.lora.adapters import LORA_TARGETS, target_paths
     from acestep_tpu.models.dit import training_loss
 
+    cfg = dataclasses.replace(cfg, attention_impl="dense")  # flash has no VJP
     grad_fn = jax.jit(jax.grad(
         lambda p, batch, key: training_loss(p, cfg, key, **batch)))
 

@@ -23,6 +23,11 @@ from acestep_tpu.models.dit import training_loss
 def make_train_step(cfg: DiTConfig, optimizer: optax.GradientTransformation,
                     donate: bool = True):
     """Returns step(params, opt_state, batch, key) -> (params, opt_state, loss)."""
+    import dataclasses
+
+    # the Pallas flash kernel has no custom VJP — training always uses the
+    # dense XLA attention path (fully differentiable, fuses fine)
+    cfg = dataclasses.replace(cfg, attention_impl="dense")
 
     def step(params, opt_state, batch, key):
         loss, grads = jax.value_and_grad(
