@@ -36,6 +36,8 @@ def _input(prompt: str, default: str = "") -> str:
 
 def _edit_in_editor(initial: str) -> str:
     """Open $EDITOR on a temp file (reference cli.py:335-407 behavior)."""
+    import shlex
+
     editor = os.environ.get("EDITOR")
     if not editor:
         return initial
@@ -43,7 +45,8 @@ def _edit_in_editor(initial: str) -> str:
         f.write(initial)
         path = f.name
     try:
-        subprocess.run([editor, path], check=False)
+        # EDITOR may carry arguments ("code --wait", "vim -u NONE")
+        subprocess.run(shlex.split(editor) + [path], check=False)
         with open(path, "r", encoding="utf-8") as f:
             return f.read().strip()
     finally:
@@ -95,10 +98,7 @@ def _wizard_edit(params: GenerationParams) -> GenerationParams:
             setattr(params, name, _edit_in_editor(str(current or "")))
             continue
         try:
-            if typ is bool:
-                setattr(params, name, raw.lower().startswith("y"))
-            else:
-                setattr(params, name, typ(raw))
+            setattr(params, name, typ(raw))   # bools special-cased above
         except ValueError:
             print(f"  ! could not parse {raw!r}; keeping {current!r}")
     return params

@@ -144,16 +144,21 @@ def _merge_metadata(params: GenerationParams, lm_meta: Dict[str, Any]) -> Dict[s
     if params.duration and params.duration > 0:
         meta["duration"] = f"{int(params.duration)} seconds"
     elif lm_meta.get("duration"):
-        meta["duration"] = f"{int(float(lm_meta['duration']))} seconds"
+        try:
+            meta["duration"] = f"{int(float(lm_meta['duration']))} seconds"
+        except (TypeError, ValueError):   # unconstrained LM may emit text
+            pass
     caption = params.caption
-    if not caption and lm_meta.get("caption"):
-        caption = str(lm_meta["caption"])
+    if not caption and (lm_meta.get("caption") or params.cot_caption):
+        caption = str(lm_meta.get("caption") or params.cot_caption)
     elif params.use_cot_caption and lm_meta.get("caption"):
         caption = str(lm_meta["caption"])
     language = params.vocal_language
     if (language in ("", "unknown") or params.use_cot_language) and \
-            lm_meta.get("language"):
-        language = str(lm_meta["language"])
+            (lm_meta.get("language")
+             or params.cot_vocal_language not in ("", "unknown")):
+        language = str(lm_meta.get("language")
+                       or params.cot_vocal_language)
     meta["caption"] = caption
     meta["language"] = language
     return meta
@@ -199,14 +204,21 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
                 constrained=params.use_constrained_decoding,
             )
             # per-item plans when allowed: each song in a batch gets its own
-            # CoT + codes (reference allow_lm_batch / lm_batch_chunk_size)
+            # CoT + codes. (lm_batch_chunk_size is accepted for reference API
+            # compatibility; plans run sequentially on TPU.) When the plan
+            # produces no codes (infer_type='dit'), one plan serves the batch.
             n_plans = (config.batch_size
                        if config.allow_lm_batch and config.batch_size > 1
+                       and plan_kwargs["infer_type"] == "llm_dit"
                        else 1)
             phases = [llm_handler.plan(seed=i, **plan_kwargs)
                       for i in range(n_plans)]
             phase = phases[0]
             lm_meta = phase.get("metadata", {})
+            if not params.use_cot_metas:
+                # user opted out of LM metadata: keep only caption/language
+                lm_meta = {k: v for k, v in lm_meta.items()
+                           if k in ("caption", "language")}
             if phase.get("audio_codes") and not audio_codes:
                 if n_plans > 1:
                     audio_codes = [p.get("audio_codes") or None

@@ -78,7 +78,12 @@ def build_examples(n: int, simple: bool, seed: int = 7):
             "timesignature": rng.choice(["2", "3", "4", "4", "4", "6"]),
         }
         if simple:
+            # reference simple_mode shape (description/instrumental/
+            # vocal_language) + convenience fields the studio dice consumes
             example = {
+                "description": caption,
+                "instrumental": instrumental,
+                "vocal_language": example["language"],
                 "sample_query": caption,
                 "caption": caption,
                 "lyrics": lyrics,

@@ -29,6 +29,10 @@ def log(msg: str) -> None:
 def _init_handler(args, hbm_override: Optional[float] = None):
     if hbm_override is not None:
         os.environ["ACESTEP_MAX_HBM_GB"] = str(hbm_override)
+        # the global tier is cached after first use; re-pin it per tier run
+        from acestep_tpu.runtime_config import get_tier_config, set_global_config
+
+        set_global_config(get_tier_config(float(hbm_override)))
     from acestep_tpu.pipeline.handler import AceStepHandler
 
     handler = AceStepHandler()
