@@ -335,7 +335,7 @@ class AppState:
             entries = []
             audios = result.get("audios") or [{}]
             for audio in audios:
-                entries.append({
+                entry = {
                     "file": audio.get("path") or "",
                     "wave": "",
                     "status": status_int,
@@ -350,7 +350,11 @@ class AppState:
                     "dit_model": result.get("dit_model", ""),
                     "progress": 1.0,
                     "stage": "succeeded",
-                })
+                }
+                for extra_key in ("lrc", "alignment_score", "lrc_error"):
+                    if extra_key in audio:
+                        entry[extra_key] = audio[extra_key]
+                entries.append(entry)
         else:
             entries = [{
                 "file": "", "wave": "", "status": status_int,

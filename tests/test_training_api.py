@@ -194,3 +194,36 @@ def test_training_start_with_preset(tiny_server):
             break
         time.sleep(0.3)
     assert st["data"]["status"] == "completed"
+
+
+def test_want_lrc_flows_through_rest(tmp_path):
+    handler = AceStepHandler(
+        dit_config=DiTConfig.tiny(fsq_dim=64),
+        vae_config=VAEConfig.tiny(decoder_input_channels=64),
+        frame_bucket=16, min_frames=16)
+    handler.initialize_service()
+    state = AppState({"tiny": handler}, None, output_dir=str(tmp_path / "o"))
+    server = create_server(state, "127.0.0.1", 0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    port = server.server_address[1]
+    try:
+        _, out = _post(port, "/release_task", {
+            "prompt": "song", "lyrics": "la la\nla la",
+            "audio_duration": 0.6, "thinking": False, "want_lrc": True})
+        task_id = out["data"]["task_id"]
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            _, res = _post(port, "/query_result", {"task_id_list": [task_id]})
+            entry = res["data"][0]
+            if entry["status"] != 0:
+                break
+            time.sleep(0.3)
+        assert entry["status"] == 1, entry
+        item = json.loads(entry["result"])[0]
+        assert "lrc" in item, item.get("lrc_error", item)
+        assert isinstance(item["lrc"], str)
+        assert 0.0 <= item["alignment_score"]["score"] <= 1.0
+    finally:
+        state.shutdown()
+        server.shutdown()
+        server.server_close()
