@@ -132,10 +132,31 @@ class MusicStampsAligner:
         return tokens, sentences, format_lrc(sentences)
 
 
+_SCAFFOLD = ("# Languages", "# Lyric", "<|endoftext|>")
+
+
+def _is_scaffold(text: str) -> bool:
+    """Prompt scaffolding (format_lyrics headers, language codes, structure
+    tags like [Verse]) — aligned like any token but not lyric content."""
+    stripped = text.strip()
+    if not stripped or stripped.startswith("#"):
+        return True
+    if any(tag in stripped for tag in _SCAFFOLD):
+        return True
+    if stripped.startswith("[") and stripped.endswith("]"):
+        return True          # structure tags: [Verse], [Chorus], [inst]
+    if len(stripped) <= 3 and stripped.isalpha() and stripped.islower():
+        return True          # bare language code line ("en", "zh", ...)
+    return False
+
+
 def format_lrc(sentences: List[SentenceTimestamp]) -> str:
-    """'[mm:ss.xx]text' lines (reference dit_alignment.format_lrc)."""
+    """'[mm:ss.xx]text' lines (reference dit_alignment.format_lrc); prompt
+    scaffolding lines are dropped."""
     lines = []
     for s in sentences:
+        if _is_scaffold(s.text):
+            continue
         minutes = int(s.start // 60)
         seconds = s.start - minutes * 60
         lines.append(f"[{minutes:02d}:{seconds:05.2f}]{s.text}")
