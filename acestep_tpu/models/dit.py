@@ -171,19 +171,26 @@ def _sliding_flags(cfg: DiTConfig, n_layers: int) -> jnp.ndarray:
     )
 
 
-def resolve_attention_impl(cfg: DiTConfig) -> str:
-    """Attention impl ladder (the reference's FA2 -> sdpa -> eager,
-    init_service_loader.py:45-71).
+# patchified length above which the banded Pallas kernel beats XLA's dense
+# masked attention (v5e head-to-head, 8-step trajectory, batch 1, warm:
+# L=750: dense 0.173 s vs flash 0.216; L=3750: 1.396 vs 1.157; L=7500:
+# 4.468 vs 3.114 — flash wins ~17-30% beyond a few thousand patches)
+FLASH_MIN_PATCHES = 2048
 
-    'auto' resolves to DENSE: measured head-to-head on v5e (2026-08,
-    8-step trajectory, batch 1), XLA's fused masked attention beats the
-    Pallas flash kernel at every supported length (T=1500: 0.167 s vs
-    0.233 s; T=7500: 1.40 vs 1.47; T=15000: 4.47 vs 4.40 — a tie at the
-    600 s maximum). The banded kernel stays available via
-    attention_impl='flash' for future tuning."""
+
+def resolve_attention_impl(cfg: DiTConfig, seq_len: Optional[int] = None) -> str:
+    """Attention impl ladder (the reference's FA2 -> sdpa -> eager,
+    init_service_loader.py:45-71). 'auto' is length-aware: dense XLA for
+    short sequences, the GQA-grouped banded Pallas kernel beyond
+    FLASH_MIN_PATCHES on TPU backends."""
     impl = getattr(cfg, "attention_impl", "auto")
     if impl == "flash":
         return "flash" if cfg.layers_alternate() else "dense"
+    if impl == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        if (on_tpu and cfg.layers_alternate()
+                and seq_len is not None and seq_len >= FLASH_MIN_PATCHES):
+            return "flash"
     return "dense"
 
 
@@ -486,7 +493,7 @@ def dit_decoder(params: dict, cfg: DiTConfig, xt: jnp.ndarray,
                                    window=window, eps=eps)
         return fn
 
-    if resolve_attention_impl(cfg) == "flash":
+    if resolve_attention_impl(cfg, seq_len=L) == "flash":
         # Paired scan: layer_types strictly alternate [sliding, full], so one
         # scan step applies a (banded flash, full flash) pair. The window is
         # static per sub-layer — no traced mask select, no L x L logits.

@@ -48,7 +48,11 @@ NEG_INF = -1e30
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
             scale: float, lq_real: int, lk_real: int, n_k: int,
-            window: Optional[int], block_q: int, block_k: int):
+            window: Optional[int], block_q: int, block_k: int,
+            groups: int):
+    """Grid (B, Hkv, nQ, nK). All `groups` query heads sharing one KV head
+    are processed together (q block (G, BQ, D) flattened to (G*BQ, D)), so
+    K/V blocks are DMA'd once per group instead of once per query head."""
     i = pl.program_id(2)
     j = pl.program_id(3)
 
@@ -58,8 +62,10 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
+    rows = groups * block_q
+    # row r of the flattened (G*BQ) axis is query position i*BQ + (r % BQ)
     q_pos = i * block_q + jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_k), 0)
+        jnp.int32, (groups, block_q, block_k), 1).reshape(rows, block_k)
     if window is None:
         k_start = j * block_k
         in_range = True
@@ -71,15 +77,16 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
         in_range = (intended >= 0) & (intended <= n_k - 1)
         k_start = jnp.clip(intended, 0, n_k - 1) * block_k
     k_pos = k_start + jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_k), 1)
+        jnp.int32, (rows, block_k), 1)
 
     valid = (q_pos < lq_real) & (k_pos < lk_real)
     if window is not None:
         valid &= jnp.abs(q_pos - k_pos) <= window
         valid &= in_range
 
+    q = q_ref[0, 0].reshape(rows, q_ref.shape[-1])      # (G*BQ, D)
     s = jax.lax.dot_general(
-        q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
+        q, k_ref[0, 0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
     s = jnp.where(valid, s, NEG_INF)
 
@@ -98,7 +105,8 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     @pl.when(j == pl.num_programs(3) - 1)
     def _finalize():
         l_safe = jnp.where(l_ref[:] == 0.0, 1.0, l_ref[:])
-        o_ref[0, 0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_ref[:] / l_safe).reshape(
+            o_ref.shape[2:]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "block_q", "block_k",
@@ -118,11 +126,13 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
 
     pad_q = (-Lq) % block_q
     pad_k = (-Lk) % block_k
-    qt = jnp.moveaxis(q, 2, 1)                     # (B, Hq, Lq, D)
+    # q laid out (B, Hkv, G, Lq, D): all group heads of one KV head live in
+    # one grid step, so each K/V block is DMA'd once per group, not per head
+    qt = jnp.moveaxis(q, 2, 1).reshape(B, Hkv, groups, Lq, D)
     kt = jnp.moveaxis(k, 2, 1)
     vt = jnp.moveaxis(v, 2, 1)
     if pad_q:
-        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, 0), (0, pad_q), (0, 0)))
     if pad_k:
         kt = jnp.pad(kt, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
         vt = jnp.pad(vt, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
@@ -134,7 +144,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         k_axis = n_k
 
         def k_index(b, h, i, j):
-            return (b, h // groups, j, 0)
+            return (b, h, j, 0)
     else:
         if window > block_k:
             raise ValueError(
@@ -143,32 +153,33 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         k_axis = 3   # band {i-1, i, i+1}; out-of-range steps masked in-kernel
 
         def k_index(b, h, i, j):
-            return (b, h // groups, jnp.clip(i + j - 1, 0, n_k - 1), 0)
+            return (b, h, jnp.clip(i + j - 1, 0, n_k - 1), 0)
 
     kernel = functools.partial(
         _kernel, scale=scale, lq_real=Lq, lk_real=Lk, n_k=n_k,
-        window=window, block_q=block_q, block_k=block_k)
+        window=window, block_q=block_q, block_k=block_k, groups=groups)
 
-    grid = (B, Hq, n_q, k_axis)
+    grid = (B, Hkv, n_q, k_axis)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, D),
-                         lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, groups, block_q, D),
+                         lambda b, h, i, j: (b, h, 0, i, 0)),
             pl.BlockSpec((1, 1, block_k, D), k_index),
             pl.BlockSpec((1, 1, block_k, D), k_index),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, D),
-                               lambda b, h, i, j: (b, h, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Hq, Lqp, D), q.dtype),
+        out_specs=pl.BlockSpec((1, 1, groups, block_q, D),
+                               lambda b, h, i, j: (b, h, 0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, groups, Lqp, D), q.dtype),
         scratch_shapes=[
-            _scratch((block_q, D), jnp.float32),
-            _scratch((block_q, 1), jnp.float32),
-            _scratch((block_q, 1), jnp.float32),
+            _scratch((groups * block_q, D), jnp.float32),
+            _scratch((groups * block_q, 1), jnp.float32),
+            _scratch((groups * block_q, 1), jnp.float32),
         ],
         interpret=interpret or _force_interpret(),
     )(qt, kt, vt)
+    out = out.reshape(B, Hq, Lqp, D)
     out = jnp.moveaxis(out, 1, 2)[:, :Lq]
     return out
 
