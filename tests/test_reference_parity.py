@@ -340,3 +340,108 @@ def test_condition_encoder_functionally_matches_reference(ref_modeling):
               np.exp(lr - lr.max(1, keepdims=True)).sum(1, keepdims=True)
               ) @ ref_np[b]
         np.testing.assert_allclose(ao, ar, rtol=2e-3, atol=2e-3)
+
+
+def test_turbo_trajectory_matches_reference_generate_audio(ref_modeling):
+    """Full 8-step ODE trajectory parity: the reference's generate_audio
+    (real torch top model, random weights, precomputed LM hints so the
+    FSQ dependency stays unused) vs our prepare_condition + sample_turbo,
+    fed the exact same noise via the seed bridge."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from acestep_tpu.config import DiTConfig
+    from acestep_tpu.models.dit import prepare_condition
+    from acestep_tpu.models.sampler import (
+        ConditionSet, build_turbo_schedule, sample_turbo)
+    from acestep_tpu.utils.checkpoint import convert_dit_state
+
+    ref_cfg_mod, ref_mod = ref_modeling
+    tiny = dict(TINY)
+    tiny.update(text_hidden_dim=32, timbre_hidden_dim=64,
+                num_lyric_encoder_hidden_layers=2,
+                num_timbre_encoder_hidden_layers=1,
+                num_attention_pooler_hidden_layers=1,
+                fsq_dim=64)
+    torch.manual_seed(3)
+    ref_config = ref_cfg_mod.AceStepConfig(**tiny)
+    ref_config._attn_implementation = "eager"
+    model = ref_mod.AceStepConditionGenerationModel(ref_config).eval()
+
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    # the FSQ stub holds no params; its two projections are unused under
+    # precomputed hints — synthesize zeros so the converter stays strict
+    state.setdefault("tokenizer.quantizer.layers.0.project_in.weight",
+                     np.zeros((6, tiny["fsq_dim"]), np.float32))
+    state.setdefault("tokenizer.quantizer.layers.0.project_in.bias",
+                     np.zeros((6,), np.float32))
+    state.setdefault("tokenizer.quantizer.layers.0.project_out.weight",
+                     np.zeros((tiny["fsq_dim"], 6), np.float32))
+    state.setdefault("tokenizer.quantizer.layers.0.project_out.bias",
+                     np.zeros((tiny["fsq_dim"],), np.float32))
+    cfg = DiTConfig.tiny(
+        text_hidden_dim=32, num_lyric_encoder_hidden_layers=2,
+        num_timbre_encoder_hidden_layers=1,
+        num_attention_pooler_hidden_layers=1, fsq_dim=64,
+        sliding_window=TINY["sliding_window"],
+        layer_types=tuple(TINY["layer_types"]),
+        attention_impl="dense")
+    params = convert_dit_state(state, cfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(3)
+    B, T, Lt, Ll = 1, 20, 4, 6
+    text_h = rng.standard_normal((B, Lt, 32)).astype(np.float32)
+    text_m = np.ones((B, Lt), np.int32)
+    lyric_h = rng.standard_normal((B, Ll, 32)).astype(np.float32)
+    lyric_m = np.ones((B, Ll), np.int32)
+    refer = rng.standard_normal((B, 10, 64)).astype(np.float32)
+    order = np.arange(B, dtype=np.int32)
+    src = np.zeros((B, T, 64), np.float32)
+    chunk = np.ones((B, T, 64), np.float32)
+    hints = rng.standard_normal((B, T, 64)).astype(np.float32)
+
+    torch_kw = dict(
+        text_hidden_states=torch.from_numpy(text_h),
+        text_attention_mask=torch.from_numpy(text_m),
+        lyric_hidden_states=torch.from_numpy(lyric_h),
+        lyric_attention_mask=torch.from_numpy(lyric_m),
+        refer_audio_acoustic_hidden_states_packed=torch.from_numpy(refer),
+        refer_audio_order_mask=torch.from_numpy(order).long(),
+        src_latents=torch.from_numpy(src),
+        chunk_masks=torch.from_numpy(chunk),
+        is_covers=torch.zeros(B),
+        precomputed_lm_hints_25Hz=torch.from_numpy(hints),
+        silence_latent=torch.zeros(1, T, 64),
+        attention_mask=torch.ones(B, T),
+    )
+    with torch.no_grad():
+        ref_out = model.generate_audio(seed=5, fix_nfe=8, infer_method="ode",
+                                       shift=3.0, **torch_kw)
+        noise = model.prepare_noise(
+            torch.cat([torch.from_numpy(src), torch.from_numpy(chunk)],
+                      dim=-1), seed=5).numpy()
+    ref_np = ref_out["target_latents"].numpy()
+
+    with jax.default_matmul_precision("float32"):
+        enc, _m, ctx = prepare_condition(
+            params, cfg,
+            text_hidden_states=jnp.asarray(text_h),
+            text_attention_mask=jnp.asarray(text_m),
+            lyric_hidden_states=jnp.asarray(lyric_h),
+            lyric_attention_mask=jnp.asarray(lyric_m),
+            refer_audio_packed=jnp.asarray(refer),
+            refer_order_mask=jnp.asarray(order),
+            src_latents=jnp.asarray(src),
+            chunk_masks=jnp.asarray(chunk),
+            is_covers=jnp.zeros((B,), jnp.int32),
+            precomputed_lm_hints_25hz=jnp.asarray(hints),
+        )
+        cond = ConditionSet.build(params, cfg, enc, ctx)
+        ours = sample_turbo(params, cfg, x_init=jnp.asarray(noise),
+                            schedule=tuple(build_turbo_schedule(3.0)),
+                            cond=cond, infer_method="ode")
+    ours_np = np.asarray(ours)
+    assert ours_np.shape == ref_np.shape
+    np.testing.assert_allclose(ours_np, ref_np, rtol=5e-3, atol=5e-3)
