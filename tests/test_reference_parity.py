@@ -564,3 +564,104 @@ def test_base_cfg_apg_trajectory_matches_reference():
     ours_np = np.asarray(ours)
     assert ours_np.shape == ref_np.shape
     np.testing.assert_allclose(ours_np, ref_np, rtol=5e-3, atol=5e-3)
+
+
+def test_turbo_cover_noise_trajectory_matches_reference(ref_modeling):
+    """Cover mode: is_covers=1 (hints replace src in context), trajectory
+    starts from renoised src at the truncated schedule point
+    (cover_noise_strength semantics, ref turbo :1921-1936)."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from acestep_tpu.config import DiTConfig
+    from acestep_tpu.models.dit import prepare_condition
+    from acestep_tpu.models.sampler import (
+        ConditionSet, build_turbo_schedule, renoise, sample_turbo,
+        truncate_for_cover_noise)
+    from acestep_tpu.utils.checkpoint import convert_dit_state
+
+    ref_cfg_mod, ref_mod = ref_modeling
+    tiny = dict(TINY)
+    tiny.update(text_hidden_dim=32, timbre_hidden_dim=64,
+                num_lyric_encoder_hidden_layers=2,
+                num_timbre_encoder_hidden_layers=1,
+                num_attention_pooler_hidden_layers=1, fsq_dim=64)
+    torch.manual_seed(6)
+    ref_config = ref_cfg_mod.AceStepConfig(**tiny)
+    ref_config._attn_implementation = "eager"
+    model = ref_mod.AceStepConditionGenerationModel(ref_config).eval()
+
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    state.setdefault("tokenizer.quantizer.layers.0.project_in.weight",
+                     np.zeros((6, 64), np.float32))
+    state.setdefault("tokenizer.quantizer.layers.0.project_in.bias",
+                     np.zeros((6,), np.float32))
+    state.setdefault("tokenizer.quantizer.layers.0.project_out.weight",
+                     np.zeros((64, 6), np.float32))
+    state.setdefault("tokenizer.quantizer.layers.0.project_out.bias",
+                     np.zeros((64,), np.float32))
+    cfg = DiTConfig.tiny(
+        text_hidden_dim=32, num_lyric_encoder_hidden_layers=2,
+        num_timbre_encoder_hidden_layers=1,
+        num_attention_pooler_hidden_layers=1, fsq_dim=64,
+        sliding_window=TINY["sliding_window"],
+        layer_types=tuple(TINY["layer_types"]), attention_impl="dense")
+    params = convert_dit_state(state, cfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(6)
+    B, T = 1, 20
+    text_h = rng.standard_normal((B, 4, 32)).astype(np.float32)
+    lyric_h = rng.standard_normal((B, 6, 32)).astype(np.float32)
+    refer = rng.standard_normal((B, 10, 64)).astype(np.float32)
+    src = rng.standard_normal((B, T, 64)).astype(np.float32)
+    chunk = np.ones((B, T, 64), np.float32)
+    hints = rng.standard_normal((B, T, 64)).astype(np.float32)
+    strength = 0.5
+
+    with torch.no_grad():
+        ref_out = model.generate_audio(
+            text_hidden_states=torch.from_numpy(text_h),
+            text_attention_mask=torch.ones(B, 4),
+            lyric_hidden_states=torch.from_numpy(lyric_h),
+            lyric_attention_mask=torch.ones(B, 6),
+            refer_audio_acoustic_hidden_states_packed=torch.from_numpy(refer),
+            refer_audio_order_mask=torch.arange(B).long(),
+            src_latents=torch.from_numpy(src),
+            chunk_masks=torch.from_numpy(chunk),
+            is_covers=torch.ones(B),
+            precomputed_lm_hints_25Hz=torch.from_numpy(hints),
+            silence_latent=torch.zeros(1, T, 64),
+            seed=11, fix_nfe=8, infer_method="ode", shift=3.0,
+            cover_noise_strength=strength,
+        )
+        noise = model.prepare_noise(
+            torch.cat([torch.from_numpy(src), torch.from_numpy(chunk)],
+                      dim=-1), seed=11).numpy()
+    ref_np = ref_out["target_latents"].numpy()
+
+    with jax.default_matmul_precision("float32"):
+        enc, _m, ctx = prepare_condition(
+            params, cfg,
+            text_hidden_states=jnp.asarray(text_h),
+            text_attention_mask=jnp.ones((B, 4), jnp.int32),
+            lyric_hidden_states=jnp.asarray(lyric_h),
+            lyric_attention_mask=jnp.ones((B, 6), jnp.int32),
+            refer_audio_packed=jnp.asarray(refer),
+            refer_order_mask=jnp.arange(B, dtype=jnp.int32),
+            src_latents=jnp.asarray(src),
+            chunk_masks=jnp.asarray(chunk),
+            is_covers=jnp.ones((B,), jnp.int32),
+            precomputed_lm_hints_25hz=jnp.asarray(hints),
+        )
+        cond = ConditionSet.build(params, cfg, enc, ctx)
+        schedule, start_t = truncate_for_cover_noise(
+            build_turbo_schedule(3.0), strength)
+        x_init = renoise(jnp.asarray(src), jnp.asarray(start_t),
+                         jnp.asarray(noise))
+        ours = sample_turbo(params, cfg, x_init=x_init,
+                            schedule=tuple(schedule), cond=cond,
+                            infer_method="ode")
+    ours_np = np.asarray(ours)
+    np.testing.assert_allclose(ours_np, ref_np, rtol=5e-3, atol=5e-3)
