@@ -13,7 +13,6 @@ import time
 from dataclasses import asdict, dataclass, field
 from typing import Any, Dict, List, Optional
 
-from acestep_tpu.constants import DEFAULT_DIT_INSTRUCTION
 from acestep_tpu.pipeline import text as textlib
 from acestep_tpu.utils.audio import generate_uuid_from_params
 
@@ -25,11 +24,15 @@ from acestep_tpu.utils.audio import generate_uuid_from_params
 @dataclass
 class GenerationParams:
     task_type: str = "text2music"
-    instruction: str = DEFAULT_DIT_INSTRUCTION
+    # empty = resolve the task-specific instruction (repaint/cover/extract/
+    # lego/complete templates) in the handler; a non-empty value overrides
+    instruction: str = ""
 
     reference_audio: Optional[str] = None
     src_audio: Optional[str] = None
     audio_codes: str = ""
+    track_name: Optional[str] = None          # extract/lego templates
+    track_classes: Optional[List[str]] = None  # complete template
 
     caption: str = ""
     lyrics: str = ""
@@ -272,6 +275,8 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
             guidance_scale=params.guidance_scale,
             use_adg=params.use_adg,
             cfg_interval=(params.cfg_interval_start, params.cfg_interval_end),
+            track_name=params.track_name,
+            track_classes=params.track_classes,
             latent_shift=params.latent_shift,
             latent_rescale=params.latent_rescale,
             normalize=params.enable_normalization,

@@ -107,6 +107,7 @@ class AceStepHandler:
         (reference torchao int8_weight_only policy, DiT-only filter,
         init_service_loader.py:89-114); dequant runs inside each jitted
         program so XLA fuses it into the consuming matmuls."""
+        self.checkpoint_dir = checkpoint_dir   # remembered for reinitialize
         if checkpoint_dir:
             from acestep_tpu.utils.checkpoint import load_dit_checkpoint
             self.params, silence = load_dit_checkpoint(checkpoint_dir, self.cfg,
@@ -207,10 +208,22 @@ class AceStepHandler:
         return self._fn_cache[key]
 
     def encode_audio(self, audio: np.ndarray) -> np.ndarray:
-        """(samples, ch) float32 -> (T, 64) latents via tiled VAE encode."""
-        x = np.asarray(audio, np.float32)[None]
-        z = self._encode_fn(x.shape)(self.vae_params, x.astype(self.dtype))
-        return np.asarray(z[0], np.float32)
+        """(samples, ch) float32 -> (T, 64) latents via tiled VAE encode.
+
+        Audio pads to a frame-bucket multiple of hop samples so arbitrary
+        upload lengths share one compiled program per 10 s bucket (the same
+        discipline as generation; exact-shape keys would recompile per
+        request and grow the cache unboundedly)."""
+        x = np.asarray(audio, np.float32)
+        hop = self.vae_cfg.hop_length
+        T_real = -(-x.shape[0] // hop)
+        bucket_samples = self.frame_bucket * hop
+        pad = (-x.shape[0]) % bucket_samples
+        if pad:
+            x = np.pad(x, ((0, pad), (0, 0)))
+        z = self._encode_fn(x[None].shape)(self.vae_params,
+                                           x[None].astype(self.dtype))
+        return np.asarray(z[0][:T_real], np.float32)
 
     def decode_latents(self, latents) -> np.ndarray:
         """(B, T, 64) -> (B, samples, 2) float32."""
@@ -222,7 +235,7 @@ class AceStepHandler:
     # Core generation
     # --------------------------------------------------------------
 
-    def _build_generate_fn(self, key_shape: tuple, *, schedule: tuple,
+    def _build_generate_fn(self, *, schedule: tuple,
                            method: str, guidance_scale: float,
                            use_adg: bool, cfg_interval: tuple,
                            has_non_cover: bool, cover_steps: Optional[int],
@@ -338,7 +351,7 @@ class AceStepHandler:
 
     def _get_generate_fn(self, cache_key: tuple, **kwargs):
         if cache_key not in self._fn_cache:
-            self._fn_cache[cache_key] = self._build_generate_fn(cache_key, **kwargs)
+            self._fn_cache[cache_key] = self._build_generate_fn(**kwargs)
         return self._fn_cache[cache_key]
 
     # --------------------------------------------------------------
@@ -409,11 +422,18 @@ class AceStepHandler:
         metas = (list(metas) * B)[:B]
         if isinstance(vocal_languages, str):
             vocal_languages = [vocal_languages] * B
+        vocal_languages = (list(vocal_languages) * B)[:B]
         if audio_code_hints is None or isinstance(audio_code_hints, str):
             audio_code_hints = [audio_code_hints] * B
+        audio_code_hints = (list(audio_code_hints) * B)[:B]
         seeds_list = textlib.prepare_seeds(B, seeds, use_random_seed)
 
-        has_codes = any(h for h in audio_code_hints)
+        # parse hints FIRST; only actually-valid codes engage cover mode
+        # (a junk hint string must not silently produce an all-zero cover)
+        codes_arrays = [self._parse_code_hint(h) for h in audio_code_hints]
+        has_codes = any(c is not None and len(c) for c in codes_arrays)
+        if not has_codes:
+            codes_arrays = [None] * B
         if task == "text2music" and has_codes:
             task = "cover"       # reference auto-switch (generate_music_request.py:47-56)
         if isinstance(instructions, str):
@@ -421,6 +441,10 @@ class AceStepHandler:
         if instructions is None:
             instructions = [textlib.resolve_instruction(
                 task, track_name=track_name, track_classes=track_classes)] * B
+        instructions = (list(instructions) * B)[:B]
+        instructions = [i or textlib.resolve_instruction(
+            task, track_name=track_name, track_classes=track_classes)
+            for i in instructions]
 
         # ---- source audio -> latents & frame geometry
         t0 = time.time()
@@ -429,7 +453,6 @@ class AceStepHandler:
             if isinstance(src_audio, str):
                 src_audio = load_audio(src_audio)
             src_latent_single = self.encode_audio(np.asarray(src_audio))
-        codes_arrays = [self._parse_code_hint(h) for h in audio_code_hints]
 
         if audio_duration and audio_duration > 0:
             T_req = int(audio_duration * LATENT_RATE)
@@ -756,7 +779,13 @@ class AceStepHandler:
         x0 = np.asarray(pred_latents, np.float32)
         if x0.ndim == 2:
             x0 = x0[None]
-        B, T, _ = x0.shape
+        # bucket T so want_lrc shares compiled programs across durations
+        T_real = x0.shape[1]
+        T = _pad_frames_to(T_real, self.frame_bucket, self.min_frames)
+        if T > T_real:
+            x0 = np.pad(x0, ((0, 0), (0, T - T_real), (0, 0)))
+        B = x0.shape[0]
+        q_real = -(-T_real // self.cfg.patch_size)   # real query patches
 
         meta_strs = textlib.parse_metas([metas] if not isinstance(metas, list)
                                         else metas)
@@ -828,7 +857,9 @@ class AceStepHandler:
             else self.params
         captured = self._fn_cache[cache_key](params, inputs,
                                              jax.random.PRNGKey(seed))
-        captured = {k: np.asarray(v) for k, v in captured.items()}
+        # trim padded query frames so DTW only aligns real audio
+        captured = {k: np.asarray(v)[:, :, :q_real, :]
+                    for k, v in captured.items()}
 
         aligner = MusicStampsAligner(patch_size=self.cfg.patch_size)
         tokens, sentences, lrc = aligner.get_timestamps_and_lrc(

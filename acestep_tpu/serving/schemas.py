@@ -12,7 +12,10 @@ import dataclasses
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Union
 
-DEFAULT_DIT_INSTRUCTION = "Generate audio semantic tokens based on the given conditions:"
+# NOTE: "Generate audio semantic tokens..." is the COVER/LM instruction —
+# the handler detects cover mode from that exact phrase. Requests default to
+# an empty instruction so the handler resolves the task-specific one
+# (constants.TASK_INSTRUCTIONS) from task_type.
 
 # Client-key aliases accepted by the reference's manual RequestParser
 # (api_server.py:1061-1171): e.g. "keyscale" vs "key_scale".
@@ -64,7 +67,7 @@ class GenerateMusicRequest:
     repainting_start: float = 0.0
     repainting_end: Optional[float] = None
 
-    instruction: str = DEFAULT_DIT_INSTRUCTION
+    instruction: str = ""      # empty = resolve from task_type
     audio_cover_strength: float = 1.0
     task_type: str = "text2music"
     analysis_only: bool = False

@@ -90,6 +90,8 @@ def request_to_params(req: GenerateMusicRequest) -> GenerationParams:
     return GenerationParams(
         task_type=req.task_type,
         instruction=req.instruction,
+        track_name=req.track_name,
+        track_classes=req.track_classes,
         reference_audio=req.reference_audio_path,
         src_audio=req.src_audio_path,
         caption=req.prompt,
@@ -148,6 +150,7 @@ class AppState:
         self.pending_ids: List[str] = []
         self.pending_lock = threading.Lock()
         self.stats_lock = threading.Lock()
+        self.reinit_lock = threading.Lock()   # weights swap vs generation
         self.avg_job_seconds = INITIAL_AVG_JOB_SECONDS
         self.completed_jobs = 0
         self.examples_dir = examples_dir
@@ -285,8 +288,9 @@ class AppState:
                 params.lyrics = fmt.get("lyrics", params.lyrics)
 
         try:
-            result = inference.generate_music(dit_handler, self.llm_handler,
-                                              params, config)
+            with self.reinit_lock:
+                result = inference.generate_music(
+                    dit_handler, self.llm_handler, params, config)
         finally:
             for path in temp_files:     # ref _cleanup_job_temp_files
                 try:
@@ -534,6 +538,7 @@ class _Handler(BaseHTTPRequestHandler):
             state.job_queue.put_nowait((rec.job_id, req))
         except queue.Full:
             state.job_store.mark_failed(rec.job_id, "queue full")
+            state._cache_result(rec.job_id)   # overwrite the 'queued' entry
             with state.pending_lock:
                 state.pending_ids.remove(rec.job_id)
             self._send_json(wrap_response(None, 503, "Queue full"), 503)
@@ -573,7 +578,12 @@ class _Handler(BaseHTTPRequestHandler):
                 entries = []
             status = entries[0].get("status", 2) if entries else 2
             create_time = entries[0].get("create_time", 0) if entries else 0
-            if status == 0 and (now - create_time) > TASK_TIMEOUT_SECONDS:
+            stage = entries[0].get("stage", "") if entries else ""
+            # timeout applies to RUNNING jobs only — a long queue is not a
+            # failure, and flipping 2 -> 1 later breaks terminal-status
+            # expectations
+            if status == 0 and stage == "running" \
+                    and (now - create_time) > TASK_TIMEOUT_SECONDS:
                 status = 2
             data_list.append({"task_id": task_id, "result": payload,
                               "status": status})
@@ -662,12 +672,24 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _reinitialize(self, body: Dict[str, Any]) -> None:
         handler = self.state.dit_handlers[self.state.default_model]
-        if hasattr(handler, "initialize_service"):
-            status = handler.initialize_service(
-                checkpoint_dir=body.get("checkpoint_dir"))
-            self._send_json(wrap_response(status))
-        else:
+        if not hasattr(handler, "initialize_service"):
             self._send_json(wrap_response(None, 503, "not supported"), 503)
+            return
+        ckpt = body.get("checkpoint_dir") or getattr(
+            handler, "checkpoint_dir", None)
+        if body.get("checkpoint_dir") is None and ckpt is None and \
+                not body.get("allow_random_init"):
+            # no dir given and none remembered: refuse rather than silently
+            # replace served weights with random init
+            self._send_json(wrap_response(
+                None, 400, "checkpoint_dir required (or allow_random_init)"),
+                400)
+            return
+        with self.state.reinit_lock:    # don't swap weights mid-generation
+            handler.initialize_service(
+                checkpoint_dir=ckpt,
+                quantization=getattr(handler, "quantization", None))
+        self._send_json(wrap_response(handler.get_service_status()))
 
     # -- OpenRouter chat (ref openrouter_adapter.py) ------------------------
 

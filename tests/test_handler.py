@@ -168,3 +168,25 @@ def test_warmup_compiles_buckets(handler):
     timings = handler.warmup(durations=(0.8,), batch_sizes=(1,),
                              infer_steps=4)
     assert "b1_d0" in timings and timings["b1_d0"] >= 0
+
+
+def test_invalid_code_hints_ignored(handler):
+    """Junk hint strings must not crash or silently engage cover mode."""
+    res = handler.generate_music("song", "la", audio_code_hints="no codes here",
+                                 audio_duration=0.8, seeds=1)
+    assert res.extra["task"] == "text2music"
+    assert np.all(np.isfinite(res.pred_latents))
+
+
+def test_short_list_params_broadcast(handler):
+    res = handler.generate_music(
+        ["a", "b"], ["la", "da"], vocal_languages=["en"],
+        audio_duration=0.8, seeds=[1, 2])
+    assert len(res.audios) == 2
+
+
+def test_repaint_resolves_task_instruction(handler):
+    res = handler.generate_music(
+        "fix the middle", "la", task="repaint", audio_duration=0.8,
+        repainting_start=0.0, repainting_end=0.3, seeds=2)
+    assert res.extra["task"] == "repaint"

@@ -285,3 +285,17 @@ def test_get_endpoints_require_api_key(tmp_path):
         state.shutdown()
         server.shutdown()
         server.server_close()
+
+
+def test_rest_text2music_is_not_cover(server_env):
+    """Regression: the schema's default instruction must not trip the
+    handler's cover detection (it previously carried the LM/cover phrase)."""
+    state, handler, port = server_env
+    _, out = _post(port, "/release_task", {"prompt": "jazz",
+                                           "thinking": False})
+    _wait_done(port, out["data"]["task_id"])
+    call = handler.calls[-1]
+    assert call.get("task", "text2music") != "cover"
+    instr = call.get("instructions")
+    assert instr is None or "generate audio semantic tokens" not in \
+        str(instr).lower()
