@@ -210,9 +210,11 @@ class LoraManager:
                     from acestep_tpu.ops.quant import dequantize_params
 
                     def _merge(base, weights, scale, *, meta=meta):
-                        # int8 base weights dequantize before the delta add
-                        return merge_weights(dequantize_params(base),
-                                             weights, scale, meta)
+                        # quantized base weights (incl. w8a8) dequantize
+                        # before the delta add
+                        return merge_weights(
+                            dequantize_params(base, materialize_w8a8=True),
+                            weights, scale, meta)
 
                     self._merge_fns[meta_key] = jax.jit(_merge)
                 self._merged = self._merge_fns[meta_key](

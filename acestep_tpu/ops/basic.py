@@ -64,7 +64,14 @@ def init_attention(key, hidden: int, num_heads: int, num_kv_heads: int,
 
 
 def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    y = x @ p["w"].astype(x.dtype)
+    w = p["w"]
+    if isinstance(w, dict):
+        # w8a8-dynamic quant node (ops/quant.py): int8 x int8 MXU matmul
+        # with per-token activation scales, instead of a bf16 contraction.
+        from acestep_tpu.ops.quant import w8a8_matmul
+        y = w8a8_matmul(x, w)
+    else:
+        y = x @ w.astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y

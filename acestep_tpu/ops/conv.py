@@ -38,10 +38,19 @@ def init_conv1d_transpose(key, in_ch: int, out_ch: int, kernel: int, *,
     return init_conv1d(key, in_ch, out_ch, kernel, bias=bias, std=std, dtype=dtype)
 
 
+def _conv_weight(w, dtype):
+    """Convs consume quant nodes as weight-only (materialized): the int8
+    activation path (ops/quant.w8a8_matmul) only applies to linears."""
+    if isinstance(w, dict):
+        from acestep_tpu.ops.quant import dequantize_params
+        w = dequantize_params(w, dtype, materialize_w8a8=True)
+    return w.astype(dtype)
+
+
 def conv1d(p: dict, x: jnp.ndarray, *, stride: int = 1, padding: int = 0,
            dilation: int = 1) -> jnp.ndarray:
     """x: (B, L, Cin) -> (B, L', Cout). `padding` is symmetric (torch-style)."""
-    w = p["w"].astype(x.dtype)
+    w = _conv_weight(p["w"], x.dtype)
     y = lax.conv_general_dilated(
         x, w,
         window_strides=(stride,),
@@ -59,7 +68,7 @@ def conv1d_transpose(p: dict, x: jnp.ndarray, *, stride: int = 1,
                      padding: int = 0, output_padding: int = 0) -> jnp.ndarray:
     """torch ConvTranspose1d equivalent: out_len = (L-1)*stride - 2*padding
     + kernel + output_padding."""
-    w = p["w"].astype(x.dtype)
+    w = _conv_weight(p["w"], x.dtype)
     k = w.shape[0]
     y = lax.conv_general_dilated(
         x, jnp.flip(w, axis=0),

@@ -1,12 +1,19 @@
-"""Int8 weight-only quantization for param trees.
+"""Weight quantization for param trees: int8 / fp8 weight-only, w8a8 dynamic.
 
 Capability parity with the reference's torchao quantization policies
 (init_service_loader.py:89-114: int8_weight_only / fp8_weight_only /
 w8a8_dynamic applied to the DiT only, excluding tokenizer/detokenizer).
-TPU-native version: weight matrices are stored as int8 with per-output-
-channel float scales; `dequantize_params` runs inside the jitted program so
-XLA fuses the dequant into the consuming matmul. Halves weight HBM vs bf16
-(the 4 GB-class deployment knob) at ~1e-2 relative weight error.
+
+TPU-native designs:
+- int8 weight-only: int8 storage + per-output-channel f32 scales;
+  `dequantize_params` runs inside the jitted program so XLA fuses the
+  dequant into the consuming matmul. Halves weight HBM vs bf16.
+- fp8 weight-only: float8_e4m3fn storage + per-channel scales (e4m3 is
+  natively convertible on v5e+; same HBM saving, lower error on outliers).
+- w8a8 dynamic: int8 weights AND per-token dynamic int8 activations; the
+  matmul itself runs int8 x int8 -> int32 on the MXU (ops/basic.linear
+  detects the node), so it saves matmul FLOP energy and HBM, not just
+  weight storage. Activations are quantized symmetric per-token at use.
 """
 
 from __future__ import annotations
@@ -17,6 +24,20 @@ import jax
 import jax.numpy as jnp
 
 QUANT_KEY = "__int8__"
+FP8_KEY = "__fp8__"
+W8A8_KEY = "__w8a8__"
+
+# reference's torchao policy names map onto these modes
+MODE_ALIASES = {
+    "int8": "int8",
+    "int8_weight_only": "int8",
+    "fp8": "fp8",
+    "fp8_weight_only": "fp8",
+    "w8a8": "w8a8",
+    "w8a8_dynamic": "w8a8",
+}
+
+_FP8_MAX = 448.0   # float8_e4m3fn finite max
 
 
 def _is_quantizable(path_keys: Sequence[str], leaf) -> bool:
@@ -29,13 +50,27 @@ def _path_keys(path) -> list:
     return [p.key for p in path if isinstance(p, jax.tree_util.DictKey)]
 
 
-def quantize_tree_int8(params: dict, *,
-                       exclude_prefixes: Tuple[str, ...] = (
-                           "tokenizer", "detokenizer")) -> dict:
-    """Replace weight leaves with {QUANT_KEY: int8, 'scale': f32} nodes.
+def _channel_scale(w: jnp.ndarray, qmax: float) -> jnp.ndarray:
+    """Per-output-channel scale, independent per leading (layer) axis:
+    stacked layer leaves are (L, in, out) — reducing only the in-features
+    axis keeps each layer's scale independent."""
+    amax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
+    return jnp.maximum(amax / qmax, 1e-12)
+
+
+def quantize_tree(params: dict, mode: str = "int8", *,
+                  exclude_prefixes: Tuple[str, ...] = (
+                      "tokenizer", "detokenizer")) -> dict:
+    """Replace weight leaves with quantized {key: q, 'scale': f32} nodes.
 
     exclude_prefixes mirrors the reference's DiT-only filter (the FSQ
-    tokenizer/detokenizer are numerically sensitive, ref :100-108)."""
+    tokenizer/detokenizer are numerically sensitive, ref
+    init_service_loader.py:100-108)."""
+    mode = MODE_ALIASES.get(mode, None)
+    if mode is None:
+        raise ValueError(
+            f"unsupported quantization mode; supported: {sorted(MODE_ALIASES)}")
+
     def rule(path, leaf):
         keys = _path_keys(path)
         if keys and keys[0] in exclude_prefixes:
@@ -43,33 +78,76 @@ def quantize_tree_int8(params: dict, *,
         if not _is_quantizable(keys, leaf):
             return leaf
         w = jnp.asarray(leaf, jnp.float32)
-        # scale per output channel AND per leading (layer) axis: stacked
-        # layer leaves are (L, in, out) — reducing only the in-features axis
-        # keeps each layer's scale independent
-        amax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
-        scale = jnp.maximum(amax / 127.0, 1e-12)
+        if mode == "fp8":
+            scale = _channel_scale(w, _FP8_MAX)
+            q = (w / scale).astype(jnp.float8_e4m3fn)
+            return {FP8_KEY: q, "scale": scale.astype(jnp.float32)}
+        scale = _channel_scale(w, 127.0)
         q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
-        return {QUANT_KEY: q, "scale": scale.astype(jnp.float32)}
+        key = W8A8_KEY if mode == "w8a8" else QUANT_KEY
+        return {key: q, "scale": scale.astype(jnp.float32)}
 
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
+def quantize_tree_int8(params: dict, *,
+                       exclude_prefixes: Tuple[str, ...] = (
+                           "tokenizer", "detokenizer")) -> dict:
+    """Back-compat alias for quantize_tree(mode='int8')."""
+    return quantize_tree(params, "int8", exclude_prefixes=exclude_prefixes)
+
+
 def _is_quant_node(node) -> bool:
-    return isinstance(node, dict) and QUANT_KEY in node
+    return isinstance(node, dict) and (
+        QUANT_KEY in node or FP8_KEY in node or W8A8_KEY in node)
 
 
-def dequantize_params(params, dtype=jnp.bfloat16):
+def is_w8a8_node(node) -> bool:
+    return isinstance(node, dict) and W8A8_KEY in node
+
+
+def dequantize_params(params, dtype=jnp.bfloat16, *,
+                      materialize_w8a8: bool = False):
     """Materialize full-precision weights from a quantized tree.
 
     Pure function — call at the top of a jitted program; XLA fuses the
-    int8->bf16 multiply into the consumer."""
+    int8/fp8 -> bf16 multiply into the consumer. w8a8 nodes stay quantized
+    (ops/basic.linear runs them as int8 x int8 MXU matmuls) unless
+    materialize_w8a8=True (LoRA merging needs real weight tensors)."""
     def rule(node):
-        if _is_quant_node(node):
+        if isinstance(node, dict) and QUANT_KEY in node:
             return (node[QUANT_KEY].astype(jnp.float32)
                     * node["scale"]).astype(dtype)
+        if isinstance(node, dict) and FP8_KEY in node:
+            return (node[FP8_KEY].astype(jnp.float32)
+                    * node["scale"]).astype(dtype)
+        if isinstance(node, dict) and W8A8_KEY in node:
+            if materialize_w8a8:
+                return (node[W8A8_KEY].astype(jnp.float32)
+                        * node["scale"]).astype(dtype)
+            return node
         return node
 
     return jax.tree.map(rule, params, is_leaf=_is_quant_node)
+
+
+def w8a8_matmul(x: jnp.ndarray, node: dict) -> jnp.ndarray:
+    """Dynamic-activation int8 matmul: x (..., in) @ node (in, out).
+
+    Per-token symmetric activation quantization; the int8 x int8 -> int32
+    contraction runs on the MXU. Output scales back to x.dtype."""
+    wq = node[W8A8_KEY]
+    w_scale = node["scale"]                       # (1, out)
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    x_scale = jnp.maximum(amax / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, wq,
+        dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    scale = x_scale * w_scale.reshape((1,) * (y.ndim - 1) + (-1,))
+    return (y.astype(jnp.float32) * scale).astype(x.dtype)
 
 
 def quantized_bytes(params) -> int:

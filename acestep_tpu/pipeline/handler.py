@@ -134,12 +134,15 @@ class AceStepHandler:
             self.silence_latent = np.zeros(
                 (1, 15360, self.cfg.audio_acoustic_hidden_dim), np.float32)
         self.quantization = quantization
-        if quantization == "int8":
-            from acestep_tpu.ops.quant import quantize_tree_int8
-            self.params = jax.jit(quantize_tree_int8)(self.params)
-        elif quantization:
-            raise ValueError(f"unsupported quantization {quantization!r}; "
-                             "supported: 'int8'")
+        if quantization:
+            from acestep_tpu.ops.quant import MODE_ALIASES, quantize_tree
+            if quantization not in MODE_ALIASES:
+                raise ValueError(
+                    f"unsupported quantization {quantization!r}; supported: "
+                    f"{sorted(MODE_ALIASES)}")
+            from functools import partial
+            self.params = jax.jit(
+                partial(quantize_tree, mode=quantization))(self.params)
         self.text_embedder = text_embedder or HashTextEmbedder(
             dim=self.cfg.text_hidden_dim)
         from acestep_tpu.lora.manager import LoraManager

@@ -1,4 +1,4 @@
-"""Int8 weight-only quantization tests."""
+"""Quantization tests: int8/fp8 weight-only + w8a8 dynamic."""
 
 import jax
 import jax.numpy as jnp
@@ -8,10 +8,14 @@ import pytest
 from acestep_tpu.config import DiTConfig, VAEConfig
 from acestep_tpu.models.dit import init_dit_params
 from acestep_tpu.ops.quant import (
+    FP8_KEY,
     QUANT_KEY,
+    W8A8_KEY,
     dequantize_params,
+    quantize_tree,
     quantize_tree_int8,
     quantized_bytes,
+    w8a8_matmul,
 )
 
 
@@ -63,6 +67,62 @@ def test_quantized_generation_close_to_full():
     audio = np.zeros((full.vae_cfg.hop_length * 20, 2), np.float32)
     codes = quant.audio_to_codes(audio)
     assert codes.startswith("<|audio_code_")
+
+
+def test_fp8_weight_only_roundtrip():
+    cfg = DiTConfig.tiny()
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    q = quantize_tree(params, "fp8_weight_only")
+    node = q["decoder"]["layers"]["self_attn"]["q_proj"]["w"]
+    assert FP8_KEY in node and node[FP8_KEY].dtype == jnp.float8_e4m3fn
+    assert not isinstance(q["tokenizer"]["audio_acoustic_proj"]["w"], dict)
+
+    deq = dequantize_params(q, jnp.float32)
+    w0 = np.asarray(params["decoder"]["layers"]["self_attn"]["q_proj"]["w"])
+    w1 = np.asarray(deq["decoder"]["layers"]["self_attn"]["q_proj"]["w"])
+    rel = np.abs(w0 - w1).max() / np.abs(w0).max()
+    assert rel < 0.08
+    assert quantized_bytes(q) < quantized_bytes(params)
+
+
+def test_w8a8_matmul_matches_dense():
+    key = jax.random.PRNGKey(1)
+    w = jax.random.normal(key, (32, 48), jnp.float32) * 0.05
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 32), jnp.float32)
+    q = quantize_tree({"layer": {"w": w}}, "w8a8_dynamic")
+    node = q["layer"]["w"]
+    assert W8A8_KEY in node and node[W8A8_KEY].dtype == jnp.int8
+    # w8a8 nodes survive default dequantize (consumed by ops.basic.linear)
+    assert isinstance(dequantize_params(q)["layer"]["w"], dict)
+    # ... but materialize for LoRA merging
+    assert dequantize_params(q, materialize_w8a8=True)["layer"]["w"].ndim == 2
+
+    y_ref = x @ w
+    y_q = w8a8_matmul(x, node)
+    rel = np.abs(np.asarray(y_q, np.float32) - np.asarray(y_ref)).max() / (
+        np.abs(np.asarray(y_ref)).max() + 1e-9)
+    assert rel < 0.05
+
+
+@pytest.mark.parametrize("mode", ["fp8", "w8a8"])
+def test_quantized_generation_modes_run(mode):
+    from acestep_tpu.pipeline.handler import AceStepHandler
+
+    kw = dict(dit_config=DiTConfig.tiny(fsq_dim=64),
+              vae_config=VAEConfig.tiny(decoder_input_channels=64),
+              dtype=jnp.float32, frame_bucket=20, min_frames=20,
+              refer_frames=10)
+    full = AceStepHandler(**kw)
+    full.initialize_service(seed=0)
+    quant = AceStepHandler(**kw)
+    quant.initialize_service(seed=0, quantization=mode)
+
+    gen_kw = dict(audio_duration=0.8, seeds=7, normalize=False)
+    a = full.generate_music("song", "x", **gen_kw)
+    b = quant.generate_music("song", "x", **gen_kw)
+    assert np.all(np.isfinite(b.pred_latents))
+    corr = np.corrcoef(a.pred_latents.ravel(), b.pred_latents.ravel())[0, 1]
+    assert corr > 0.90
 
 
 def test_unknown_quantization_rejected():
