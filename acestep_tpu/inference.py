@@ -207,15 +207,19 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
                 constrained=params.use_constrained_decoding,
             )
             # per-item plans when allowed: each song in a batch gets its own
-            # CoT + codes. (lm_batch_chunk_size is accepted for reference API
-            # compatibility; plans run sequentially on TPU.) When the plan
-            # produces no codes (infer_type='dit'), one plan serves the batch.
+            # CoT + codes, decoded as ONE batched device program
+            # (plan_batch). When the plan produces no codes
+            # (infer_type='dit'), one plan serves the batch.
             n_plans = (config.batch_size
                        if config.allow_lm_batch and config.batch_size > 1
                        and plan_kwargs["infer_type"] == "llm_dit"
                        else 1)
-            phases = [llm_handler.plan(seed=i, **plan_kwargs)
-                      for i in range(n_plans)]
+            if n_plans > 1 and hasattr(llm_handler, "plan_batch"):
+                phases = llm_handler.plan_batch(n=n_plans, seed=0,
+                                                **plan_kwargs)
+            else:
+                phases = [llm_handler.plan(seed=i, **plan_kwargs)
+                          for i in range(n_plans)]
             phase = phases[0]
             lm_meta = phase.get("metadata", {})
             if not params.use_cot_metas:

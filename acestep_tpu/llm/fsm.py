@@ -63,7 +63,13 @@ class TokenTables:
         self.tok = tokenizer
         V = tokenizer.vocab_size
         self.vocab_size = V
-        texts = [tokenizer.decode([i]) for i in range(V)]
+        # one batch_decode call instead of V decode() calls (HF fast
+        # tokenizers: ~150k singleton decodes cost tens of seconds at init)
+        batch_decode = getattr(tokenizer, "batch_decode", None)
+        if batch_decode is not None:
+            texts = batch_decode([[i] for i in range(V)])
+        else:
+            texts = [tokenizer.decode([i]) for i in range(V)]
         self.texts = texts
         self.newline_ids = np.asarray(
             [i for i, t in enumerate(texts) if t.strip() == "" and "\n" in t],
@@ -81,6 +87,9 @@ class TokenTables:
             if t and not bad.search(t):
                 self.caption_mask[i] = True
         self.eos_id = getattr(tokenizer, "eos_token_id", None)
+        # frozen sets for O(1) per-token membership in advance()
+        self.newline_set = frozenset(int(i) for i in self.newline_ids)
+        self.code_set = frozenset(int(i) for i in self.code_ids)
 
     def encode(self, text: str) -> List[int]:
         return list(self.tok.encode(text))
@@ -135,6 +144,36 @@ class GenresVocab:
         return self._values
 
 
+def match_caption_genres(caption: Optional[str],
+                         genres_vocab: Sequence[str]) -> List[str]:
+    """Genres from the vocab matched by the user's caption.
+
+    Reference semantics (constrained_logits_processor.py:1003-1056
+    _extract_caption_genres): split the caption on delimiters, collect every
+    vocab genre that STARTS WITH a caption word (plus exact members), and
+    constrain genre generation to that subset when non-empty (the
+    caption-priority trie; validation keeps the prefix inside it,
+    :1196-1238)."""
+    if not caption or not genres_vocab:
+        return []
+    words = [w.strip() for w in re.split(r"[,\s\-_/\\|]+", caption.lower())
+             if len(w.strip()) >= 2]
+    if not words:
+        return []
+    matched: List[str] = []
+    seen = set()
+    vocab_lower = [(g, g.lower()) for g in genres_vocab]
+    for g, gl in vocab_lower:
+        if g in seen:
+            continue
+        for w in words:
+            if gl.startswith(w) or gl == w:
+                matched.append(g)
+                seen.add(g)
+                break
+    return matched
+
+
 class MetadataFSM:
     """Single-sequence FSM. One per generated (conditional) sequence; the
     unconditional CFG twin shares the sampled tokens so it needs no FSM."""
@@ -143,6 +182,7 @@ class MetadataFSM:
                  user_metadata: Optional[dict] = None,
                  skip_genres: bool = True,
                  genres_vocab: Optional[Sequence[str]] = None,
+                 caption: Optional[str] = None,
                  max_duration: int = DURATION_MAX,
                  codes_per_second: int = 5,
                  caption_max_tokens: int = 64,
@@ -170,7 +210,12 @@ class MetadataFSM:
                 tables, [str(v) for v in VALID_TIME_SIGNATURES]),
         }
         if genres_vocab:
-            self._tries["genres"] = _set_trie(tables, genres_vocab)
+            # caption-priority: when the caption names genres from the
+            # vocab, restrict the genres field to the matched subset
+            matched = match_caption_genres(caption, genres_vocab)
+            self.caption_matched_genres = matched
+            self._tries["genres"] = _set_trie(tables,
+                                              matched or genres_vocab)
 
         self._queue: List[int] = []
         self._trie_node: Optional[Trie] = None
@@ -313,7 +358,7 @@ class MetadataFSM:
             self._advance_queue_if_empty()
             return
         if self._mode == "caption":
-            if token_id in set(t.newline_ids.tolist()):
+            if token_id in t.newline_set:
                 self.metadata_text[self._field] = self.t.tok.decode(
                     self._value_tokens).strip()
                 self._next_field()
@@ -322,7 +367,7 @@ class MetadataFSM:
                 self._value_tokens.append(token_id)
             return
         if self._mode == "codes":
-            if token_id in set(t.code_ids.tolist()):
+            if token_id in t.code_set:
                 self.n_codes += 1
             elif t.eos_id is not None and token_id == t.eos_id:
                 self.finished = True

@@ -160,16 +160,18 @@ def build_cot_tables(tables: TokenTables, *,
                      user_metadata: Optional[dict] = None,
                      skip_genres: bool = True,
                      genres_vocab: Optional[Sequence[str]] = None,
+                     caption: Optional[str] = None,
                      max_duration: int = 600) -> DeviceFSMTables:
     """Compile the phase-1 CoT schema into device tables.
 
     Mirrors MetadataFSM's construction exactly (same tries, same field
-    order, same user-metadata literal injection) — the host FSM remains the
-    behavioral source of truth; tests replay device trajectories through it.
+    order, same user-metadata literal injection, same caption-priority
+    genre restriction) — the host FSM remains the behavioral source of
+    truth; tests replay device trajectories through it.
     """
     host = MetadataFSM(tables, user_metadata=user_metadata,
                        skip_genres=skip_genres, genres_vocab=genres_vocab,
-                       max_duration=max_duration)
+                       caption=caption, max_duration=max_duration)
     fields = host._fields()
     tries = host._tries
     user = host.user

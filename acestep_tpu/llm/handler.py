@@ -207,21 +207,26 @@ class LLMHandler:
             formatted += "\n"
         return formatted
 
-    def _cot_tables(self, user_metadata: Optional[dict], genres):
-        """Cached device-FSM tables per (user metadata, genres) shape."""
+    def _cot_tables(self, user_metadata: Optional[dict], genres,
+                    caption: Optional[str] = None):
+        """Cached device-FSM tables per (user metadata, genres, caption
+        genre matches) shape."""
+        from acestep_tpu.llm.fsm import match_caption_genres
         from acestep_tpu.llm.fsm_device import build_cot_tables
 
         user = {k: v for k, v in (user_metadata or {}).items()
                 if v not in (None, "", "N/A")}
+        matched = tuple(match_caption_genres(caption, genres)) if genres \
+            else ()
         key = (tuple(sorted((k, str(v)) for k, v in user.items())),
-               tuple(genres) if genres else None, self.max_duration)
+               tuple(genres) if genres else None, matched, self.max_duration)
         if not hasattr(self, "_cot_table_cache"):
             self._cot_table_cache = {}
         if key not in self._cot_table_cache:
             self._cot_table_cache[key] = build_cot_tables(
                 self.tables, user_metadata=user,
                 skip_genres=not genres, genres_vocab=genres,
-                max_duration=self.max_duration)
+                caption=caption, max_duration=self.max_duration)
         return self._cot_table_cache[key]
 
     # --------------------------------------------------------------
@@ -254,13 +259,14 @@ class LLMHandler:
         fsm = MetadataFSM(self.tables, user_metadata=user_metadata,
                           max_duration=self.max_duration,
                           genres_vocab=genres,
+                          caption=caption,
                           skip_genres=not genres,
                           enabled=constrained)
         if constrained:
             # device-resident FSM: the whole CoT phase is one on-device
             # while_loop (fsm_device.py); replay tokens through the host FSM
             # afterwards to extract metadata.
-            tables = self._cot_tables(user_metadata, genres)
+            tables = self._cot_tables(user_metadata, genres, caption)
             token_ids = self.engine.generate_cot_device(
                 prompt, unconditional_prompt=neg, cfg_scale=cfg_scale,
                 temperature=temperature, top_k=top_k, top_p=top_p,
@@ -320,6 +326,95 @@ class LLMHandler:
         result["audio_codes"] = codes
         result["raw"] = cot_raw + "\n" + out2.texts[0]
         return result
+
+    def plan_batch(
+        self, caption: str = "", lyrics: str = "", *, n: int = 1,
+        infer_type: str = "llm_dit",
+        temperature: float = 0.85, cfg_scale: float = 2.0,
+        top_k: int = 0, top_p: float = 0.9,
+        negative_prompt: str = "NO USER INPUT",
+        user_metadata: Optional[dict] = None,
+        constrained: bool = True,
+        target_duration: Optional[float] = None,
+        seed: int = 0,
+        max_cot_tokens: int = 256,
+        max_code_tokens: Optional[int] = None,
+    ) -> List[Dict[str, Any]]:
+        """n per-item plans for one request, fully batched on device.
+
+        Phase 1 runs as ONE batched while_loop (shared FSM tables — the
+        request metadata is identical across items; rows sample
+        independently). Phase 2 runs as ONE batched codes scan sized to the
+        longest item; shorter rows truncate to their own duration*5.
+        Replaces n sequential plan() calls (VERDICT r1 item 3)."""
+        if not self.initialized:
+            raise RuntimeError("call initialize() first")
+        if n <= 1 or not constrained:
+            return [self.generate_with_stop_condition(
+                caption, lyrics, infer_type=infer_type,
+                temperature=temperature, cfg_scale=cfg_scale, top_k=top_k,
+                top_p=top_p, negative_prompt=negative_prompt,
+                user_metadata=user_metadata, constrained=constrained,
+                target_duration=target_duration, seed=seed + i,
+                max_cot_tokens=max_cot_tokens,
+                max_code_tokens=max_code_tokens) for i in range(n)]
+
+        # --- phase 1: batched CoT
+        prompt = self.build_formatted_prompt(caption, lyrics)
+        neg = self.build_formatted_prompt(caption, lyrics,
+                                          is_negative_prompt=True,
+                                          negative_prompt=negative_prompt)
+        genres = self.genres_vocab.get() if self.genres_vocab else None
+        tables = self._cot_tables(user_metadata, genres, caption)
+        token_lists = self.engine.generate_cot_device_batch(
+            [prompt] * n, unconditional_prompts=[neg] * n,
+            cfg_scale=cfg_scale, temperature=temperature, top_k=top_k,
+            top_p=top_p, fsm_tables=tables, max_tokens=max_cot_tokens,
+            seed=seed)
+
+        results: List[Dict[str, Any]] = []
+        durations: List[float] = []
+        for ids in token_lists:
+            fsm = MetadataFSM(self.tables, user_metadata=user_metadata,
+                              max_duration=self.max_duration,
+                              genres_vocab=genres, caption=caption,
+                              skip_genres=not genres)
+            for t in ids:
+                fsm.advance(t)
+            cot_raw = self.tokenizer.decode(ids)
+            metadata, _ = parse_lm_output(cot_raw)
+            for k, v in (fsm.metadata() or {}).items():
+                metadata.setdefault(k, v)
+            results.append({"metadata": metadata, "cot_text": cot_raw,
+                            "audio_codes": "", "raw": cot_raw})
+            dur = target_duration or metadata.get("duration") or 30
+            try:
+                dur = float(dur)
+            except (TypeError, ValueError):
+                dur = 30.0
+            durations.append(dur)
+        if infer_type == "dit":
+            return results
+
+        # --- phase 2: one batched codes scan at the longest row
+        p2s, n2s, n_codes = [], [], []
+        for r, dur in zip(results, durations):
+            cot_text = format_metadata_as_cot(r["metadata"])
+            p2s.append(self.build_formatted_prompt_with_cot(
+                caption, lyrics, cot_text))
+            n2s.append(self.build_formatted_prompt_with_cot(
+                caption, lyrics, cot_text, is_negative_prompt=True,
+                negative_prompt=negative_prompt))
+            n_codes.append(max(1, int(dur * 5)))
+        codes_rows = self.engine.generate_codes(
+            p2s, unconditional_prompts=n2s, cfg_scale=cfg_scale,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            n_codes=max(n_codes), seed=seed + 1)
+        for r, row, k in zip(results, codes_rows, n_codes):
+            codes = "".join(f"<|audio_code_{c}|>" for c in row[:k])
+            r["audio_codes"] = codes
+            r["raw"] = r["raw"] + "\n" + codes
+        return results
 
     # --------------------------------------------------------------
     # Facade protocol used by acestep_tpu.inference

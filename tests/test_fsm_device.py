@@ -92,6 +92,78 @@ def test_phase1_uses_device_fsm_end_to_end(handler):
     assert out["cot_text"].startswith("<think>")
 
 
+def test_device_genres_equivalence(handler):
+    """Host-vs-device equivalence extended to the genres field, with
+    caption-priority restriction (VERDICT r1 item 3)."""
+    genres = ["synthwave", "lofi hip hop", "ambient", "metalcore"]
+    caption = "a dreamy synthwave track with ambient pads"
+    tables = handler._cot_tables(None, genres, caption)
+    tokens = handler.engine.generate_cot_device(
+        "x", fsm_tables=tables, max_tokens=400, seed=7, temperature=0.9)
+    fsm = _host_replay_check(handler.tables, tokens, genres_vocab=genres,
+                             caption=caption, skip_genres=False,
+                             max_duration=handler.max_duration)
+    # caption matched synthwave + ambient -> genres restricted to them
+    assert fsm.caption_matched_genres == ["synthwave", "ambient"]
+    assert fsm.metadata()["genres"] in ("synthwave", "ambient")
+
+
+def test_device_genres_full_vocab_when_no_caption_match(handler):
+    genres = ["synthwave", "lofi"]
+    tables = handler._cot_tables(None, genres, "a trumpet fanfare")
+    tokens = handler.engine.generate_cot_device(
+        "x", fsm_tables=tables, max_tokens=400, seed=8, temperature=0.9)
+    fsm = _host_replay_check(handler.tables, tokens, genres_vocab=genres,
+                             caption="a trumpet fanfare", skip_genres=False,
+                             max_duration=handler.max_duration)
+    assert fsm.metadata()["genres"] in genres
+
+
+def test_batch_cot_device(handler):
+    """Batched device CoT: every row valid under the host FSM; rows with
+    identical prompts still sample diverse trajectories."""
+    tables = handler._cot_tables(None, None)
+    prompt = handler.build_formatted_prompt("an upbeat track", "[inst]")
+    rows = handler.engine.generate_cot_device_batch(
+        [prompt] * 3, fsm_tables=tables, max_tokens=256, seed=0,
+        temperature=0.9)
+    assert len(rows) == 3
+    metas = []
+    for ids in rows:
+        fsm = _host_replay_check(handler.tables, ids,
+                                 max_duration=handler.max_duration)
+        metas.append(fsm.metadata())
+    assert all(30 <= int(m["bpm"]) <= 300 for m in metas)
+    assert len({tuple(r) for r in map(tuple, rows)}) >= 2
+
+
+def test_batch_cot_device_cfg(handler):
+    tables = handler._cot_tables({"duration": 12}, None)
+    prompt = handler.build_formatted_prompt("metal", "")
+    neg = handler.build_formatted_prompt("metal", "",
+                                         is_negative_prompt=True)
+    rows = handler.engine.generate_cot_device_batch(
+        [prompt] * 2, unconditional_prompts=[neg] * 2, cfg_scale=2.0,
+        fsm_tables=tables, max_tokens=256, seed=1, temperature=0.8)
+    for ids in rows:
+        fsm = _host_replay_check(handler.tables, ids,
+                                 user_metadata={"duration": 12},
+                                 max_duration=handler.max_duration)
+        assert fsm.metadata()["duration"] == 12
+
+
+def test_plan_batch_end_to_end(handler):
+    plans = handler.plan_batch(
+        "an upbeat track", "la la", n=2,
+        user_metadata={"duration": 2}, temperature=1.0, cfg_scale=2.0,
+        seed=0, max_cot_tokens=300)
+    assert len(plans) == 2
+    for p in plans:
+        assert p["metadata"]["duration"] == 2
+        assert p["audio_codes"].count("<|audio_code_") == 10
+        assert "<think>" in p["cot_text"]
+
+
 def test_tables_shape_sanity(handler):
     tables = build_cot_tables(handler.tables)
     S, A = tables.mask.shape

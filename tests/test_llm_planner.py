@@ -177,6 +177,45 @@ def test_unconstrained_still_runs(handler):
     assert "metadata" in res
 
 
+def test_match_caption_genres():
+    from acestep_tpu.llm.fsm import match_caption_genres
+
+    vocab = ["synthwave", "lofi hip hop", "ambient", "pop rock"]
+    assert match_caption_genres("a synthwave banger", vocab) == ["synthwave"]
+    # word is a prefix of a multi-word genre
+    assert match_caption_genres("some lofi beats", vocab) == ["lofi hip hop"]
+    # multiple matches keep vocab order; no match -> empty
+    assert match_caption_genres("ambient pop sounds", vocab) == \
+        ["ambient", "pop rock"]
+    assert match_caption_genres("trumpet fanfare", vocab) == []
+    assert match_caption_genres("", vocab) == []
+    assert match_caption_genres("synthwave", []) == []
+
+
+def test_fsm_caption_priority_genres(tables, tok):
+    rng = np.random.default_rng(3)
+
+    def choose(mask):
+        return int(rng.choice(np.flatnonzero(mask)))
+
+    vocab = ["synthwave", "lofi", "ambient"]
+    fsm = MetadataFSM(tables, genres_vocab=vocab, skip_genres=False,
+                      caption="dreamy synthwave nights")
+    _drive_greedy(fsm, tok, choose)
+    assert fsm.metadata()["genres"] == "synthwave"
+
+
+def test_unconstrained_chunked_stops_at_stop_string(handler):
+    """The chunked (no-FSM) decode path truncates at the stop string even
+    when it lands mid-chunk."""
+    out = handler.engine.generate(
+        ["<think>"], max_new_tokens=64, stop_strings=("\n",), seed=5,
+        temperature=1.0)
+    assert out.stop_reasons[0] in ("stop:\n", "eos", "length")
+    if out.stop_reasons[0] == "stop:\n":
+        assert out.texts[0].endswith("\n")
+
+
 def test_genres_vocab_hot_reload(tmp_path):
     from acestep_tpu.llm.fsm import GenresVocab
 
