@@ -50,6 +50,26 @@ def _pad_frames_to(T: int, bucket: int, min_frames: int) -> int:
     return -(-T // bucket) * bucket
 
 
+def _is_oom_error(e: Exception) -> bool:
+    """XLA device-memory exhaustion (any backend's phrasing)."""
+    msg = str(e)
+    return ("RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
+            or "out of memory" in msg or "OOM" in msg)
+
+
+def _degrade_plan(e: Exception, chunk: int, groups: int, *,
+                  min_chunk: int = 32) -> tuple:
+    """One step down the OOM ladder; re-raises non-OOM errors and raises
+    when the ladder is exhausted (reference vae_decode_chunks.py:40-81)."""
+    if not _is_oom_error(e):
+        raise e
+    if groups > 1:
+        return chunk, max(1, groups // 2)
+    if chunk > min_chunk:
+        return max(min_chunk, chunk // 2), 1
+    raise e
+
+
 @dataclasses.dataclass
 class GenerationResult:  # noqa: D101
     audios: List[np.ndarray]              # (samples, 2) float32 each
@@ -189,26 +209,37 @@ class AceStepHandler:
     # the tiled lax.map loop must live under jit, or every conv in every
     # chunk becomes an individual device dispatch.
 
-    def _encode_fn(self, shape: tuple):
-        key = ("enc", shape)
+    def _encode_fn(self, shape: tuple, chunk: Optional[int] = None,
+                   groups: Optional[int] = None):
+        key = ("enc", shape, chunk, groups)
         if key not in self._fn_cache:
+            kw = {}
+            if chunk is not None:
+                kw["chunk_size"] = chunk
+            if groups is not None:
+                kw["parallel_windows"] = groups
             self._fn_cache[key] = jax.jit(
-                lambda p, x: tiled_encode(p, self.vae_cfg, x))
+                lambda p, x: tiled_encode(p, self.vae_cfg, x, **kw))
         return self._fn_cache[key]
 
-    def _decode_fn(self, shape: tuple):
-        key = ("dec", shape)
+    def _decode_fn(self, shape: tuple, chunk: int, groups: int):
+        key = ("dec", shape, chunk, groups)
         if key not in self._fn_cache:
-            # long songs decode faster with bigger windows / smaller groups
-            # (measured on v5e: 600 s 19.1 s @ (256,16) vs 11.7 s @ (512,8))
-            T = shape[1]
-            chunk, groups = ((512, 8) if T > 2048 else (256, 16))
             self._fn_cache[key] = jax.jit(
                 lambda p, z: tiled_decode(
                     p, self.vae_cfg, z.astype(self.dtype),
                     chunk_size=chunk,
                     parallel_windows=groups).astype(jnp.float32))
         return self._fn_cache[key]
+
+    def _decode_plan(self, T: int) -> tuple:
+        """(chunk, parallel_windows) defaults for a T-frame decode.
+
+        Long songs decode faster with bigger windows / smaller groups
+        (measured on v5e: 600 s 19.1 s @ (256,16) vs 11.7 s @ (512,8));
+        the tier caps the window on smaller-HBM parts."""
+        chunk, groups = ((512, 8) if T > 2048 else (256, 16))
+        return min(chunk, self.tier.decode_chunk), groups
 
     def encode_audio(self, audio: np.ndarray) -> np.ndarray:
         """(samples, ch) float32 -> (T, 64) latents via tiled VAE encode.
@@ -224,15 +255,33 @@ class AceStepHandler:
         pad = (-x.shape[0]) % bucket_samples
         if pad:
             x = np.pad(x, ((0, pad), (0, 0)))
-        z = self._encode_fn(x[None].shape)(self.vae_params,
-                                           x[None].astype(self.dtype))
-        return np.asarray(z[0][:T_real], np.float32)
+        chunk, groups = None, None
+        while True:
+            try:
+                z = self._encode_fn(x[None].shape, chunk, groups)(
+                    self.vae_params, x[None].astype(self.dtype))
+                return np.asarray(z[0][:T_real], np.float32)
+            except Exception as e:  # noqa: BLE001 — ladder filters below
+                chunk, groups = _degrade_plan(
+                    e, chunk if chunk is not None else self.tier.encode_chunk,
+                    groups if groups is not None else 8, min_chunk=64)
 
     def decode_latents(self, latents) -> np.ndarray:
-        """(B, T, 64) -> (B, samples, 2) float32."""
+        """(B, T, 64) -> (B, samples, 2) float32.
+
+        Degrades gracefully under device memory pressure (the reference's
+        OOM ladder, vae_decode_chunks.py:40-81 + memory_utils.py:105-155):
+        on RESOURCE_EXHAUSTED, first halve the parallel window group, then
+        the decode window itself, and retry."""
         z = np.asarray(latents, np.float32)
-        audio = self._decode_fn(z.shape)(self.vae_params, z)
-        return np.asarray(audio)
+        chunk, groups = self._decode_plan(z.shape[1])
+        while True:
+            try:
+                audio = self._decode_fn(z.shape, chunk, groups)(
+                    self.vae_params, z)
+                return np.asarray(audio)
+            except Exception as e:  # noqa: BLE001 — ladder filters below
+                chunk, groups = _degrade_plan(e, chunk, groups)
 
     # --------------------------------------------------------------
     # Core generation

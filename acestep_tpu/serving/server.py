@@ -160,6 +160,40 @@ class AppState:
         self.worker_count = max(1, worker_count)
         self._workers: List[threading.Thread] = []
         self._shutdown = threading.Event()
+        # per-request LM swap: initialized handlers keyed by checkpoint path
+        self._llm_cache: Dict[str, Any] = {}
+        self._llm_lock = threading.Lock()
+        self.max_cached_llms = 2
+
+    def _select_llm(self, lm_model_path: Optional[str]):
+        """Per-request LM model swap (reference api_server.py:623
+        _temporary_llm_model). TPU redesign: instead of re-init + restore
+        around each job (which would thrash HBM), initialized handlers live
+        in a small LRU keyed by checkpoint path; swapping is a lookup.
+        Best-effort like the reference: failures fall back to the default."""
+        desired = (lm_model_path or "").strip()
+        if not desired:
+            return self.llm_handler
+        with self._llm_lock:
+            if desired in self._llm_cache:
+                handler = self._llm_cache.pop(desired)
+                self._llm_cache[desired] = handler      # LRU bump
+                return handler
+            try:
+                if os.path.isdir(desired):
+                    path = desired
+                else:
+                    from acestep_tpu.utils.downloads import ensure_model
+                    path = ensure_model(desired)
+                from acestep_tpu.llm.handler import LLMHandler
+                handler = LLMHandler()
+                handler.initialize(checkpoint_dir=path)
+            except Exception:
+                return self.llm_handler
+            self._llm_cache[desired] = handler
+            while len(self._llm_cache) > self.max_cached_llms:
+                self._llm_cache.pop(next(iter(self._llm_cache)))
+            return handler
 
     # -- queue workers ------------------------------------------------------
 
@@ -210,6 +244,7 @@ class AppState:
         self._cache_progress(job_id, 0.01, "running")
 
         model_name, dit_handler = self._select_handler(req.model)
+        llm_handler = self._select_llm(getattr(req, "lm_model_path", None))
         temp_files = []
         # chat-adapter uploads (openrouter.base64_to_temp_file) are ours to
         # clean as well — they'd otherwise leak one audio file per request
@@ -250,7 +285,7 @@ class AppState:
                 audio = load_audio(req.src_audio_path)
                 codes = dit_handler.audio_to_codes(audio)
                 analysis = inference.understand_music(
-                    self.llm_handler, codes,
+                    llm_handler, codes,
                     temperature=req.lm_temperature).to_dict()
                 analysis["audio_codes"] = codes if req.full_analysis_only else ""
                 if analysis.get("success"):
@@ -276,12 +311,12 @@ class AppState:
             return
 
         if req.sample_mode or req.sample_query:
-            sample = inference.create_sample(self.llm_handler, req.sample_query)
+            sample = inference.create_sample(llm_handler, req.sample_query)
             if sample.get("success"):
                 params.caption = sample.get("caption", params.caption)
                 params.lyrics = sample.get("lyrics", params.lyrics)
         elif req.use_format:
-            fmt = inference.format_sample(self.llm_handler, params.caption,
+            fmt = inference.format_sample(llm_handler, params.caption,
                                           params.lyrics)
             if fmt.get("success"):
                 params.caption = fmt.get("caption", params.caption)
@@ -290,7 +325,7 @@ class AppState:
         try:
             with self.reinit_lock:
                 result = inference.generate_music(
-                    dit_handler, self.llm_handler, params, config)
+                    dit_handler, llm_handler, params, config)
         finally:
             for path in temp_files:     # ref _cleanup_job_temp_files
                 try:
@@ -299,6 +334,7 @@ class AppState:
                     pass
         payload = result.to_dict()
         payload["dit_model"] = model_name
+        payload["lm_model"] = (getattr(req, "lm_model_path", None) or "")
         payload["prompt"] = params.caption
         payload["lyrics"] = params.lyrics
         if result.success:
@@ -350,7 +386,7 @@ class AppState:
                     "metas": metas,
                     "generation_info": result.get("status_message", ""),
                     "seed_value": str(audio.get("seed", "")),
-                    "lm_model": "",
+                    "lm_model": result.get("lm_model", ""),
                     "dit_model": result.get("dit_model", ""),
                     "progress": 1.0,
                     "stage": "succeeded",

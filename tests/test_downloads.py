@@ -43,3 +43,77 @@ def test_partial_download_not_treated_as_checkpoint(tmp_path, monkeypatch):
     monkeypatch.setattr(downloads, "has_egress", lambda *a, **k: False)
     with pytest.raises(FileNotFoundError):
         downloads.ensure_model("vae", root=str(tmp_path))
+
+
+def test_manifest_roundtrip_and_verification(tmp_path):
+    ckpt = tmp_path / "m"
+    ckpt.mkdir()
+    (ckpt / "model.safetensors").write_bytes(b"weights-v1")
+    (ckpt / "config.json").write_text("{}")   # non-weight: not hashed
+    hashes = downloads.write_manifest(str(ckpt))
+    assert list(hashes) == ["model.safetensors"]
+    assert downloads.verify_checkpoint(str(ckpt)) == []
+    # corruption detected
+    (ckpt / "model.safetensors").write_bytes(b"weights-CORRUPT")
+    assert downloads.verify_checkpoint(str(ckpt)) == ["model.safetensors"]
+
+
+def test_ensure_model_rejects_corrupt_checkpoint(tmp_path):
+    root = tmp_path
+    ckpt = root / "vae"
+    ckpt.mkdir()
+    (ckpt / "model.safetensors").write_bytes(b"good")
+    downloads.write_manifest(str(ckpt))
+    (ckpt / "model.safetensors").write_bytes(b"bad")
+    with pytest.raises(RuntimeError, match="integrity"):
+        downloads.ensure_model("vae", root=str(root), allow_download=False)
+    # verify=False opts out
+    assert downloads.ensure_model("vae", root=str(root),
+                                  allow_download=False, verify=False)
+
+
+def test_no_manifest_means_no_verification(tmp_path):
+    ckpt = tmp_path / "vae"
+    ckpt.mkdir()
+    (ckpt / "model.safetensors").write_bytes(b"x")
+    assert downloads.ensure_model("vae", root=str(tmp_path),
+                                  allow_download=False) == str(ckpt)
+
+
+def test_smart_download_falls_back_to_modelscope(tmp_path, monkeypatch):
+    calls = []
+
+    def hf_fail(repo, target):
+        calls.append("hf")
+        raise RuntimeError("403")
+
+    def ms_ok(repo, target):
+        calls.append("ms")
+        (tmp_path / "got").write_text(repo)
+
+    monkeypatch.setattr(downloads, "_download_hf", hf_fail)
+    monkeypatch.setattr(downloads, "_download_modelscope", ms_ok)
+    monkeypatch.setattr(downloads, "_probe", lambda *a, **k: True)
+    source, msg = downloads.smart_download("ACE-Step/x", str(tmp_path))
+    assert source == "modelscope" and calls == ["hf", "ms"]
+
+
+def test_smart_download_prefer_source(tmp_path, monkeypatch):
+    calls = []
+    monkeypatch.setattr(downloads, "_download_hf",
+                        lambda r, t: calls.append("hf"))
+    monkeypatch.setattr(downloads, "_download_modelscope",
+                        lambda r, t: calls.append("ms"))
+    downloads.smart_download("x/y", str(tmp_path),
+                             prefer_source="modelscope")
+    assert calls == ["ms"]
+
+
+def test_smart_download_both_fail(tmp_path, monkeypatch):
+    monkeypatch.setattr(downloads, "_download_hf",
+                        lambda r, t: (_ for _ in ()).throw(RuntimeError("a")))
+    monkeypatch.setattr(downloads, "_download_modelscope",
+                        lambda r, t: (_ for _ in ()).throw(RuntimeError("b")))
+    monkeypatch.setattr(downloads, "_probe", lambda *a, **k: True)
+    with pytest.raises(RuntimeError, match="all download sources failed"):
+        downloads.smart_download("x/y", str(tmp_path))

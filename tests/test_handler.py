@@ -190,3 +190,51 @@ def test_repaint_resolves_task_instruction(handler):
         "fix the middle", "la", task="repaint", audio_duration=0.8,
         repainting_start=0.0, repainting_end=0.3, seeds=2)
     assert res.extra["task"] == "repaint"
+
+
+def test_oom_degradation_ladder(handler, monkeypatch):
+    """RESOURCE_EXHAUSTED during decode walks the ladder (halve groups,
+    then the window) and still completes (reference vae_decode_chunks
+    OOM fallback)."""
+    calls = []
+    real_decode_fn = handler._decode_fn
+
+    def fake_decode_fn(shape, chunk, groups):
+        calls.append((chunk, groups))
+        if len(calls) < 3:       # first two plans "OOM"
+            def boom(p, z):
+                raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory "
+                                   "allocating 1.0G")
+            return boom
+        return real_decode_fn(shape, chunk, groups)
+
+    monkeypatch.setattr(handler, "_decode_fn", fake_decode_fn)
+    z = np.zeros((1, 40, 64), np.float32)
+    audio = handler.decode_latents(z)
+    assert audio.shape[0] == 1 and np.all(np.isfinite(audio))
+    # ladder: same chunk smaller groups first, then smaller chunk
+    assert len(calls) == 3
+    assert calls[1][1] < calls[0][1] or calls[1][0] < calls[0][0]
+
+
+def test_oom_ladder_reraises_non_oom(handler, monkeypatch):
+    def fake_decode_fn(shape, chunk, groups):
+        def boom(p, z):
+            raise RuntimeError("INVALID_ARGUMENT: shape mismatch")
+        return boom
+
+    monkeypatch.setattr(handler, "_decode_fn", fake_decode_fn)
+    with pytest.raises(RuntimeError, match="INVALID_ARGUMENT"):
+        handler.decode_latents(np.zeros((1, 40, 64), np.float32))
+
+
+def test_tier_caps_decode_plan(handler):
+    from acestep_tpu.runtime_config import get_tier_config
+
+    orig = handler.tier
+    try:
+        handler.tier = get_tier_config(8.0)     # small-HBM tier
+        chunk, _ = handler._decode_plan(4000)
+        assert chunk <= handler.tier.decode_chunk
+    finally:
+        handler.tier = orig

@@ -299,3 +299,40 @@ def test_rest_text2music_is_not_cover(server_env):
     instr = call.get("instructions")
     assert instr is None or "generate audio semantic tokens" not in \
         str(instr).lower()
+
+
+def test_per_request_lm_swap(tmp_path, monkeypatch):
+    """lm_model_path selects a cached per-path LM handler; unknown paths
+    fall back to the default (reference _temporary_llm_model semantics)."""
+    out_dir = str(tmp_path / "outputs")
+    os.makedirs(out_dir, exist_ok=True)
+    default_llm = object()
+    state = AppState({"m": FakeDiTHandler(out_dir)}, default_llm,
+                     output_dir=out_dir)
+
+    built = []
+
+    class FakeLLM:
+        def initialize(self, checkpoint_dir=None, **kw):
+            built.append(checkpoint_dir)
+
+    import acestep_tpu.llm.handler as llm_mod
+    monkeypatch.setattr(llm_mod, "LLMHandler", FakeLLM)
+
+    # no path -> default
+    assert state._select_llm(None) is default_llm
+    assert state._select_llm("") is default_llm
+    # unresolvable name (no egress, not a dir) -> default
+    assert state._select_llm("not-a-model-xyz") is default_llm
+
+    ckpt_a = tmp_path / "lm-a"; ckpt_a.mkdir()
+    ckpt_b = tmp_path / "lm-b"; ckpt_b.mkdir()
+    ckpt_c = tmp_path / "lm-c"; ckpt_c.mkdir()
+    a1 = state._select_llm(str(ckpt_a))
+    a2 = state._select_llm(str(ckpt_a))
+    assert a1 is a2 and built == [str(ckpt_a)]       # cache hit
+    state._select_llm(str(ckpt_b))
+    state._select_llm(str(ckpt_c))                   # evicts a (LRU size 2)
+    assert len(state._llm_cache) == 2
+    a3 = state._select_llm(str(ckpt_a))
+    assert a3 is not a1                              # re-initialized
