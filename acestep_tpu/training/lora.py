@@ -64,8 +64,9 @@ def make_lora_train_step(cfg: DiTConfig, meta: dict,
                          discrete_timesteps: Optional[tuple] = None,
                          cfg_ratio: float = 0.15):
     """step(base, weights, opt_state, batch, key) -> (weights, opt_state, loss)."""
-    # flash attention has no VJP; gradients need the dense path
-    cfg = dataclasses.replace(cfg, attention_impl="dense")
+    # 'auto' picks the banded flash kernel (with its custom_vjp backward,
+    # ops/flash_attention.py) at long lengths and dense XLA otherwise
+    cfg = dataclasses.replace(cfg, attention_impl="auto")
 
     def step(base, weights, opt_state, batch, key):
         def loss_fn(w):

@@ -55,7 +55,7 @@ def estimate_gradient_sensitivity(base_params: dict, cfg,
     from acestep_tpu.lora.adapters import LORA_TARGETS, target_paths
     from acestep_tpu.models.dit import training_loss
 
-    cfg = dataclasses.replace(cfg, attention_impl="dense")  # flash has no VJP
+    cfg = dataclasses.replace(cfg, attention_impl="auto")  # flash has a VJP now
     grad_fn = jax.jit(jax.grad(
         lambda p, batch, key: training_loss(p, cfg, key, **batch)))
 

@@ -25,9 +25,10 @@ def make_train_step(cfg: DiTConfig, optimizer: optax.GradientTransformation,
     """Returns step(params, opt_state, batch, key) -> (params, opt_state, loss)."""
     import dataclasses
 
-    # the Pallas flash kernel has no custom VJP — training always uses the
-    # dense XLA attention path (fully differentiable, fuses fine)
-    cfg = dataclasses.replace(cfg, attention_impl="dense")
+    # training follows the same length-aware ladder as inference: the
+    # banded Pallas kernel (custom_vjp backward, O(L*W) both directions)
+    # beyond FLASH_MIN_PATCHES, dense XLA below it
+    cfg = dataclasses.replace(cfg, attention_impl="auto")
 
     def step(params, opt_state, batch, key):
         loss, grads = jax.value_and_grad(

@@ -69,3 +69,55 @@ def test_window_wider_than_block_rejected():
     q, k, v = _qkv(jax.random.PRNGKey(5), Lq=256, Lk=256)
     with pytest.raises(ValueError):
         flash_attention(q, k, v, window=256, block_k=128, interpret=True)
+
+
+def _grads(fn, q, k, v):
+    def loss(q, k, v):
+        out = fn(q, k, v)
+        # non-uniform cotangent exercises dO paths properly
+        w = jnp.sin(jnp.arange(out.size, dtype=jnp.float32)).reshape(out.shape)
+        return jnp.sum(out * w)
+    return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+
+@pytest.mark.parametrize("Lq,Lk", [(128, 128), (200, 70)])
+def test_backward_full_matches_dense(Lq, Lk):
+    q, k, v = _qkv(jax.random.PRNGKey(6), Lq=Lq, Lk=Lk)
+    gq, gk, gv = _grads(lambda *a: flash_attention(*a, interpret=True),
+                        q, k, v)
+    rq, rk, rv = _grads(flash_attention_reference, q, k, v)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(rq),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(rv),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("L,window", [(256, 128), (300, 64)])
+def test_backward_banded_matches_dense(L, window):
+    q, k, v = _qkv(jax.random.PRNGKey(7), Lq=L, Lk=L)
+    gq, gk, gv = _grads(
+        lambda *a: flash_attention(*a, window=window, interpret=True),
+        q, k, v)
+    rq, rk, rv = _grads(
+        lambda *a: flash_attention_reference(*a, window=window), q, k, v)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(rq),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(rv),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_backward_gqa_groups():
+    q, k, v = _qkv(jax.random.PRNGKey(8), Hq=8, Hkv=2, Lq=130, Lk=130)
+    gq, gk, gv = _grads(lambda *a: flash_attention(*a, interpret=True),
+                        q, k, v)
+    rq, rk, rv = _grads(flash_attention_reference, q, k, v)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(rq),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(rv),
+                               rtol=2e-4, atol=2e-4)
