@@ -781,9 +781,14 @@ class AceStepHandler:
 
     def audio_to_codes(self, audio: np.ndarray) -> str:
         """(samples, ch) -> '<|audio_code_N|>...' 5 Hz semantic codes."""
+        return self.latents_to_codes(self.encode_audio(np.asarray(audio)))
+
+    def latents_to_codes(self, latents: np.ndarray) -> str:
+        """(T, 64) latents -> 5 Hz codes (dataset builder reuses cached
+        latents from its encode stage instead of re-encoding audio)."""
         from acestep_tpu.models.dit import audio_tokenize
 
-        latents = self.encode_audio(np.asarray(audio))
+        latents = np.asarray(latents)
         P = self.cfg.pool_window_size
         T = latents.shape[0]
         pad = (-T) % P

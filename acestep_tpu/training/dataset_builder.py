@@ -93,19 +93,239 @@ def write_manifest(entries: List[Dict[str, Any]], path: str) -> str:
     return path
 
 
-def build_dataset(audio_dir: str, out_dir: str, dit_handler,
-                  llm_handler=None, **preprocess_kwargs) -> Dict[str, Any]:
-    """Full pipeline: scan -> label -> manifest -> tensors."""
-    from acestep_tpu.training.preprocess import preprocess_audio_files
+class DatasetBuildPipeline:
+    """Staged, per-file-resumable builder (reference dataset_builder.py +
+    dataset_builder_modules/ scan/label/preprocess stages with resume).
 
-    entries = scan_audio_dir(audio_dir)
-    if not entries:
-        raise FileNotFoundError(f"no audio files under {audio_dir}")
-    entries = auto_label(entries, dit_handler, llm_handler)
-    manifest = write_manifest(entries,
-                              os.path.join(out_dir, "dataset.json"))
-    tensor_dir = os.path.join(out_dir, "tensors")
-    paths = preprocess_audio_files(dit_handler, manifest, tensor_dir,
-                                   **preprocess_kwargs)
-    return {"manifest": manifest, "tensor_dir": tensor_dir,
-            "num_samples": len(paths)}
+    Stages, each persisting incremental artifacts under out_dir:
+      scan     -> scan.json (entries with stable content ids)
+      encode   -> latents/<id>.npy (VAE latents, skip existing)
+      label    -> labels/<id>.json (LM captioning via cached latents ->
+                  codes -> understand; skip existing)
+      manifest -> dataset.json + dataset_train.json / dataset_val.json
+      tensors  -> tensors/<id>.npz (+ tensors_val/) reusing cached latents
+
+    Re-running `build()` after an interruption resumes: completed per-file
+    artifacts are skipped, and `build_state.json` records stage completion.
+    """
+
+    STAGES = ("scan", "encode", "label", "manifest", "tensors")
+
+    def __init__(self, audio_dir: str, out_dir: str, dit_handler,
+                 llm_handler=None, *, val_fraction: float = 0.0,
+                 max_frames: Optional[int] = None,
+                 max_label_seconds: float = 30.0, seed: int = 0):
+        from acestep_tpu.training.preprocess import MAX_FRAMES_DEFAULT
+
+        self.audio_dir = audio_dir
+        self.out_dir = out_dir
+        self.dit = dit_handler
+        self.llm = llm_handler
+        self.val_fraction = float(val_fraction)
+        self.max_frames = max_frames or MAX_FRAMES_DEFAULT
+        self.max_label_seconds = max_label_seconds
+        self.seed = seed
+        self.state_path = os.path.join(out_dir, "build_state.json")
+        os.makedirs(out_dir, exist_ok=True)
+
+    # -- state --------------------------------------------------------
+
+    def _load_state(self) -> Dict[str, Any]:
+        try:
+            with open(self.state_path, "r", encoding="utf-8") as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {"done": []}
+
+    def _mark_done(self, stage: str) -> None:
+        state = self._load_state()
+        if stage not in state["done"]:
+            state["done"].append(stage)
+        with open(self.state_path, "w", encoding="utf-8") as f:
+            json.dump(state, f, indent=1)
+
+    @staticmethod
+    def _entry_id(entry: Dict[str, Any]) -> str:
+        import hashlib
+
+        return hashlib.sha1(
+            entry["audio_path"].encode("utf-8")).hexdigest()[:12]
+
+    def status(self) -> Dict[str, Any]:
+        """Per-stage progress (drives the studio dataset tab)."""
+        state = self._load_state()
+        entries = self._entries() if os.path.exists(
+            os.path.join(self.out_dir, "scan.json")) else []
+        n = len(entries)
+        lat_dir = os.path.join(self.out_dir, "latents")
+        lab_dir = os.path.join(self.out_dir, "labels")
+        tens_dir = os.path.join(self.out_dir, "tensors")
+        count = (lambda d, suf: len([f for f in os.listdir(d)
+                                     if f.endswith(suf)])
+                 if os.path.isdir(d) else 0)
+        return {
+            "stages_done": state["done"],
+            "num_files": n,
+            "encoded": count(lat_dir, ".npy"),
+            "labeled": count(lab_dir, ".json"),
+            "tensors": count(tens_dir, ".npz"),
+        }
+
+    # -- stages -------------------------------------------------------
+
+    def _entries(self) -> List[Dict[str, Any]]:
+        with open(os.path.join(self.out_dir, "scan.json"),
+                  "r", encoding="utf-8") as f:
+            return json.load(f)
+
+    def stage_scan(self) -> List[Dict[str, Any]]:
+        entries = scan_audio_dir(self.audio_dir)
+        if not entries:
+            raise FileNotFoundError(f"no audio files under {self.audio_dir}")
+        for e in entries:
+            e["id"] = self._entry_id(e)
+        with open(os.path.join(self.out_dir, "scan.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump(entries, f, indent=1, ensure_ascii=False)
+        self._mark_done("scan")
+        return entries
+
+    def stage_encode(self) -> int:
+        lat_dir = os.path.join(self.out_dir, "latents")
+        os.makedirs(lat_dir, exist_ok=True)
+        n_new = 0
+        for e in self._entries():
+            path = os.path.join(lat_dir, f"{e['id']}.npy")
+            if os.path.exists(path):
+                continue
+            audio = load_audio(e["audio_path"])
+            latents = self.dit.encode_audio(
+                np.asarray(audio))[: self.max_frames]
+            tmp = path + ".tmp.npy"           # atomic: resume-safe
+            np.save(tmp, np.asarray(latents, np.float32))
+            os.replace(tmp, path)
+            n_new += 1
+        self._mark_done("encode")
+        return n_new
+
+    def stage_label(self) -> int:
+        lab_dir = os.path.join(self.out_dir, "labels")
+        lat_dir = os.path.join(self.out_dir, "latents")
+        os.makedirs(lab_dir, exist_ok=True)
+        n_new = 0
+        max_label_frames = int(self.max_label_seconds * 25)
+        for e in self._entries():
+            path = os.path.join(lab_dir, f"{e['id']}.json")
+            if os.path.exists(path):
+                continue
+            label: Dict[str, Any] = {}
+            if not e.get("caption") and self.llm is not None:
+                try:
+                    latents = np.load(
+                        os.path.join(lat_dir, f"{e['id']}.npy"))
+                    codes = self.dit.latents_to_codes(
+                        latents[:max_label_frames])
+                    out = self.llm.understand(codes)
+                    if out.get("caption"):
+                        label["caption"] = out["caption"]
+                    metas = {k: out[k]
+                             for k in ("bpm", "keyscale", "timesignature")
+                             if out.get(k)}
+                    if metas:
+                        label["metas"] = metas
+                except Exception:
+                    pass
+            with open(path, "w", encoding="utf-8") as f:
+                json.dump(label, f, ensure_ascii=False)
+            n_new += 1
+        self._mark_done("label")
+        return n_new
+
+    def stage_manifest(self) -> Dict[str, str]:
+        lab_dir = os.path.join(self.out_dir, "labels")
+        entries = self._entries()
+        for e in entries:
+            lab_path = os.path.join(lab_dir, f"{e['id']}.json")
+            if os.path.exists(lab_path):
+                try:
+                    with open(lab_path, "r", encoding="utf-8") as f:
+                        label = json.load(f)
+                    for k, v in label.items():
+                        e.setdefault(k, v)
+                except (OSError, ValueError):
+                    pass
+            if not e.get("caption"):
+                e["caption"] = os.path.splitext(os.path.basename(
+                    e["audio_path"]))[0].replace("_", " ")
+            e.setdefault("lyrics", "[inst]")
+        paths = {"manifest": write_manifest(
+            entries, os.path.join(self.out_dir, "dataset.json"))}
+        if self.val_fraction > 0 and len(entries) > 1:
+            import random as _random
+
+            order = list(entries)
+            _random.Random(self.seed).shuffle(order)
+            n_val = max(1, int(len(order) * self.val_fraction))
+            paths["manifest_val"] = write_manifest(
+                order[:n_val], os.path.join(self.out_dir,
+                                            "dataset_val.json"))
+            paths["manifest_train"] = write_manifest(
+                order[n_val:], os.path.join(self.out_dir,
+                                            "dataset_train.json"))
+        self._mark_done("manifest")
+        return paths
+
+    def stage_tensors(self) -> Dict[str, int]:
+        from acestep_tpu.training.preprocess import (
+            load_manifest, preprocess_samples)
+
+        lat_dir = os.path.join(self.out_dir, "latents")
+        counts = {}
+        splits = [("tensors", "dataset_train.json"
+                   if self.val_fraction > 0 else "dataset.json")]
+        if self.val_fraction > 0:
+            splits.append(("tensors_val", "dataset_val.json"))
+        for sub, manifest_name in splits:
+            manifest_path = os.path.join(self.out_dir, manifest_name)
+            if not os.path.exists(manifest_path):
+                continue
+            samples = load_manifest(manifest_path)
+            for s in samples:
+                s["latents_path"] = os.path.join(lat_dir, f"{s['id']}.npy")
+                s["filename"] = f"{s['id']}.npz"
+            out = list(preprocess_samples(
+                self.dit, samples, os.path.join(self.out_dir, sub),
+                max_frames=self.max_frames, skip_existing=True))
+            counts[sub] = len(out)
+        self._mark_done("tensors")
+        return counts
+
+    def build(self) -> Dict[str, Any]:
+        """Run all stages (resuming per-file work already on disk)."""
+        self.stage_scan()
+        self.stage_encode()
+        self.stage_label()
+        manifests = self.stage_manifest()
+        counts = self.stage_tensors()
+        return {
+            "manifest": manifests["manifest"],
+            "manifest_train": manifests.get("manifest_train"),
+            "manifest_val": manifests.get("manifest_val"),
+            "tensor_dir": os.path.join(self.out_dir, "tensors"),
+            "tensor_dir_val": (os.path.join(self.out_dir, "tensors_val")
+                               if "tensors_val" in counts else None),
+            "num_samples": counts.get("tensors", 0),
+            "num_val": counts.get("tensors_val", 0),
+        }
+
+
+def build_dataset(audio_dir: str, out_dir: str, dit_handler,
+                  llm_handler=None, *, val_fraction: float = 0.0,
+                  **pipeline_kwargs) -> Dict[str, Any]:
+    """One command: raw audio directory -> manifest + training tensors.
+
+    Staged + resumable (DatasetBuildPipeline); re-running after an
+    interruption skips completed per-file work."""
+    pipe = DatasetBuildPipeline(audio_dir, out_dir, dit_handler, llm_handler,
+                                val_fraction=val_fraction, **pipeline_kwargs)
+    return pipe.build()

@@ -38,17 +38,32 @@ def load_manifest(path: str) -> List[Dict[str, Any]]:
 
 def preprocess_samples(handler, samples: List[Dict[str, Any]], out_dir: str,
                        *, max_frames: int = MAX_FRAMES_DEFAULT,
-                       progress: bool = False) -> Iterator[str]:
+                       progress: bool = False,
+                       skip_existing: bool = False) -> Iterator[str]:
     """VAE-encode + text-embed every sample; yields written file paths.
 
     `handler` is an initialized AceStepHandler (provides encode_audio and
-    text_embedder)."""
+    text_embedder). A sample carrying precomputed `latents` (or a
+    `latents_path` .npy) skips the VAE encode — the staged dataset builder
+    reuses its encode-stage cache. `filename` overrides the default
+    index-based name (stable ids enable per-file resume via
+    skip_existing)."""
     os.makedirs(out_dir, exist_ok=True)
     for i, sample in enumerate(samples):
-        audio = sample.get("audio")
-        if audio is None:
-            audio = load_audio(sample["audio_path"])
-        latents = handler.encode_audio(np.asarray(audio))[:max_frames]
+        name = sample.get("filename", f"sample_{i:05d}.npz")
+        path = os.path.join(out_dir, name)
+        if skip_existing and os.path.exists(path):
+            yield path
+            continue
+        latents = sample.get("latents")
+        if latents is None and sample.get("latents_path"):
+            latents = np.load(sample["latents_path"])
+        if latents is None:
+            audio = sample.get("audio")
+            if audio is None:
+                audio = load_audio(sample["audio_path"])
+            latents = handler.encode_audio(np.asarray(audio))
+        latents = np.asarray(latents)[:max_frames]
 
         caption = sample.get("caption", "")
         lyrics = sample.get("lyrics", "")
@@ -62,7 +77,6 @@ def preprocess_samples(handler, samples: List[Dict[str, Any]], out_dir: str,
         text_h, text_m = handler.text_embedder.encode_text([text_prompt])
         lyric_h, lyric_m = handler.text_embedder.encode_lyrics([lyric_prompt])
 
-        path = os.path.join(out_dir, f"sample_{i:05d}.npz")
         np.savez(
             path,
             hidden_states=np.asarray(latents, np.float32),

@@ -93,3 +93,70 @@ def test_gradient_sensitivity_ranking():
     sens = [s for _, s in ranked]
     assert sens == sorted(sens, reverse=True)
     assert all(np.isfinite(s) and s >= 0 for s in sens)
+
+
+def test_pipeline_staged_resume(tmp_path):
+    """Interrupting after encode and re-running resumes without redoing
+    per-file work (per-stage artifacts on disk)."""
+    from tests.test_training import _FakeHandler
+    from acestep_tpu.training.dataset_builder import DatasetBuildPipeline
+
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    for name in ("a.wav", "b.wav", "c.wav"):
+        _write_wav(audio_dir / name)
+
+    class CountingHandler(_FakeHandler):
+        encodes = 0
+
+        def encode_audio(self, audio):
+            CountingHandler.encodes += 1
+            return super().encode_audio(audio)
+
+    pipe = DatasetBuildPipeline(str(audio_dir), str(tmp_path / "ds"),
+                                CountingHandler(), val_fraction=0.34)
+    pipe.stage_scan()
+    pipe.stage_encode()
+    assert CountingHandler.encodes == 3
+    st = pipe.status()
+    assert st["encoded"] == 3 and "encode" in st["stages_done"]
+
+    # "restart": a new pipeline object resumes from disk
+    pipe2 = DatasetBuildPipeline(str(audio_dir), str(tmp_path / "ds"),
+                                 CountingHandler(), val_fraction=0.34)
+    out = pipe2.build()
+    # encode stage skipped all 3 cached latents; tensors reuse them too
+    assert CountingHandler.encodes == 3
+    assert out["num_samples"] == 2 and out["num_val"] == 1
+    assert os.path.exists(out["manifest_train"])
+    assert os.path.exists(out["manifest_val"])
+    files = os.listdir(out["tensor_dir"])
+    assert len([f for f in files if f.endswith(".npz")]) == 2
+    # tensors resumable as well: third run writes nothing new
+    out2 = pipe2.build()
+    assert out2["num_samples"] == 2
+
+
+def test_pipeline_labels_via_llm(tmp_path):
+    from tests.test_training import _FakeHandler
+    from acestep_tpu.training.dataset_builder import DatasetBuildPipeline
+
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    _write_wav(audio_dir / "untitled_take.wav")
+
+    class CodesHandler(_FakeHandler):
+        def latents_to_codes(self, latents):
+            return "<|audio_code_1|>" * 5
+
+    class FakeLLM:
+        def understand(self, codes):
+            assert codes.startswith("<|audio_code_")
+            return {"caption": "a dusty lofi loop", "bpm": 80}
+
+    pipe = DatasetBuildPipeline(str(audio_dir), str(tmp_path / "ds"),
+                                CodesHandler(), FakeLLM())
+    out = pipe.build()
+    manifest = json.load(open(out["manifest"]))
+    assert manifest[0]["caption"] == "a dusty lofi loop"
+    assert manifest[0]["metas"]["bpm"] == 80
