@@ -1,16 +1,18 @@
-"""Interactive CLI wizard: configure-and-generate loop.
+"""Interactive CLI wizard: configure-and-generate loop + analysis tools.
 
-Capability parity with the reference wizard (/root/reference/cli.py): an
-interactive session that walks through caption/lyrics/metadata/sampler
-settings, supports editing any field before generating, $EDITOR hook for
-long text, repeated generation with tweaks, and non-interactive one-shot
-flags for scripting.
+Capability parity with the reference wizard (/root/reference/cli.py, 1998
+LoC): interactive per-parameter editing, task-specific follow-up prompts
+(repaint spans, cover sources, extract/lego track selection), $EDITOR hook
+for long text, understand mode (audio -> LM metadata), audio-codes
+import/export, LoRA load, repeated generation with tweaks, and
+non-interactive one-shot flags for scripting.
 """
 
 from __future__ import annotations
 
 import argparse
 import os
+import shlex
 import subprocess
 import sys
 import tempfile
@@ -20,6 +22,7 @@ from acestep_tpu.constants import (
     DURATION_MAX,
     DURATION_MIN,
     TASK_TYPES,
+    TRACK_NAMES,
     VALID_LANGUAGES,
 )
 from acestep_tpu.inference import GenerationConfig, GenerationParams, generate_music
@@ -35,9 +38,7 @@ def _input(prompt: str, default: str = "") -> str:
 
 
 def _edit_in_editor(initial: str) -> str:
-    """Open $EDITOR on a temp file (reference cli.py:335-407 behavior)."""
-    import shlex
-
+    """Open $EDITOR on a temp file (reference cli.py:213-233 behavior)."""
     editor = os.environ.get("EDITOR")
     if not editor:
         return initial
@@ -53,18 +54,31 @@ def _edit_in_editor(initial: str) -> str:
         os.unlink(path)
 
 
+# (field, label, type) — the per-parameter edit surface
 FIELDS = [
     ("caption", "Music description / caption", str),
-    ("lyrics", "Lyrics ([inst] for instrumental)", str),
+    ("lyrics", "Lyrics ([inst] for instrumental; @edit opens $EDITOR)", str),
     ("duration", f"Duration seconds ({DURATION_MIN}-{DURATION_MAX}, -1 auto)", float),
     ("bpm", "BPM (blank = auto)", int),
     ("keyscale", "Key scale (e.g. 'C major', blank = auto)", str),
+    ("timesignature", "Time signature (2/3/4/6, blank = auto)", str),
     ("vocal_language", f"Language ({'/'.join(VALID_LANGUAGES[:6])}/...)", str),
     ("task_type", f"Task ({'/'.join(TASK_TYPES)})", str),
     ("inference_steps", "Diffusion steps", int),
+    ("guidance_scale", "Guidance scale (base/sft models)", float),
+    ("infer_method", "Sampler method (ode/sde)", str),
+    ("shift", "Timestep shift", float),
     ("thinking", "Use LM planner (y/n)", bool),
     ("seed", "Seed (-1 random)", int),
 ]
+
+_TASK_HELP = {
+    "repaint": "regenerate a time span of the source audio",
+    "cover": "re-render the song from its semantic codes",
+    "extract": "isolate one track (vocals/drums/...)",
+    "lego": "replace a span with a named track",
+    "complete": "extend a partial arrangement",
+}
 
 
 def _collect_params(args) -> GenerationParams:
@@ -79,53 +93,248 @@ def _collect_params(args) -> GenerationParams:
     )
     if args.language:
         params.vocal_language = args.language
+    if args.src_audio:
+        params.src_audio = args.src_audio
+    if args.reference_audio:
+        params.reference_audio = args.reference_audio
+    if args.audio_codes_file:
+        params.audio_codes = _read_codes_file(args.audio_codes_file)
     return params
+
+
+def _read_codes_file(path: str) -> str:
+    """Codes import (reference wizard 'audio_codes' input): a file holding
+    '<|audio_code_N|>...' (or bare integers one per line)."""
+    with open(path, "r", encoding="utf-8") as f:
+        text = f.read().strip()
+    if "<|audio_code_" in text:
+        return text
+    codes = [int(t) for t in text.replace(",", "\n").split() if t.strip()]
+    return "".join(f"<|audio_code_{c}|>" for c in codes)
+
+
+def _task_followups(params: GenerationParams) -> None:
+    """Task-specific follow-up prompts (reference wizard per-task flow)."""
+    task = params.task_type
+    if task in ("repaint", "lego"):
+        raw = _input("Repaint start seconds", str(params.repainting_start or 0))
+        try:
+            params.repainting_start = float(raw)
+        except ValueError:
+            pass
+        raw = _input("Repaint end seconds (-1 = song end)",
+                     str(params.repainting_end
+                         if params.repainting_end is not None else -1))
+        try:
+            params.repainting_end = float(raw)
+        except ValueError:
+            pass
+    if task in ("repaint", "cover", "extract", "lego", "complete"):
+        raw = _input("Source audio path", params.src_audio or "")
+        if raw:
+            if os.path.exists(os.path.expanduser(raw)):
+                params.src_audio = os.path.expanduser(raw)
+            else:
+                print(f"  ! no such file: {raw}")
+    if task == "cover":
+        raw = _input("Cover strength 0-1", str(params.audio_cover_strength))
+        try:
+            params.audio_cover_strength = float(raw)
+        except ValueError:
+            pass
+    if task in ("extract", "lego"):
+        names = ", ".join(TRACK_NAMES[:8]) + ", ..."
+        raw = _input(f"Track name ({names})", params.track_name or "")
+        if raw:
+            params.track_name = raw
+
+
+def _show_params(params: GenerationParams) -> None:
+    print("\n-- Current configuration --")
+    for idx, (name, label, _typ) in enumerate(FIELDS, 1):
+        value = getattr(params, name, None)
+        if value in (None, "", -1, -1.0):
+            value = "(auto)"
+        print(f"  {idx:2d}. {name:<16} {value}")
+    for extra in ("src_audio", "reference_audio", "track_name",
+                  "repainting_start", "repainting_end"):
+        value = getattr(params, extra, None)
+        if value not in (None, "", -1, -1.0):
+            print(f"      {extra:<16} {value}")
+    if params.audio_codes:
+        n = params.audio_codes.count("<|audio_code_")
+        print(f"      audio_codes      {n} codes imported")
+
+
+def _edit_field(params: GenerationParams, name: str, raw: str = "") -> None:
+    match = [f for f in FIELDS if f[0] == name]
+    if not match:
+        print(f"  ! unknown field {name!r}")
+        return
+    name, label, typ = match[0]
+    current = getattr(params, name, None)
+    if not raw:
+        raw = _input(label, "" if current in (None, "", -1, -1.0)
+                     else str(current))
+    if not raw:
+        return
+    if typ is bool:
+        setattr(params, name, raw.lower().startswith("y"))
+        return
+    if raw == "@edit" and typ is str:
+        setattr(params, name, _edit_in_editor(str(current or "")))
+        return
+    try:
+        setattr(params, name, typ(raw))
+    except ValueError:
+        print(f"  ! could not parse {raw!r}; keeping {current!r}")
+        return
+    if name == "task_type":
+        _task_followups(params)
 
 
 def _wizard_edit(params: GenerationParams) -> GenerationParams:
     print("\n-- Configure generation (enter keeps current value) --")
-    for name, label, typ in FIELDS:
-        current = getattr(params, name, None)
-        if name == "thinking":
-            raw = _input(label, "y" if params.thinking else "n")
-            params.thinking = raw.lower().startswith("y")
-            continue
-        raw = _input(label, "" if current in (None, "", -1, -1.0)
-                     else str(current))
-        if not raw:
-            continue
-        if raw == "@edit" and typ is str:
-            setattr(params, name, _edit_in_editor(str(current or "")))
-            continue
-        try:
-            setattr(params, name, typ(raw))   # bools special-cased above
-        except ValueError:
-            print(f"  ! could not parse {raw!r}; keeping {current!r}")
+    for name, _label, _typ in FIELDS:
+        _edit_field(params, name, raw="")
+    _task_followups(params)
     return params
+
+
+def _run_understand(dit_handler, llm_handler, audio_path: str) -> Dict[str, Any]:
+    """Audio -> 5 Hz codes -> LM 'understand' metadata (reference
+    analysis mode)."""
+    import numpy as np
+
+    from acestep_tpu.utils.audio import load_audio
+
+    if llm_handler is None:
+        print("understand mode needs --lm-checkpoint-dir")
+        return {}
+    audio = load_audio(os.path.expanduser(audio_path))
+    codes = dit_handler.audio_to_codes(np.asarray(audio))
+    meta = llm_handler.understand(codes)
+    print("\n-- Understanding --")
+    for key, value in meta.items():
+        print(f"  {key}: {value}")
+    return meta
+
+
+def _export_codes(dit_handler, audio_path: str,
+                  out_path: Optional[str]) -> str:
+    import numpy as np
+
+    from acestep_tpu.utils.audio import load_audio
+
+    audio = load_audio(os.path.expanduser(audio_path))
+    codes = dit_handler.audio_to_codes(np.asarray(audio))
+    if out_path:
+        with open(out_path, "w", encoding="utf-8") as f:
+            f.write(codes)
+        print(f"wrote {codes.count('<|audio_code_')} codes to {out_path}")
+    return codes
+
+
+WIZARD_HELP = """\
+Commands:
+  go | g                generate with the current configuration
+  show                  print all parameters
+  <name> [value]        edit one field (e.g. 'caption', 'bpm 120', '3 60')
+  all                   walk through every field
+  understand <audio>    analyze audio with the LM; merge its metadata
+  codes <audio> [file]  audio -> semantic codes (optionally save to file)
+  importcodes <file>    load codes from a file as generation hints
+  lora <path> [scale]   load a LoRA adapter onto the DiT
+  nolora                disable the active adapter
+  help | ?              this help
+  quit | q              exit"""
 
 
 def run_wizard(dit_handler, llm_handler, args) -> None:
     params = _collect_params(args)
     config = GenerationConfig(batch_size=args.batch, output_dir=args.output_dir,
                               audio_format=args.format)
-    while True:
+    if not params.caption:
         params = _wizard_edit(params)
-        print("\nGenerating...")
-        result = generate_music(dit_handler, llm_handler, params, config)
-        if result.success:
-            for audio in result.audios:
-                print(f"  -> {audio['path']}  (seed {audio['seed']})")
-            costs = result.extra_outputs.get("time_costs", {})
-            total = costs.get("total_time_cost")
-            if total:
-                print(f"  total {total:.2f}s "
-                      f"(diffusion {costs.get('diffusion_time_cost', 0):.2f}s, "
-                      f"vae {costs.get('vae_decode_time_cost', 0):.2f}s)")
-        else:
-            print(f"  generation failed: {result.error}")
-        again = _input("\nGenerate again? (y/n)", "y")
-        if not again.lower().startswith("y"):
+    _show_params(params)
+    print("\nType 'go' to generate, 'help' for commands.")
+    while True:
+        try:
+            line = input("acestep> ").strip()
+        except EOFError:
             break
+        if not line:
+            continue
+        cmd, _, rest = line.partition(" ")
+        cmd = cmd.lower()
+        if cmd in ("q", "quit", "exit"):
+            break
+        if cmd in ("help", "?"):
+            print(WIZARD_HELP)
+        elif cmd == "show":
+            _show_params(params)
+        elif cmd == "all":
+            params = _wizard_edit(params)
+        elif cmd in ("go", "g"):
+            print("Generating...")
+            result = generate_music(dit_handler, llm_handler, params, config)
+            if result.success:
+                for audio in result.audios:
+                    print(f"  -> {audio['path']}  (seed {audio['seed']})")
+                costs = result.extra_outputs.get("time_costs", {})
+                total = costs.get("total_time_cost")
+                if total:
+                    print(f"  total {total:.2f}s (diffusion "
+                          f"{costs.get('diffusion_time_cost', 0):.2f}s, "
+                          f"vae {costs.get('vae_decode_time_cost', 0):.2f}s)")
+            else:
+                print(f"  generation failed: {result.error}")
+        elif cmd == "understand":
+            meta = _run_understand(dit_handler, llm_handler, rest.strip())
+            if meta and _input("Merge into parameters? (y/n)",
+                               "y").lower().startswith("y"):
+                for key in ("caption", "bpm", "keyscale", "timesignature",
+                            "duration"):
+                    if meta.get(key) not in (None, ""):
+                        try:
+                            _edit_field(params, key if key != "duration"
+                                        else "duration", str(meta[key]))
+                        except Exception:
+                            pass
+        elif cmd == "codes":
+            parts = rest.split()
+            if parts:
+                codes = _export_codes(dit_handler, parts[0],
+                                      parts[1] if len(parts) > 1 else None)
+                if _input("Use as generation hints? (y/n)",
+                          "n").lower().startswith("y"):
+                    params.audio_codes = codes
+            else:
+                print("usage: codes <audio> [out_file]")
+        elif cmd == "importcodes":
+            try:
+                params.audio_codes = _read_codes_file(rest.strip())
+                n = params.audio_codes.count("<|audio_code_")
+                print(f"  imported {n} codes")
+            except (OSError, ValueError) as e:
+                print(f"  ! {e}")
+        elif cmd == "lora":
+            parts = rest.split()
+            if not parts:
+                print("usage: lora <path> [scale]")
+                continue
+            try:
+                info = dit_handler.lora.load(
+                    parts[0],
+                    scale=float(parts[1]) if len(parts) > 1 else 1.0)
+                print(f"  loaded {info['adapter_name']} "
+                      f"({info['params']} params, scale {info['scale']})")
+            except Exception as e:
+                print(f"  ! {e}")
+        elif cmd == "nolora":
+            print(f"  {dit_handler.lora.toggle(False)}")
+        else:
+            _edit_field(params, cmd, rest.strip())
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -146,8 +355,23 @@ def build_parser() -> argparse.ArgumentParser:
                         help="skip the LM planning phase")
     parser.add_argument("--format", default="wav")
     parser.add_argument("--output-dir", default="outputs")
+    parser.add_argument("--src-audio", default=None,
+                        help="source audio for repaint/cover/extract/...")
+    parser.add_argument("--reference-audio", default=None,
+                        help="timbre reference audio")
+    parser.add_argument("--audio-codes-file", default=None,
+                        help="import semantic codes as generation hints")
+    parser.add_argument("--lora", default=None,
+                        help="LoRA adapter to load before generating")
+    parser.add_argument("--lora-scale", type=float, default=1.0)
     parser.add_argument("--once", action="store_true",
                         help="non-interactive: generate once and exit")
+    parser.add_argument("--understand", metavar="AUDIO", default=None,
+                        help="analyze an audio file with the LM and exit")
+    parser.add_argument("--export-codes", metavar="AUDIO", default=None,
+                        help="print (or save with --codes-out) 5 Hz codes "
+                             "for an audio file and exit")
+    parser.add_argument("--codes-out", default=None)
     return parser
 
 
@@ -166,6 +390,20 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         llm = LLMHandler()
         llm.initialize(checkpoint_dir=args.lm_checkpoint_dir)
+
+    if args.lora:
+        info = handler.lora.load(args.lora, scale=args.lora_scale)
+        print(f"loaded LoRA {info['adapter_name']} (scale {info['scale']})")
+
+    if args.understand:
+        meta = _run_understand(handler, llm, args.understand)
+        return 0 if meta else 1
+
+    if args.export_codes:
+        codes = _export_codes(handler, args.export_codes, args.codes_out)
+        if not args.codes_out:
+            print(codes)
+        return 0
 
     if args.once:
         params = _collect_params(args)

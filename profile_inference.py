@@ -26,7 +26,8 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _init_handler(args, hbm_override: Optional[float] = None):
+def _init_handler(args, hbm_override: Optional[float] = None,
+                  quantization: Optional[str] = None):
     if hbm_override is not None:
         os.environ["ACESTEP_MAX_HBM_GB"] = str(hbm_override)
         # the global tier is cached after first use; re-pin it per tier run
@@ -38,7 +39,8 @@ def _init_handler(args, hbm_override: Optional[float] = None):
     handler = AceStepHandler()
     t0 = time.time()
     handler.initialize_service(checkpoint_dir=args.checkpoint_dir,
-                               vae_dir=args.vae_dir)
+                               vae_dir=args.vae_dir,
+                               quantization=quantization)
     return handler, time.time() - t0
 
 
@@ -73,10 +75,69 @@ def mode_profile(args) -> Dict[str, Any]:
     handler, init_s = _init_handler(args)
     cold = _run_once(handler, duration=args.duration, batch=args.batch,
                      steps=args.steps)
-    warm = _run_once(handler, duration=args.duration, batch=args.batch,
-                     steps=args.steps, warm=True)
-    return {"mode": "profile", "init_s": round(init_s, 2),
-            "cold": cold, "warm": warm}
+    report: Dict[str, Any] = {"mode": "profile", "init_s": round(init_s, 2),
+                              "cold": cold}
+    if args.detailed:
+        # cProfile the warm run (reference --detailed, profile_inference.py
+        # :505-520): host-side dispatch/prep hotspots; device time shows up
+        # as the blocking np.asarray conversion.
+        import cProfile
+        import io
+        import pstats
+
+        prof = cProfile.Profile()
+        prof.enable()
+        warm = _run_once(handler, duration=args.duration, batch=args.batch,
+                         steps=args.steps, warm=True)
+        prof.disable()
+        buf = io.StringIO()
+        stats = pstats.Stats(prof, stream=buf).sort_stats("cumulative")
+        stats.print_stats(25)
+        report["detailed"] = buf.getvalue().splitlines()[:60]
+    else:
+        warm = _run_once(handler, duration=args.duration, batch=args.batch,
+                         steps=args.steps, warm=True)
+    report["warm"] = warm
+    if args.llm_debug:
+        report["llm_debug"] = _llm_token_throughput(args)
+    return report
+
+
+def _llm_token_throughput(args) -> Dict[str, Any]:
+    """Token-level LM throughput (reference --llm-debug): prefill tokens/s
+    and decode tokens/s for the constrained CoT loop and the codes scan."""
+    llm = _init_llm(args)
+    prompt = llm.build_formatted_prompt(
+        "an upbeat synthpop track with bright leads", "[inst]")
+    n_prompt = len(llm.tokenizer.encode(prompt))
+    tables = llm._cot_tables({"duration": 30}, None)
+
+    # warm both programs, then measure
+    llm.engine.generate_cot_device(prompt, fsm_tables=tables,
+                                   max_tokens=128, seed=0)
+    t0 = time.time()
+    toks = llm.engine.generate_cot_device(prompt, fsm_tables=tables,
+                                          max_tokens=128, seed=1)
+    cot_s = time.time() - t0
+
+    llm.engine.generate_codes([prompt], n_codes=150, seed=0)
+    t0 = time.time()
+    llm.engine.generate_codes([prompt], n_codes=150, seed=1)
+    codes_s = time.time() - t0
+
+    out = llm.engine.generate([prompt], max_new_tokens=64, seed=2)
+    t0 = time.time()
+    out = llm.engine.generate([prompt], max_new_tokens=64, seed=3)
+    generic_s = time.time() - t0
+    return {
+        "prompt_tokens": n_prompt,
+        "cot_tokens": len(toks),
+        "cot_wall_s": round(cot_s, 3),
+        "cot_tokens_per_s": round(len(toks) / max(cot_s, 1e-9), 1),
+        "codes_tokens_per_s": round(150 / max(codes_s, 1e-9), 1),
+        "generic_tokens_per_s": round(
+            len(out.token_ids[0]) / max(generic_s, 1e-9), 1),
+    }
 
 
 def mode_benchmark(args) -> Dict[str, Any]:
@@ -99,8 +160,10 @@ def mode_benchmark(args) -> Dict[str, Any]:
 def mode_tier_test(args) -> Dict[str, Any]:
     from acestep_tpu.runtime_config import get_tier_config
 
+    tiers = ([float(t) for t in args.tiers.split(",")] if args.tiers
+             else [0.0, 8.0, 16.0, 32.0])
     results = []
-    for hbm in (0, 8, 16, 32):
+    for hbm in tiers:
         tier = get_tier_config(float(hbm))
         entry: Dict[str, Any] = {"hbm_gb": hbm, "tier": tier.name,
                                  "max_batch": tier.max_batch,
@@ -114,16 +177,64 @@ def mode_tier_test(args) -> Dict[str, Any]:
                          seconds_per_song=run["seconds_per_song"])
         except Exception as e:  # tier failure is a result, not a crash
             entry.update(ok=False, error=str(e))
+            results.append(entry)
+            log(f"tier {tier.name}: {entry}")
+            continue
+
+        if args.tier_boundary:
+            # Minimum tier at which quantization can be disabled (reference
+            # --tier-boundary, BENCHMARK.md:205-219): bf16 vs quantized
+            # configurations per tier.
+            entry["boundary"] = []
+            for quant in (None, "int8", "fp8", "w8a8"):
+                try:
+                    h2, _ = _init_handler(args, hbm_override=float(hbm),
+                                          quantization=quant)
+                    r = _run_once(h2, duration=10.0, batch=1, steps=4)
+                    entry["boundary"].append(
+                        {"quantization": quant or "bf16", "ok": True,
+                         "wall_s": r["wall_s"]})
+                except Exception as e:
+                    entry["boundary"].append(
+                        {"quantization": quant or "bf16", "ok": False,
+                         "error": str(e)[:200]})
+                log(f"  boundary {quant or 'bf16'}: "
+                    f"{entry['boundary'][-1]}")
+
+        if args.tier_batch_boundary:
+            # Max safe batch per tier (reference --tier-batch-boundary,
+            # BENCHMARK.md:226-233): escalate 1,2,4,8 until failure.
+            entry["batch_boundary"] = []
+            max_ok = 0
+            for batch in (1, 2, 4, 8):
+                try:
+                    r = _run_once(handler, duration=10.0, batch=batch,
+                                  steps=4)
+                    entry["batch_boundary"].append(
+                        {"batch": batch, "ok": True,
+                         "seconds_per_song": r["seconds_per_song"]})
+                    max_ok = batch
+                except Exception as e:
+                    entry["batch_boundary"].append(
+                        {"batch": batch, "ok": False,
+                         "error": str(e)[:200]})
+                    break
+                log(f"  batch boundary {batch}: "
+                    f"{entry['batch_boundary'][-1]}")
+            entry["max_safe_batch"] = max_ok
+
         results.append(entry)
-        log(f"tier {tier.name}: {entry}")
-    return {"mode": "tier-test", "tiers": results}
+        log(f"tier {tier.name}: ok")
+    return {"mode": "tier-test", "tiers": results,
+            "boundary": args.tier_boundary,
+            "batch_boundary": args.tier_batch_boundary}
 
 
 def _init_llm(args):
     from acestep_tpu.llm.handler import LLMHandler
 
     llm = LLMHandler()
-    llm.initialize(checkpoint_dir=args.lm_checkpoint_dir)
+    llm.initialize(checkpoint_dir=getattr(args, "lm_checkpoint_dir", None))
     return llm
 
 
@@ -176,6 +287,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--query", default=None)
     parser.add_argument("--output", default=None,
                         help="write the JSON report here as well")
+    parser.add_argument("--detailed", action="store_true",
+                        help="cProfile the warm run (host-side hotspots)")
+    parser.add_argument("--llm-debug", action="store_true",
+                        help="LM token-level throughput (prefill/CoT/codes)")
+    parser.add_argument("--tier-boundary", action="store_true",
+                        help="per tier: test bf16 + each quantization mode")
+    parser.add_argument("--tier-batch-boundary", action="store_true",
+                        help="per tier: escalate batch 1,2,4,8 until failure")
+    parser.add_argument("--tiers", default=None,
+                        help="comma-separated HBM GB values for tier-test")
     args = parser.parse_args(argv)
 
     report = MODES[args.mode](args)

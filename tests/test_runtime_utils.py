@@ -123,3 +123,79 @@ def test_examples_generator(tmp_path):
     with open(simple[0]) as f:
         sdata = json.load(f)
     assert "sample_query" in sdata
+
+
+def test_cli_codes_import(tmp_path):
+    from acestep_tpu.cli import _read_codes_file
+
+    f1 = tmp_path / "codes.txt"
+    f1.write_text("<|audio_code_3|><|audio_code_7|>")
+    assert _read_codes_file(str(f1)).count("<|audio_code_") == 2
+    f2 = tmp_path / "ints.txt"
+    f2.write_text("3\n7, 11\n")
+    assert _read_codes_file(str(f2)) == \
+        "<|audio_code_3|><|audio_code_7|><|audio_code_11|>"
+
+
+def test_cli_edit_field_and_followups(monkeypatch):
+    from acestep_tpu.cli import _edit_field
+    from acestep_tpu.inference import GenerationParams
+
+    params = GenerationParams()
+    _edit_field(params, "bpm", "128")
+    assert params.bpm == 128
+    _edit_field(params, "thinking", "n")
+    assert params.thinking is False
+    # bad value keeps the old one
+    _edit_field(params, "duration", "abc")
+    assert params.duration == -1.0
+    # task edit triggers per-task follow-ups (repaint span prompts)
+    answers = iter(["2.5", "10", ""])       # start, end, src audio
+    monkeypatch.setattr("builtins.input", lambda *a: next(answers))
+    _edit_field(params, "task_type", "repaint")
+    assert params.task_type == "repaint"
+    assert params.repainting_start == 2.5 and params.repainting_end == 10.0
+
+
+def test_cli_new_flags():
+    from acestep_tpu.cli import build_parser
+
+    args = build_parser().parse_args([
+        "--understand", "x.wav", "--lora", "a.npz", "--lora-scale", "0.5",
+        "--export-codes", "y.wav", "--codes-out", "c.txt",
+        "--src-audio", "s.wav",
+    ])
+    assert args.understand == "x.wav" and args.lora == "a.npz"
+    assert args.export_codes == "y.wav" and args.codes_out == "c.txt"
+    assert args.src_audio == "s.wav" and args.lora_scale == 0.5
+
+
+def test_profiler_new_flags():
+    import profile_inference
+
+    p = profile_inference.main.__globals__  # module namespace sanity
+    import argparse
+    parser_args = [
+        "--mode", "tier-test", "--tier-boundary", "--tier-batch-boundary",
+        "--tiers", "0,16", "--detailed", "--llm-debug",
+    ]
+    # parse only (no device work): reconstruct the parser from main's source
+    # by calling main with a mode that fails fast is too heavy; instead check
+    # via a fresh ArgumentParser mirror is fragile — simply verify argparse
+    # accepts the flags by monkeypatching MODES to a no-op.
+    saved = dict(profile_inference.MODES)
+    try:
+        profile_inference.MODES.clear()
+        profile_inference.MODES["tier-test"] = lambda a: {
+            "tiers": a.tiers, "boundary": a.tier_boundary,
+            "batch": a.tier_batch_boundary, "detailed": a.detailed,
+            "llm": a.llm_debug}
+        import io, contextlib
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            profile_inference.main(parser_args)
+        out = buf.getvalue()
+        assert '"boundary": true' in out and '"0,16"' in out
+    finally:
+        profile_inference.MODES.clear()
+        profile_inference.MODES.update(saved)
