@@ -154,9 +154,12 @@ class AppState:
         self.avg_job_seconds = INITIAL_AVG_JOB_SECONDS
         self.completed_jobs = 0
         self.examples_dir = examples_dir
-        from acestep_tpu.serving.training_service import TrainingService
+        from acestep_tpu.serving.training_service import (
+            DatasetService, TrainingService)
         self.training = TrainingService(
             self.dit_handlers[self.default_model])
+        self.dataset = DatasetService(
+            self.dit_handlers[self.default_model], llm_handler)
         self.worker_count = max(1, worker_count)
         self._workers: List[threading.Thread] = []
         self._shutdown = threading.Event()
@@ -491,6 +494,12 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send_json(openrouter.models_payload(self.state))
             elif route == "/v1/training/status":
                 self._send_json(wrap_response(self.state.training.status()))
+            elif route == "/v1/training/metrics":
+                qs = parse_qs(url.query)
+                self._send_json(wrap_response(self.state.training.metrics(
+                    output_dir=(qs.get("output_dir") or [None])[0])))
+            elif route == "/v1/dataset/status":
+                self._send_json(wrap_response(self.state.dataset.status()))
             elif route in ("/", "/studio"):
                 self._serve_studio()
             else:
@@ -546,6 +555,30 @@ class _Handler(BaseHTTPRequestHandler):
                     self._send_json(wrap_response(None, 409, str(e)), 409)
             elif route == "/v1/training/stop":
                 self._send_json(wrap_response(self.state.training.stop()))
+            elif route == "/v1/training/tensorboard/start":
+                try:
+                    out = self.state.training.tensorboard_start(
+                        logdir=body.get("logdir"),
+                        port=int(body.get("port", 6006)))
+                    self._send_json(wrap_response(out))
+                except RuntimeError as e:
+                    self._send_json(wrap_response(None, 503, str(e)), 503)
+            elif route == "/v1/training/tensorboard/stop":
+                self._send_json(wrap_response(
+                    self.state.training.tensorboard_stop()))
+            elif route == "/v1/dataset/build":
+                try:
+                    out = self.state.dataset.start(
+                        body.get("audio_dir", ""),
+                        body.get("out_dir") or os.path.join(
+                            body.get("audio_dir", ""), "_dataset"),
+                        val_fraction=float(body.get("val_fraction", 0.0)),
+                        use_llm_labels=bool(body.get("use_llm_labels", True)))
+                    self._send_json(wrap_response(out))
+                except FileNotFoundError as e:
+                    self._send_json(wrap_response(None, 404, str(e)), 404)
+                except RuntimeError as e:
+                    self._send_json(wrap_response(None, 409, str(e)), 409)
             elif route == "/v1/training/load_tensor_info":
                 self._tensor_info(body)
             elif route == "/v1/training/export":

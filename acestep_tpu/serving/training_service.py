@@ -116,3 +116,126 @@ class TrainingService:
     def _update(self, **kw) -> None:
         with self._lock:
             self._state.update(kw)
+
+    # -- metrics + tensorboard (reference api_server.py:557-622) -------------
+
+    def metrics(self, output_dir: Optional[str] = None,
+                max_points: int = 500) -> Dict[str, Any]:
+        """Parsed loss curve from the run's metrics.jsonl (the
+        tensorboard-equivalent artifact), downsampled for plotting."""
+        import json
+
+        output_dir = output_dir or self._state.get("output_dir")
+        if not output_dir:
+            return {"steps": [], "loss": [], "points": 0}
+        path = os.path.join(output_dir, "metrics.jsonl")
+        steps, losses = [], []
+        try:
+            with open(path, "r", encoding="utf-8") as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        continue
+                    if rec.get("loss") is not None:
+                        steps.append(rec.get("step", len(steps)))
+                        losses.append(float(rec["loss"]))
+        except OSError:
+            return {"steps": [], "loss": [], "points": 0}
+        n = len(steps)
+        if n > max_points:          # stride-downsample, keep the last point
+            stride = -(-n // max_points)
+            idx = list(range(0, n, stride))
+            if idx[-1] != n - 1:
+                idx.append(n - 1)
+            steps = [steps[i] for i in idx]
+            losses = [losses[i] for i in idx]
+        return {"steps": steps, "loss": losses, "points": n,
+                "output_dir": output_dir}
+
+    def tensorboard_start(self, logdir: Optional[str] = None,
+                          port: int = 6006) -> Dict[str, Any]:
+        """Launch a TensorBoard subprocess when the binary exists
+        (reference _start_tensorboard); the JSONL metrics endpoint is the
+        always-available fallback."""
+        import shutil
+        import subprocess
+
+        logdir = logdir or self._state.get("output_dir") or "."
+        binary = shutil.which("tensorboard")
+        if binary is None:
+            raise RuntimeError(
+                "tensorboard is not installed; use /v1/training/metrics "
+                "for the JSONL loss curve instead")
+        with self._lock:
+            proc = getattr(self, "_tb_proc", None)
+            if proc is not None and proc.poll() is None:
+                return {"status": "already_running", "url": self._tb_url}
+            self._tb_proc = subprocess.Popen(
+                [binary, "--logdir", logdir, "--port", str(port),
+                 "--bind_all"],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            self._tb_url = f"http://localhost:{port}"
+        return {"status": "started", "url": self._tb_url, "logdir": logdir}
+
+    def tensorboard_stop(self) -> Dict[str, Any]:
+        with self._lock:
+            proc = getattr(self, "_tb_proc", None)
+            if proc is None or proc.poll() is not None:
+                return {"status": "not_running"}
+            proc.terminate()
+            self._tb_proc = None
+        return {"status": "stopped"}
+
+
+class DatasetService:
+    """Background dataset builds for the studio dataset tab: one
+    DatasetBuildPipeline at a time, per-stage progress from its status()."""
+
+    def __init__(self, dit_handler, llm_handler=None):
+        self.handler = dit_handler
+        self.llm = llm_handler
+        self._lock = threading.Lock()
+        self._thread: Optional[threading.Thread] = None
+        self._state: Dict[str, Any] = {"status": "idle"}
+        self._pipeline = None
+
+    def start(self, audio_dir: str, out_dir: str, *,
+              val_fraction: float = 0.0,
+              use_llm_labels: bool = True) -> Dict[str, Any]:
+        from acestep_tpu.training.dataset_builder import DatasetBuildPipeline
+
+        with self._lock:
+            if self._thread and self._thread.is_alive():
+                raise RuntimeError("a dataset build is already running")
+            if not os.path.isdir(audio_dir):
+                raise FileNotFoundError(f"audio_dir not found: {audio_dir}")
+            self._pipeline = DatasetBuildPipeline(
+                audio_dir, out_dir, self.handler,
+                self.llm if use_llm_labels else None,
+                val_fraction=val_fraction)
+            self._state = {"status": "running", "audio_dir": audio_dir,
+                           "out_dir": out_dir, "started_at": time.time()}
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+        return {"status": "started", "out_dir": out_dir}
+
+    def _run(self) -> None:
+        try:
+            result = self._pipeline.build()
+            with self._lock:
+                self._state.update(status="completed", result=result,
+                                   finished_at=time.time())
+        except Exception as e:
+            with self._lock:
+                self._state.update(status="failed", error=str(e))
+
+    def status(self) -> Dict[str, Any]:
+        with self._lock:
+            state = dict(self._state)
+        if self._pipeline is not None:
+            try:
+                state["progress"] = self._pipeline.status()
+            except Exception:
+                pass
+        return state

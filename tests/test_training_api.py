@@ -227,3 +227,63 @@ def test_want_lrc_flows_through_rest(tmp_path):
         state.shutdown()
         server.shutdown()
         server.server_close()
+
+
+def test_metrics_endpoint(tiny_server):
+    handler, state, port, tmp_path = tiny_server
+    run_dir = tmp_path / "runX"
+    run_dir.mkdir()
+    with open(run_dir / "metrics.jsonl", "w") as f:
+        for i in range(10):
+            f.write(json.dumps({"step": i, "loss": 1.0 / (i + 1)}) + "\n")
+    status, out = _get(port,
+                       f"/v1/training/metrics?output_dir={run_dir}")
+    assert status == 200
+    data = out["data"]
+    assert data["points"] == 10 and data["loss"][0] == 1.0
+    # downsampling keeps the last point
+    state.training._state["output_dir"] = str(run_dir)
+    m = state.training.metrics(max_points=4)
+    assert m["steps"][-1] == 9 and len(m["steps"]) <= 5
+
+
+def test_tensorboard_endpoints_graceful(tiny_server, monkeypatch):
+    handler, state, port, tmp_path = tiny_server
+    import shutil as _shutil
+    monkeypatch.setattr(_shutil, "which", lambda name: None)
+    status, out = _post(port, "/v1/training/tensorboard/start", {})
+    assert status == 503 and "metrics" in (out["error"] or "")
+    status, out = _post(port, "/v1/training/tensorboard/stop", {})
+    assert out["data"]["status"] == "not_running"
+
+
+def test_dataset_build_over_http(tiny_server):
+    import wave
+
+    handler, state, port, tmp_path = tiny_server
+    audio_dir = tmp_path / "raw"
+    audio_dir.mkdir()
+    for name in ("a.wav", "b.wav"):
+        with wave.open(str(audio_dir / name), "wb") as f:
+            f.setnchannels(2)
+            f.setsampwidth(2)
+            f.setframerate(48000)
+            f.writeframes(b"\x00\x00" * 2 * 4800)
+
+    status, out = _post(port, "/v1/dataset/build", {
+        "audio_dir": str(audio_dir), "out_dir": str(tmp_path / "ds"),
+        "val_fraction": 0.0})
+    assert status == 200 and out["data"]["status"] == "started"
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        _, st = _get(port, "/v1/dataset/status")
+        if st["data"]["status"] in ("completed", "failed"):
+            break
+        time.sleep(0.3)
+    assert st["data"]["status"] == "completed", st["data"]
+    assert st["data"]["result"]["num_samples"] == 2
+    assert st["data"]["progress"]["encoded"] == 2
+    # unknown dir -> 404; double build while idle is fine
+    status, _ = _post(port, "/v1/dataset/build",
+                      {"audio_dir": "/no/such/dir"})
+    assert status == 404
