@@ -214,11 +214,19 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
                        if config.allow_lm_batch and config.batch_size > 1
                        and plan_kwargs["infer_type"] == "llm_dit"
                        else 1)
+            # plan seed follows the request seed (fixed seed -> reproducible
+            # plan; unset/random -> varied plans across requests)
+            if params.seed is not None and params.seed >= 0:
+                lm_seed = int(params.seed)
+            else:
+                import random as _random
+
+                lm_seed = _random.randrange(2 ** 31)
             if n_plans > 1 and hasattr(llm_handler, "plan_batch"):
-                phases = llm_handler.plan_batch(n=n_plans, seed=0,
+                phases = llm_handler.plan_batch(n=n_plans, seed=lm_seed,
                                                 **plan_kwargs)
             else:
-                phases = [llm_handler.plan(seed=i, **plan_kwargs)
+                phases = [llm_handler.plan(seed=lm_seed + i, **plan_kwargs)
                           for i in range(n_plans)]
             phase = phases[0]
             lm_meta = phase.get("metadata", {})

@@ -106,7 +106,11 @@ def _set_trie(tables: TokenTables, values: Sequence[str]) -> Trie:
     trie = Trie()
     for v in values:
         ids = tables.encode(v)
-        if ids:
+        # skip values the tokenizer cannot represent: a lossy encode would
+        # put unk/special ids on trie edges (observed: '♭' -> a special
+        # token on the fallback tokenizer -> '<|endoftext|>' inside a
+        # generated keyscale)
+        if ids and tables.tok.decode(ids) == v:
             trie.insert(ids)
     return trie
 
@@ -114,6 +118,16 @@ def _set_trie(tables: TokenTables, values: Sequence[str]) -> Trie:
 def default_keyscales() -> List[str]:
     return [f"{n}{a} {m}" for n in KEYSCALE_NOTES for a in KEYSCALE_ACCIDENTALS
             for m in KEYSCALE_MODES]
+
+
+def format_user_value(field: str, value, max_duration: int = DURATION_MAX) -> str:
+    """Literal-injection formatting for user metadata. Durations clamp into
+    [DURATION_MIN, max_duration] — a 0.8 s request must not inject
+    'duration: 0' (outside the schema the trie enforces)."""
+    if field == "duration":
+        dur = int(round(float(value)))
+        return str(min(max(dur, DURATION_MIN), int(max_duration)))
+    return str(value)
 
 
 class GenresVocab:
@@ -249,9 +263,7 @@ class MetadataFSM:
         self._field = f
         self._value_tokens = []
         if f in self.user:
-            val = str(self.user[f])
-            if f == "duration":
-                val = str(int(float(self.user[f])))
+            val = format_user_value(f, self.user[f], self.max_duration)
             self.metadata_text[f] = val
             self._queue = self.t.encode(f"{f}: {val}\n")
             self._mode = "literal"

@@ -185,9 +185,8 @@ def build_cot_tables(tables: TokenTables, *,
     nxt = b.literal_chain(tables.encode("</think>"), done)
     for field in reversed(fields):
         if field in user:
-            val = str(user[field])
-            if field == "duration":
-                val = str(int(float(user[field])))
+            from acestep_tpu.llm.fsm import format_user_value
+            val = format_user_value(field, user[field], max_duration)
             nxt = b.literal_chain(tables.encode(f"{field}: {val}\n"), nxt)
             continue
         if field == "caption" or (field == "genres" and field not in tries):

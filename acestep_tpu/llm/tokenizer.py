@@ -22,7 +22,9 @@ class SimpleTokenizer:
         ]
         specials += [f"<|audio_code_{i}|>" for i in range(num_audio_codes)]
         specials += list(extra_specials)
-        chars = [chr(c) for c in range(32, 127)]
+        # printable ASCII + the schema's unicode accidentals (♯/♭ appear in
+        # VALID_KEYSCALES; unknown chars must never alias a special token)
+        chars = [chr(c) for c in range(32, 127)] + ["♯", "♭"]
         self._id_to_text: List[str] = specials + chars
         self._text_to_id: Dict[str, int] = {
             t: i for i, t in enumerate(self._id_to_text)}

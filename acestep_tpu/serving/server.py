@@ -757,7 +757,8 @@ class _Handler(BaseHTTPRequestHandler):
         with self.state.reinit_lock:    # don't swap weights mid-generation
             handler.initialize_service(
                 checkpoint_dir=ckpt,
-                quantization=getattr(handler, "quantization", None))
+                quantization=(body.get("quantization")
+                              or getattr(handler, "quantization", None)))
         self._send_json(wrap_response(handler.get_service_status()))
 
     # -- OpenRouter chat (ref openrouter_adapter.py) ------------------------

@@ -156,11 +156,11 @@ def test_plan_batch_end_to_end(handler):
     plans = handler.plan_batch(
         "an upbeat track", "la la", n=2,
         user_metadata={"duration": 2}, temperature=1.0, cfg_scale=2.0,
-        seed=0, max_cot_tokens=300)
+        seed=0, max_cot_tokens=300)   # duration clamps to DURATION_MIN=10
     assert len(plans) == 2
     for p in plans:
-        assert p["metadata"]["duration"] == 2
-        assert p["audio_codes"].count("<|audio_code_") == 10
+        assert p["metadata"]["duration"] == 10
+        assert p["audio_codes"].count("<|audio_code_") == 50
         assert "<think>" in p["cot_text"]
 
 

@@ -152,13 +152,13 @@ def test_format_metadata_as_cot():
 def test_two_phase_generation(handler):
     res = handler.generate_with_stop_condition(
         "an upbeat track", "la la",
-        user_metadata={"duration": 2},      # 10 codes target
+        user_metadata={"duration": 2},      # clamps to DURATION_MIN=10
         temperature=1.0, cfg_scale=2.0, seed=0, max_cot_tokens=300)
     md = res["metadata"]
-    assert md["duration"] == 2
+    assert md["duration"] == 10
     assert 30 <= int(md["bpm"]) <= 300
     codes = res["audio_codes"]
-    assert codes.count("<|audio_code_") >= 10
+    assert codes.count("<|audio_code_") >= 50
     assert "<think>" in res["cot_text"]
 
 
@@ -167,7 +167,7 @@ def test_phase1_only_for_dit(handler):
         "calm piano", "", infer_type="dit",
         user_metadata={"duration": 2}, seed=1, max_cot_tokens=300)
     assert res["audio_codes"] == ""
-    assert res["metadata"]["duration"] == 2
+    assert res["metadata"]["duration"] == 10
 
 
 def test_unconstrained_still_runs(handler):
@@ -248,3 +248,37 @@ def test_fsm_mask_denies_padded_vocab():
     ids = tok.encode(out["cot_text"])
     assert all(i < tok.vocab_size for i in ids)
     assert out["metadata"].get("bpm")
+
+
+def test_user_duration_clamped_into_schema(tables, tok):
+    """A 0.8 s request must inject 'duration: 10', not 'duration: 0'
+    (outside the schema the trie enforces)."""
+    rng = np.random.default_rng(5)
+
+    def choose(mask):
+        return int(rng.choice(np.flatnonzero(mask)))
+
+    fsm = MetadataFSM(tables, user_metadata={"duration": 0.8})
+    text = _drive_greedy(fsm, tok, choose)
+    assert "duration: 10\n" in text
+    assert fsm.metadata()["duration"] == 10
+    fsm2 = MetadataFSM(tables, user_metadata={"duration": 10000})
+    text2 = _drive_greedy(fsm2, tok, choose)
+    assert "duration: 600\n" in text2
+
+
+def test_keyscale_trie_has_no_special_tokens(tables, tok):
+    """Unicode accidentals must encode cleanly; trie edges never contain
+    special tokens (observed '<|endoftext|>' inside a keyscale)."""
+    ids = tok.encode("D♭ minor")
+    assert tok.decode(ids) == "D♭ minor"
+    fsm = MetadataFSM(tables)
+    specials = {tok.eos_token_id, tok.pad_token_id}
+
+    def walk(node, depth=0):
+        for t, child in node.children.items():
+            assert t not in specials, f"special token {t} on trie edge"
+            if depth < 3:
+                walk(child, depth + 1)
+
+    walk(fsm._tries["keyscale"])
