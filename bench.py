@@ -1,16 +1,23 @@
-"""Headline benchmark: seconds of wall clock per full generated song.
+"""Benchmark: headline seconds-per-song + the full configuration matrix.
 
-Pipeline measured (matches the reference's benchmark-mode decomposition,
-/root/reference/docs/en/BENCHMARK.md:117-125): condition encode -> 8-step
-turbo flow-matching DiT -> tiled Oobleck VAE decode, for one 60 s 48 kHz
-stereo song, bf16, on the local accelerator. Random weights (numerics are
-identical to checkpoint weights for throughput purposes).
+Headline (the driver metric): condition encode -> 8-step turbo DiT ->
+tiled Oobleck VAE decode for one 60 s 48 kHz stereo song, bf16 (matches
+the reference's "< 2 s full-song on A100" headline,
+/root/reference/README.md:29,52).
+
+The matrix (reference docs/en/BENCHMARK.md:117-125 table): thinking
+on/off x batch 1/8 x 60/600 s through the REAL service stack
+(AceStepHandler + LLMHandler facade), with per-stage decomposition
+(LM / diffusion / VAE) and a quantized row. Random weights — no released
+checkpoints in this image; throughput is weight-independent. Thinking
+rows use the self-contained fallback LM (tiny), so they measure the
+two-phase constrained-decoding machinery, not 1.7B-parameter LM latency.
 
 Prints ONE JSON line:
   {"metric": "seconds_per_song", "value": W, "unit": "s",
-   "vs_baseline": baseline/W}
-Baseline: 2.0 s — the reference's "< 2 s full-song on A100" headline
-(/root/reference/README.md:29,52).
+   "vs_baseline": baseline/W, "extra": {"matrix": [...]}}
+
+`python bench.py --write-docs` additionally regenerates docs/BENCHMARK.md.
 """
 
 from __future__ import annotations
@@ -39,7 +46,8 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
+def headline() -> float:
+    """Kernel-level 60 s song (cond encode + 8-step DiT + tiled VAE)."""
     cfg = DiTConfig()
     vae_cfg = VAEConfig()
     dtype = jnp.bfloat16
@@ -84,10 +92,10 @@ def main():
     import numpy as np
 
     log(f"devices: {jax.devices()}")
-    log("compiling…")
+    log("compiling headline…")
     t0 = time.perf_counter()
     audio = generate(params, vae_params, batch_inputs, x_init)
-    np.asarray(audio[0, :8, 0])  # axon tunnel: block_until_ready is async; force a readback
+    np.asarray(audio[0, :8, 0])  # axon tunnel: block_until_ready is async
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s; audio {audio.shape}")
 
     times = []
@@ -96,15 +104,156 @@ def main():
         audio = generate(params, vae_params, batch_inputs, x_init)
         np.asarray(audio[0, :8, 0])
         times.append(time.perf_counter() - t0)
-        log(f"run {i}: {times[-1]:.3f}s")
+        log(f"headline run {i}: {times[-1]:.3f}s")
+    return min(times)
 
-    wall = min(times)
-    print(json.dumps({
+
+def matrix() -> list:
+    """Service-stack matrix with per-stage decomposition."""
+    import numpy as np
+
+    from acestep_tpu import inference
+    from acestep_tpu.inference import GenerationConfig, GenerationParams
+    from acestep_tpu.llm.handler import LLMHandler
+    from acestep_tpu.pipeline.handler import AceStepHandler
+
+    handler = AceStepHandler()
+    handler.initialize_service(seed=0)
+    llm = LLMHandler()
+    llm.initialize(num_fallback_codes=64, max_duration=600, seed=0)
+
+    rows = []
+
+    def run_dit(tag, duration, batch, repeats=2):
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            r = handler.generate_music(
+                ["bench"] * batch, ["[inst]"] * batch,
+                audio_duration=float(duration), batch_size=batch,
+                seeds=list(range(batch)), infer_steps=8)
+            np.asarray(r.audios[0][:8])
+            wall = time.perf_counter() - t0
+            if best is None or wall < best[0]:
+                best = (wall, r.time_costs)
+        wall, costs = best
+        rows.append({
+            "config": tag, "duration_s": duration, "batch": batch,
+            "thinking": False, "wall_s": round(wall, 3),
+            "seconds_per_song": round(wall / batch, 3),
+            "rtf": round(duration * batch / wall, 1),
+            "diffusion_s": round(costs.get("diffusion_time_cost", 0), 3),
+            "vae_s": round(costs.get("vae_decode_time_cost", 0), 3),
+        })
+        log(f"matrix {tag}: {rows[-1]}")
+
+    def run_think(tag, duration, batch, repeats=2):
+        params = GenerationParams(caption="an upbeat synth track",
+                                  lyrics="[inst]", thinking=True,
+                                  duration=float(duration), seed=7)
+        config = GenerationConfig(batch_size=batch,
+                                  output_dir="/tmp/bench_out",
+                                  allow_lm_batch=True,
+                                  use_random_seed=False)
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            result = inference.generate_music(handler, llm, params, config)
+            wall = time.perf_counter() - t0
+            assert result.success, result.error
+            costs = result.extra_outputs.get("time_costs", {})
+            if best is None or wall < best[0]:
+                best = (wall, costs)
+        wall, costs = best
+        rows.append({
+            "config": tag, "duration_s": duration, "batch": batch,
+            "thinking": True, "wall_s": round(wall, 3),
+            "seconds_per_song": round(wall / batch, 3),
+            "rtf": round(duration * batch / wall, 1),
+            "lm_s": round(costs.get("lm_time_cost", 0), 3),
+            "diffusion_s": round(costs.get("diffusion_time_cost", 0), 3),
+            "vae_s": round(costs.get("vae_decode_time_cost", 0), 3),
+        })
+        log(f"matrix {tag}: {rows[-1]}")
+
+    run_dit("60s_b1", 60, 1)
+    run_dit("30s_b8", 30, 8)
+    run_dit("600s_b1", 600, 1, repeats=1)
+    run_think("10s_b1_think", 10, 1)
+    run_think("30s_b8_think", 30, 8, repeats=1)
+
+    # quantized row (w8a8: int8 x int8 MXU matmuls)
+    handler_q = AceStepHandler()
+    handler_q.initialize_service(seed=0, quantization="w8a8")
+    t0 = time.perf_counter()
+    r = handler_q.generate_music("bench", "[inst]", audio_duration=60.0,
+                                 seeds=1, infer_steps=8)
+    np.asarray(r.audios[0][:8])
+    for _ in range(1):
+        t0 = time.perf_counter()
+        r = handler_q.generate_music("bench", "[inst]", audio_duration=60.0,
+                                     seeds=2, infer_steps=8)
+        np.asarray(r.audios[0][:8])
+    wall = time.perf_counter() - t0
+    rows.append({
+        "config": "60s_b1_w8a8", "duration_s": 60, "batch": 1,
+        "thinking": False, "wall_s": round(wall, 3),
+        "seconds_per_song": round(wall, 3), "rtf": round(60 / wall, 1),
+        "diffusion_s": round(r.time_costs.get("diffusion_time_cost", 0), 3),
+        "vae_s": round(r.time_costs.get("vae_decode_time_cost", 0), 3),
+    })
+    log(f"matrix 60s_b1_w8a8: {rows[-1]}")
+    return rows
+
+
+def write_docs(payload: dict) -> None:
+    lines = [
+        "# Benchmarks (measured)",
+        "",
+        "Measured by `bench.py` on one TPU v5e chip (warm, random weights,",
+        "8-step turbo, bf16 unless noted). The reference baseline is the",
+        "A100 '<2 s per full song' headline (`/root/reference/README.md`).",
+        "",
+        f"**Headline**: {payload['value']} s per 60 s song "
+        f"({payload['vs_baseline']}x the reference baseline).",
+        "",
+        "| config | duration | batch | think | wall s | s/song | RTF | LM s | DiT s | VAE s |",
+        "|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for row in payload["extra"]["matrix"]:
+        lines.append(
+            f"| {row['config']} | {row['duration_s']} | {row['batch']} | "
+            f"{'on' if row['thinking'] else 'off'} | {row['wall_s']} | "
+            f"{row['seconds_per_song']} | {row['rtf']} | "
+            f"{row.get('lm_s', '—')} | {row['diffusion_s']} | "
+            f"{row['vae_s']} |")
+    lines += [
+        "",
+        "Thinking rows use the self-contained fallback LM (tiny random",
+        "weights): they measure the two-phase constrained-decoding",
+        "machinery (device-FSM CoT while_loop + codes scan), not",
+        "1.7B-parameter LM latency.",
+        "",
+    ]
+    with open("docs/BENCHMARK.md", "w", encoding="utf-8") as f:
+        f.write("\n".join(lines))
+    log("wrote docs/BENCHMARK.md")
+
+
+def main():
+    skip_matrix = "--headline-only" in sys.argv
+    wall = headline()
+    payload = {
         "metric": "seconds_per_song",
         "value": round(wall, 4),
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / wall, 3),
-    }))
+    }
+    if not skip_matrix:
+        payload["extra"] = {"matrix": matrix()}
+    if "--write-docs" in sys.argv and "extra" in payload:
+        write_docs(payload)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
