@@ -20,6 +20,7 @@ TPU-first redesign:
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Any, Dict, List, Optional, Sequence, Union
 
@@ -105,6 +106,10 @@ class AceStepHandler:
         self.lora = None          # LoraManager attached by acestep_tpu.lora
         self.mesh = None          # set via enable_mesh() for multi-chip dp
         self._fn_cache: Dict[tuple, Any] = {}
+        # exact f32 audio download instead of the int16+peak wire format
+        # (ACESTEP_EXACT_AUDIO_TRANSFER=1; costs 2x device->host bytes)
+        self._exact_transfer = os.environ.get(
+            "ACESTEP_EXACT_AUDIO_TRANSFER", "0") == "1"
         self.initialized = False
         from acestep_tpu.runtime_config import get_global_config
         self.tier = get_global_config()
@@ -223,13 +228,30 @@ class AceStepHandler:
         return self._fn_cache[key]
 
     def _decode_fn(self, shape: tuple, chunk: int, groups: int):
-        key = ("dec", shape, chunk, groups)
+        key = ("dec", shape, chunk, groups, self._exact_transfer)
         if key not in self._fn_cache:
-            self._fn_cache[key] = jax.jit(
-                lambda p, z: tiled_decode(
+            if self._exact_transfer:
+                fn = lambda p, z: tiled_decode(  # noqa: E731
                     p, self.vae_cfg, z.astype(self.dtype),
                     chunk_size=chunk,
-                    parallel_windows=groups).astype(jnp.float32))
+                    parallel_windows=groups).astype(jnp.float32)
+            else:
+                # Device->host audio moves as int16 + per-item peak (half
+                # the bytes of f32; the quantization grid equals what a
+                # 16-bit export keeps anyway). Host PCIe/tunnel bandwidth
+                # is the VAE stage's real bottleneck at long durations.
+                def fn(p, z):
+                    audio = tiled_decode(
+                        p, self.vae_cfg, z.astype(self.dtype),
+                        chunk_size=chunk,
+                        parallel_windows=groups).astype(jnp.float32)
+                    peak = jnp.max(jnp.abs(audio), axis=(1, 2),
+                                   keepdims=True)
+                    scale = jnp.maximum(peak, 1e-8) / 32767.0
+                    i16 = jnp.clip(jnp.round(audio / scale),
+                                   -32768, 32767).astype(jnp.int16)
+                    return i16, peak
+            self._fn_cache[key] = jax.jit(fn)
         return self._fn_cache[key]
 
     def _decode_plan(self, T: int) -> tuple:
@@ -277,9 +299,14 @@ class AceStepHandler:
         chunk, groups = self._decode_plan(z.shape[1])
         while True:
             try:
-                audio = self._decode_fn(z.shape, chunk, groups)(
+                out = self._decode_fn(z.shape, chunk, groups)(
                     self.vae_params, z)
-                return np.asarray(audio)
+                if self._exact_transfer:
+                    return np.asarray(out)
+                i16, peak = out
+                i16 = np.asarray(i16)
+                peak = np.asarray(peak, np.float32)
+                return i16.astype(np.float32) * (peak / 32767.0)
             except Exception as e:  # noqa: BLE001 — ladder filters below
                 chunk, groups = _degrade_plan(e, chunk, groups)
 

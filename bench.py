@@ -125,6 +125,11 @@ def matrix() -> list:
     rows = []
 
     def run_dit(tag, duration, batch, repeats=2):
+        # warm untimed run: compile all graphs for this shape first
+        handler.generate_music(
+            ["bench"] * batch, ["[inst]"] * batch,
+            audio_duration=float(duration), batch_size=batch,
+            seeds=list(range(batch)), infer_steps=8)
         best = None
         for _ in range(repeats):
             t0 = time.perf_counter()
@@ -155,6 +160,7 @@ def matrix() -> list:
                                   output_dir="/tmp/bench_out",
                                   allow_lm_batch=True,
                                   use_random_seed=False)
+        inference.generate_music(handler, llm, params, config)  # warm
         best = None
         for _ in range(repeats):
             t0 = time.perf_counter()
