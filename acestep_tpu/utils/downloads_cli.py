@@ -6,7 +6,8 @@ import argparse
 import sys
 from typing import List, Optional
 
-from acestep_tpu.utils.downloads import REPO_IDS, ensure_model
+from acestep_tpu.utils.downloads import (REPO_IDS, ensure_model,
+                                         verify_checkpoint, write_manifest)
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -20,6 +21,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                         help="checkpoint root (default ./checkpoints)")
     parser.add_argument("--no-download", action="store_true",
                         help="only resolve locally")
+    parser.add_argument("--verify", action="store_true",
+                        help="check weight files against the SHA-256 "
+                             "manifest (reference code-file hash sync)")
+    parser.add_argument("--write-manifest", action="store_true",
+                        help="(re)write the SHA-256 manifest for each model")
     args = parser.parse_args(argv)
 
     status = 0
@@ -28,8 +34,21 @@ def main(argv: Optional[List[str]] = None) -> int:
             path = ensure_model(name, root=args.root,
                                 allow_download=not args.no_download)
             print(f"{name}: {path}")
+            if args.write_manifest:
+                manifest = write_manifest(path)
+                print(f"{name}: manifest written ({len(manifest)} files)")
+            if args.verify:
+                bad = verify_checkpoint(path)
+                if bad:
+                    print(f"{name}: HASH MISMATCH in {bad}", file=sys.stderr)
+                    status = 1
+                else:
+                    print(f"{name}: verified ok")
         except FileNotFoundError as e:
             print(f"{name}: MISSING\n{e}", file=sys.stderr)
+            status = 1
+        except RuntimeError as e:        # integrity verification failed
+            print(f"{name}: {e}", file=sys.stderr)
             status = 1
     return status
 

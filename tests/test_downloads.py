@@ -117,3 +117,27 @@ def test_smart_download_both_fail(tmp_path, monkeypatch):
     monkeypatch.setattr(downloads, "_probe", lambda *a, **k: True)
     with pytest.raises(RuntimeError, match="all download sources failed"):
         downloads.smart_download("x/y", str(tmp_path))
+
+
+def test_cli_verify_and_manifest(tmp_path, capsys):
+    from acestep_tpu.utils import downloads_cli
+
+    root = tmp_path / "ckpts"
+    model_dir = root / "acestep-v15-turbo"
+    model_dir.mkdir(parents=True)
+    (model_dir / "config.json").write_text("{}")
+    (model_dir / "model.safetensors").write_bytes(b"weights")
+
+    rc = downloads_cli.main(["acestep-v15-turbo", "--root", str(root),
+                             "--no-download", "--write-manifest",
+                             "--verify"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "manifest written" in out and "verified ok" in out
+
+    # corrupt a weight file -> resolution itself fails integrity (exit 1)
+    (model_dir / "model.safetensors").write_bytes(b"tampered")
+    rc = downloads_cli.main(["acestep-v15-turbo", "--root", str(root),
+                             "--no-download", "--verify"])
+    assert rc == 1
+    assert "failed integrity verification" in capsys.readouterr().err
