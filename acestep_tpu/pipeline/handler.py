@@ -110,6 +110,9 @@ class AceStepHandler:
         # (ACESTEP_EXACT_AUDIO_TRANSFER=1; costs 2x device->host bytes)
         self._exact_transfer = os.environ.get(
             "ACESTEP_EXACT_AUDIO_TRANSFER", "0") == "1"
+        # latent frames per decode segment before splitting the decode into
+        # overlapped dispatch+transfer segments (long songs)
+        self._seg_frames = 4096
         self.initialized = False
         from acestep_tpu.runtime_config import get_global_config
         self.tier = get_global_config()
@@ -296,17 +299,51 @@ class AceStepHandler:
         on RESOURCE_EXHAUSTED, first halve the parallel window group, then
         the decode window itself, and retry."""
         z = np.asarray(latents, np.float32)
+        segs = min(8, max(1, z.shape[1] // self._seg_frames))
+        if segs > 1:
+            return self._decode_segmented(z, segs)
         chunk, groups = self._decode_plan(z.shape[1])
         while True:
             try:
                 out = self._decode_fn(z.shape, chunk, groups)(
                     self.vae_params, z)
-                if self._exact_transfer:
-                    return np.asarray(out)
-                i16, peak = out
-                i16 = np.asarray(i16)
-                peak = np.asarray(peak, np.float32)
-                return i16.astype(np.float32) * (peak / 32767.0)
+                return self._audio_to_host(out)
+            except Exception as e:  # noqa: BLE001 — ladder filters below
+                chunk, groups = _degrade_plan(e, chunk, groups)
+
+    def _audio_to_host(self, out) -> np.ndarray:
+        if self._exact_transfer:
+            return np.asarray(out)
+        i16, peak = out
+        i16 = np.asarray(i16)
+        peak = np.asarray(peak, np.float32)
+        return i16.astype(np.float32) * (peak / 32767.0)
+
+    def _decode_segmented(self, z: np.ndarray, segs: int) -> np.ndarray:
+        """Long songs: split the latent axis into equal segments (plus a
+        16-frame receptive-field margin each side, the tiled-decode overlap
+        guarantee) and dispatch every segment's decode before fetching any —
+        JAX's async dispatch then overlaps segment i's device->host audio
+        transfer with segment i+1's decode compute. Worth ~the full decode
+        compute time at 600 s, where transfer dominates the VAE stage."""
+        from acestep_tpu.models.vae_tiled import DEFAULT_DECODE_OVERLAP
+
+        margin = DEFAULT_DECODE_OVERLAP
+        B, T, _C = z.shape
+        hop = self.vae_cfg.hop_length
+        core = -(-T // segs)
+        zp = np.pad(z, ((0, 0), (margin, segs * core - T + margin), (0, 0)))
+        seg_len = core + 2 * margin
+        chunk, groups = self._decode_plan(seg_len)
+        while True:
+            try:
+                fn = self._decode_fn((B, seg_len, zp.shape[2]), chunk, groups)
+                outs = [fn(self.vae_params,
+                           zp[:, i * core: i * core + seg_len])
+                        for i in range(segs)]
+                parts = [self._audio_to_host(out)[
+                    :, margin * hop: (margin + core) * hop] for out in outs]
+                return np.concatenate(parts, axis=1)[:, : T * hop]
             except Exception as e:  # noqa: BLE001 — ladder filters below
                 chunk, groups = _degrade_plan(e, chunk, groups)
 

@@ -238,3 +238,53 @@ def test_tier_caps_decode_plan(handler):
         assert chunk <= handler.tier.decode_chunk
     finally:
         handler.tier = orig
+
+
+def test_int16_wire_format_matches_exact_transfer(handler):
+    """The int16+peak device->host wire format reconstructs audio to
+    16-bit precision relative to the per-item peak (what a 16-bit export
+    keeps); ACESTEP_EXACT_AUDIO_TRANSFER=1 restores exact f32."""
+    rng = np.random.default_rng(0)
+    z = rng.standard_normal((2, 40, 64)).astype(np.float32)
+
+    assert not handler._exact_transfer
+    quantized = handler.decode_latents(z)
+    try:
+        handler._exact_transfer = True
+        exact = handler.decode_latents(z)
+    finally:
+        handler._exact_transfer = False
+
+    assert quantized.shape == exact.shape
+    assert quantized.dtype == np.float32
+    peak = np.abs(exact).max(axis=(1, 2), keepdims=True)
+    err = np.abs(quantized - exact)
+    # within one quantization step of the int16 grid (plus bf16 noise floor)
+    assert np.all(err <= peak / 32767.0 + 1e-6), err.max()
+
+
+def test_segmented_decode_matches_whole(handler):
+    """Long-song segmented decode (overlapped dispatch/transfer) equals the
+    single-program decode away from the int16 quantization floor."""
+    rng = np.random.default_rng(1)
+    z = rng.standard_normal((1, 120, 64)).astype(np.float32)
+
+    whole = handler.decode_latents(z)
+    orig = handler._seg_frames
+    try:
+        handler._seg_frames = 40      # force 3 segments
+        seg = handler.decode_latents(z)
+    finally:
+        handler._seg_frames = orig
+
+    assert seg.shape == whole.shape
+    peak = np.abs(whole).max()
+    # global signal edges see zero-pad context instead of true conv boundary
+    # handling (the documented tiled-decode edge convention); the interior —
+    # including the inter-segment joins, which carry real margin context —
+    # must match to the int16 quantization floor
+    hop = handler.vae_cfg.hop_length
+    edge = 16 * hop
+    interior = np.abs(seg - whole)[:, edge:-edge]
+    assert np.max(interior) <= 4 * peak / 32767.0, np.max(interior)
+    assert np.all(np.isfinite(seg))
