@@ -167,6 +167,12 @@ def _show_params(params: GenerationParams) -> None:
 
 
 def _edit_field(params: GenerationParams, name: str, raw: str = "") -> None:
+    if name.isdigit():                   # '3 60' — index from _show_params
+        idx = int(name)
+        if not 1 <= idx <= len(FIELDS):
+            print(f"  ! field index out of range: {idx} (1-{len(FIELDS)})")
+            return
+        name = FIELDS[idx - 1][0]
     match = [f for f in FIELDS if f[0] == name]
     if not match:
         print(f"  ! unknown field {name!r}")

@@ -170,6 +170,8 @@ def match_caption_genres(caption: Optional[str],
     :1196-1238)."""
     if not caption or not genres_vocab:
         return []
+    # the >=2-char word filter (and thus stopword prefix hits like
+    # "an"->"anime") deliberately mirrors the reference's behavior
     words = [w.strip() for w in re.split(r"[,\s\-_/\\|]+", caption.lower())
              if len(w.strip()) >= 2]
     if not words:

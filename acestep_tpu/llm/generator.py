@@ -125,9 +125,12 @@ class LMEngine:
         stop_reasons = ["length"] * B
         eos_id = getattr(self.tok, "eos_token_id", None)
         # stop strings are short literals ("</think>"): decoding a fixed
-        # tail window per token replaces the O(n^2) full re-decode
-        tail_w = 4 + max((len(self.tok.encode(s)) for s in stop_strings),
-                         default=0)
+        # tail window per token replaces the O(n^2) full re-decode. The
+        # window covers the worst case of one CHARACTER per emitted token
+        # (a model may spell a stop string char-by-char even when the
+        # tokenizer would encode it shorter).
+        tail_w = 4 + max((max(len(self.tok.encode(s)), len(s))
+                          for s in stop_strings), default=0)
 
         def check_row(i: int, t: int) -> bool:
             """Append token t to row i; True when the row just finished."""

@@ -223,6 +223,10 @@ class LLMHandler:
         if not hasattr(self, "_cot_table_cache"):
             self._cot_table_cache = {}
         if key not in self._cot_table_cache:
+            # caption-matched genre subsets make the key space unbounded on
+            # a long-running server: evict oldest entries past a small cap
+            while len(self._cot_table_cache) >= 32:
+                self._cot_table_cache.pop(next(iter(self._cot_table_cache)))
             self._cot_table_cache[key] = build_cot_tables(
                 self.tables, user_metadata=user,
                 skip_genres=not genres, genres_vocab=genres,

@@ -429,6 +429,12 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     applied by the caller (ops.basic conventions). Differentiable: the
     custom_vjp recomputes P blockwise from the saved logsumexp, keeping the
     backward at the same O(L*W) as the forward."""
+    if window is not None and block_q != block_k:
+        # the banded index maps address the {i-1, i, i+1} diagonal with the
+        # other axis's block index — only valid when both block sizes match
+        raise ValueError(
+            f"windowed flash attention requires block_q == block_k "
+            f"(got {block_q} != {block_k})")
     return _flash(q, k, v, window, block_q, block_k,
                   interpret or _force_interpret())
 

@@ -166,6 +166,8 @@ class AppState:
         # per-request LM swap: initialized handlers keyed by checkpoint path
         self._llm_cache: Dict[str, Any] = {}
         self._llm_lock = threading.Lock()
+        self._llm_pending: Dict[str, threading.Event] = {}
+        self._llm_inuse: Dict[str, int] = {}
         self.max_cached_llms = 2
 
     def _select_llm(self, lm_model_path: Optional[str]):
@@ -173,30 +175,71 @@ class AppState:
         _temporary_llm_model). TPU redesign: instead of re-init + restore
         around each job (which would thrash HBM), initialized handlers live
         in a small LRU keyed by checkpoint path; swapping is a lookup.
-        Best-effort like the reference: failures fall back to the default."""
+        Best-effort like the reference: failures fall back to the default.
+
+        Returns (handler, release) — callers MUST call release() when the
+        job finishes so LRU eviction never drops a handler mid-generation.
+        Checkpoint download + initialize run OUTSIDE the cache lock (they
+        can take minutes); concurrent requests for the same model wait on
+        one builder instead of initializing twice."""
         desired = (lm_model_path or "").strip()
         if not desired:
-            return self.llm_handler
+            return self.llm_handler, lambda: None
+
+        def acquire(name):
+            self._llm_inuse[name] = self._llm_inuse.get(name, 0) + 1
+
+            def release():
+                with self._llm_lock:
+                    self._llm_inuse[name] = self._llm_inuse.get(name, 1) - 1
+                    if self._llm_inuse[name] <= 0:
+                        self._llm_inuse.pop(name, None)
+            return release
+
+        while True:
+            with self._llm_lock:
+                if desired in self._llm_cache:
+                    handler = self._llm_cache.pop(desired)
+                    self._llm_cache[desired] = handler      # LRU bump
+                    return handler, acquire(desired)
+                pending = self._llm_pending.get(desired)
+                if pending is None:
+                    pending = self._llm_pending[desired] = threading.Event()
+                    break                                   # we build it
+            pending.wait(timeout=900)
+            with self._llm_lock:
+                if desired in self._llm_cache:
+                    handler = self._llm_cache.pop(desired)
+                    self._llm_cache[desired] = handler
+                    return handler, acquire(desired)
+            return self.llm_handler, lambda: None           # build failed
+
+        handler = None
+        try:
+            if os.path.isdir(desired):
+                path = desired
+            else:
+                from acestep_tpu.utils.downloads import ensure_model
+                path = ensure_model(desired)
+            from acestep_tpu.llm.handler import LLMHandler
+            handler = LLMHandler()
+            handler.initialize(checkpoint_dir=path)
+        except Exception:
+            handler = None
         with self._llm_lock:
-            if desired in self._llm_cache:
-                handler = self._llm_cache.pop(desired)
-                self._llm_cache[desired] = handler      # LRU bump
-                return handler
-            try:
-                if os.path.isdir(desired):
-                    path = desired
-                else:
-                    from acestep_tpu.utils.downloads import ensure_model
-                    path = ensure_model(desired)
-                from acestep_tpu.llm.handler import LLMHandler
-                handler = LLMHandler()
-                handler.initialize(checkpoint_dir=path)
-            except Exception:
-                return self.llm_handler
+            self._llm_pending.pop(desired, None)
+            pending.set()
+            if handler is None:
+                return self.llm_handler, lambda: None
             self._llm_cache[desired] = handler
-            while len(self._llm_cache) > self.max_cached_llms:
-                self._llm_cache.pop(next(iter(self._llm_cache)))
-            return handler
+            # evict oldest handlers past the cap, but never one a running
+            # job still holds (its params would stay alive anyway — skip it
+            # so the count stays honest)
+            evictable = [k for k in self._llm_cache
+                         if k != desired and not self._llm_inuse.get(k)]
+            while len(self._llm_cache) > self.max_cached_llms and evictable:
+                self._llm_cache.pop(evictable.pop(0))
+            return handler, acquire(desired)
 
     # -- queue workers ------------------------------------------------------
 
@@ -247,111 +290,114 @@ class AppState:
         self._cache_progress(job_id, 0.01, "running")
 
         model_name, dit_handler = self._select_handler(req.model)
-        llm_handler = self._select_llm(getattr(req, "lm_model_path", None))
-        temp_files = []
-        # chat-adapter uploads (openrouter.base64_to_temp_file) are ours to
-        # clean as well — they'd otherwise leak one audio file per request
-        import tempfile as _tempfile
+        llm_handler, release_llm = self._select_llm(getattr(req, "lm_model_path", None))
+        try:
+            temp_files = []
+            # chat-adapter uploads (openrouter.base64_to_temp_file) are ours to
+            # clean as well — they'd otherwise leak one audio file per request
+            import tempfile as _tempfile
 
-        tmpdir = _tempfile.gettempdir()
-        for path in (req.reference_audio_path, req.src_audio_path):
-            if path and os.path.dirname(path) == tmpdir and \
-                    os.path.basename(path).startswith("acestep_or_"):
-                temp_files.append(path)
-        if req.reference_audio_b64:
-            req.reference_audio_path = openrouter.base64_to_temp_file(
-                req.reference_audio_b64, req.upload_audio_format)
-            temp_files.append(req.reference_audio_path)
-        if req.src_audio_b64:
-            req.src_audio_path = openrouter.base64_to_temp_file(
-                req.src_audio_b64, req.upload_audio_format)
-            temp_files.append(req.src_audio_path)
-        params = request_to_params(req)
-        config = GenerationConfig(
-            batch_size=req.batch_size or 1,
-            use_random_seed=req.use_random_seed,
-            audio_format=req.audio_format,
-            output_dir=self.output_dir,
-            allow_lm_batch=req.allow_lm_batch,
-            constrained_decoding_debug=req.constrained_decoding_debug,
-            want_lrc=req.want_lrc,
-        )
+            tmpdir = _tempfile.gettempdir()
+            for path in (req.reference_audio_path, req.src_audio_path):
+                if path and os.path.dirname(path) == tmpdir and \
+                        os.path.basename(path).startswith("acestep_or_"):
+                    temp_files.append(path)
+            if req.reference_audio_b64:
+                req.reference_audio_path = openrouter.base64_to_temp_file(
+                    req.reference_audio_b64, req.upload_audio_format)
+                temp_files.append(req.reference_audio_path)
+            if req.src_audio_b64:
+                req.src_audio_path = openrouter.base64_to_temp_file(
+                    req.src_audio_b64, req.upload_audio_format)
+                temp_files.append(req.src_audio_path)
+            params = request_to_params(req)
+            config = GenerationConfig(
+                batch_size=req.batch_size or 1,
+                use_random_seed=req.use_random_seed,
+                audio_format=req.audio_format,
+                output_dir=self.output_dir,
+                allow_lm_batch=req.allow_lm_batch,
+                constrained_decoding_debug=req.constrained_decoding_debug,
+                want_lrc=req.want_lrc,
+            )
 
-        if req.analysis_only or req.full_analysis_only:
-            # audio understanding instead of generation (ref api_server
-            # analysis branch): src audio -> 5 Hz codes -> LM understand
+            if req.analysis_only or req.full_analysis_only:
+                # audio understanding instead of generation (ref api_server
+                # analysis branch): src audio -> 5 Hz codes -> LM understand
+                try:
+                    if not req.src_audio_path:
+                        raise ValueError("analysis requires src audio")
+                    from acestep_tpu.utils.audio import load_audio
+
+                    audio = load_audio(req.src_audio_path)
+                    codes = dit_handler.audio_to_codes(audio)
+                    analysis = inference.understand_music(
+                        llm_handler, codes,
+                        temperature=req.lm_temperature).to_dict()
+                    analysis["audio_codes"] = codes if req.full_analysis_only else ""
+                    if analysis.get("success"):
+                        self.job_store.mark_succeeded(job_id, {
+                            "audios": [], "prompt": analysis.get("caption", ""),
+                            "lyrics": analysis.get("lyrics", ""),
+                            "status_message": "analysis",
+                            "extra_outputs": {"analysis": analysis,
+                                              "lm_metadata": analysis},
+                        })
+                    else:
+                        self.job_store.mark_failed(
+                            job_id, analysis.get("error") or "analysis failed")
+                except Exception as e:
+                    self.job_store.mark_failed(job_id, str(e))
+                finally:
+                    for path in temp_files:
+                        try:
+                            os.unlink(path)
+                        except OSError:
+                            pass
+                self._cache_result(job_id)
+                return
+
+            if req.sample_mode or req.sample_query:
+                sample = inference.create_sample(llm_handler, req.sample_query)
+                if sample.get("success"):
+                    params.caption = sample.get("caption", params.caption)
+                    params.lyrics = sample.get("lyrics", params.lyrics)
+            elif req.use_format:
+                fmt = inference.format_sample(llm_handler, params.caption,
+                                              params.lyrics)
+                if fmt.get("success"):
+                    params.caption = fmt.get("caption", params.caption)
+                    params.lyrics = fmt.get("lyrics", params.lyrics)
+
             try:
-                if not req.src_audio_path:
-                    raise ValueError("analysis requires src audio")
-                from acestep_tpu.utils.audio import load_audio
-
-                audio = load_audio(req.src_audio_path)
-                codes = dit_handler.audio_to_codes(audio)
-                analysis = inference.understand_music(
-                    llm_handler, codes,
-                    temperature=req.lm_temperature).to_dict()
-                analysis["audio_codes"] = codes if req.full_analysis_only else ""
-                if analysis.get("success"):
-                    self.job_store.mark_succeeded(job_id, {
-                        "audios": [], "prompt": analysis.get("caption", ""),
-                        "lyrics": analysis.get("lyrics", ""),
-                        "status_message": "analysis",
-                        "extra_outputs": {"analysis": analysis,
-                                          "lm_metadata": analysis},
-                    })
-                else:
-                    self.job_store.mark_failed(
-                        job_id, analysis.get("error") or "analysis failed")
-            except Exception as e:
-                self.job_store.mark_failed(job_id, str(e))
+                with self.reinit_lock:
+                    result = inference.generate_music(
+                        dit_handler, llm_handler, params, config)
             finally:
-                for path in temp_files:
+                for path in temp_files:     # ref _cleanup_job_temp_files
                     try:
                         os.unlink(path)
                     except OSError:
                         pass
+            payload = result.to_dict()
+            payload["dit_model"] = model_name
+            payload["lm_model"] = (getattr(req, "lm_model_path", None) or "")
+            payload["prompt"] = params.caption
+            payload["lyrics"] = params.lyrics
+            if result.success:
+                self.job_store.mark_succeeded(job_id, payload)
+            else:
+                self.job_store.mark_failed(
+                    job_id, result.error or result.status_message)
             self._cache_result(job_id)
-            return
 
-        if req.sample_mode or req.sample_query:
-            sample = inference.create_sample(llm_handler, req.sample_query)
-            if sample.get("success"):
-                params.caption = sample.get("caption", params.caption)
-                params.lyrics = sample.get("lyrics", params.lyrics)
-        elif req.use_format:
-            fmt = inference.format_sample(llm_handler, params.caption,
-                                          params.lyrics)
-            if fmt.get("success"):
-                params.caption = fmt.get("caption", params.caption)
-                params.lyrics = fmt.get("lyrics", params.lyrics)
-
-        try:
-            with self.reinit_lock:
-                result = inference.generate_music(
-                    dit_handler, llm_handler, params, config)
+            elapsed = time.time() - t0
+            with self.stats_lock:
+                n = self.completed_jobs
+                self.avg_job_seconds = (self.avg_job_seconds * n + elapsed) / (n + 1)
+                self.completed_jobs = n + 1
         finally:
-            for path in temp_files:     # ref _cleanup_job_temp_files
-                try:
-                    os.unlink(path)
-                except OSError:
-                    pass
-        payload = result.to_dict()
-        payload["dit_model"] = model_name
-        payload["lm_model"] = (getattr(req, "lm_model_path", None) or "")
-        payload["prompt"] = params.caption
-        payload["lyrics"] = params.lyrics
-        if result.success:
-            self.job_store.mark_succeeded(job_id, payload)
-        else:
-            self.job_store.mark_failed(
-                job_id, result.error or result.status_message)
-        self._cache_result(job_id)
-
-        elapsed = time.time() - t0
-        with self.stats_lock:
-            n = self.completed_jobs
-            self.avg_job_seconds = (self.avg_job_seconds * n + elapsed) / (n + 1)
-            self.completed_jobs = n + 1
+            release_llm()
 
     # -- result cache (reference _update_local_cache, :1342-1433) -----------
 

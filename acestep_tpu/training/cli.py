@@ -174,7 +174,20 @@ def cmd_full(args) -> int:
                            seed=args.seed)
     trainer = FullTrainer(handler.params, handler.cfg, tcfg)
     if args.resume_from:
-        trainer.restore()
+        # the full trainer resumes from ITS OWN output-dir checkpoint
+        # manager: accept 'latest' or an integer step, not a foreign path
+        if args.resume_from == "latest":
+            step = None
+        else:
+            try:
+                step = int(args.resume_from.rsplit("_", 1)[-1])
+            except ValueError:
+                raise SystemExit(
+                    "full: --resume-from must be 'latest' or a step number "
+                    "(checkpoints live under --output-dir/checkpoints)")
+        if not trainer.restore(step):
+            raise SystemExit(
+                f"full: no checkpoint to resume in {args.output_dir}")
     for _step, _loss, message in trainer.train(batches):
         print(message, flush=True)
     return 0

@@ -234,7 +234,10 @@ class DatasetBuildPipeline:
                     if metas:
                         label["metas"] = metas
                 except Exception:
-                    pass
+                    # transient LM failure: leave NO label file so the next
+                    # build() retries this entry instead of baking an empty
+                    # label into the dataset forever
+                    continue
             with open(path, "w", encoding="utf-8") as f:
                 json.dump(label, f, ensure_ascii=False)
             n_new += 1

@@ -39,6 +39,9 @@ DEFAULT_ROOT = os.environ.get(
     os.path.join(os.getcwd(), "checkpoints"))
 
 MANIFEST_NAME = "checksums.json"
+
+# directories whose manifest already verified in this process
+_VERIFIED_DIRS: set = set()
 _WEIGHT_SUFFIXES = (".safetensors", ".bin", ".npz", ".pt")
 
 
@@ -180,7 +183,9 @@ def ensure_model(name: str, root: Optional[str] = None,
     """Return a local directory containing the named checkpoint."""
     for path in candidate_dirs(name, root):
         if _looks_like_checkpoint(path):
-            if verify:
+            # hash multi-GB weight dirs at most once per process — repeat
+            # resolutions (e.g. per-request LM swaps) must not re-pay it
+            if verify and path not in _VERIFIED_DIRS:
                 bad = verify_checkpoint(path)
                 if bad:
                     raise RuntimeError(
@@ -188,6 +193,7 @@ def ensure_model(name: str, root: Optional[str] = None,
                         f"verification: {bad}. Delete the directory to "
                         f"re-download, or remove {MANIFEST_NAME} to skip "
                         f"verification.")
+                _VERIFIED_DIRS.add(path)
             return path
 
     repo_id = REPO_IDS.get(name)

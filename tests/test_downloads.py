@@ -135,9 +135,12 @@ def test_cli_verify_and_manifest(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "manifest written" in out and "verified ok" in out
 
-    # corrupt a weight file -> resolution itself fails integrity (exit 1)
+    # corrupt a weight file -> verification fails with exit 1 (either the
+    # resolver's manifest check or the CLI's explicit --verify reports it;
+    # ensure_model memoizes per-process, so the CLI check is the backstop)
     (model_dir / "model.safetensors").write_bytes(b"tampered")
     rc = downloads_cli.main(["acestep-v15-turbo", "--root", str(root),
                              "--no-download", "--verify"])
     assert rc == 1
-    assert "failed integrity verification" in capsys.readouterr().err
+    err = capsys.readouterr().err
+    assert "failed integrity verification" in err or "HASH MISMATCH" in err

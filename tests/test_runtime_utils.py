@@ -155,6 +155,12 @@ def test_cli_edit_field_and_followups(monkeypatch):
     _edit_field(params, "task_type", "repaint")
     assert params.task_type == "repaint"
     assert params.repainting_start == 2.5 and params.repainting_end == 10.0
+    # numeric index edit ('3 60' style documented in WIZARD_HELP)
+    from acestep_tpu.cli import FIELDS
+    idx = next(i for i, f in enumerate(FIELDS, 1) if f[0] == "bpm")
+    _edit_field(params, str(idx), "90")
+    assert params.bpm == 90
+    _edit_field(params, "999", "1")          # out of range: no crash
 
 
 def test_cli_new_flags():

@@ -320,19 +320,27 @@ def test_per_request_lm_swap(tmp_path, monkeypatch):
     monkeypatch.setattr(llm_mod, "LLMHandler", FakeLLM)
 
     # no path -> default
-    assert state._select_llm(None) is default_llm
-    assert state._select_llm("") is default_llm
+    assert state._select_llm(None)[0] is default_llm
+    assert state._select_llm("")[0] is default_llm
     # unresolvable name (no egress, not a dir) -> default
-    assert state._select_llm("not-a-model-xyz") is default_llm
+    assert state._select_llm("not-a-model-xyz")[0] is default_llm
 
     ckpt_a = tmp_path / "lm-a"; ckpt_a.mkdir()
     ckpt_b = tmp_path / "lm-b"; ckpt_b.mkdir()
     ckpt_c = tmp_path / "lm-c"; ckpt_c.mkdir()
-    a1 = state._select_llm(str(ckpt_a))
-    a2 = state._select_llm(str(ckpt_a))
+    a1, rel_a1 = state._select_llm(str(ckpt_a))
+    a2, rel_a2 = state._select_llm(str(ckpt_a))
     assert a1 is a2 and built == [str(ckpt_a)]       # cache hit
-    state._select_llm(str(ckpt_b))
-    state._select_llm(str(ckpt_c))                   # evicts a (LRU size 2)
-    assert len(state._llm_cache) == 2
-    a3 = state._select_llm(str(ckpt_a))
-    assert a3 is not a1                              # re-initialized
+    rel_a2()
+    # a still held by rel_a1: filling past the cap must NOT evict it
+    state._select_llm(str(ckpt_b))[1]()
+    _, rel_c = state._select_llm(str(ckpt_c))
+    assert str(ckpt_a) in state._llm_cache           # in-use: kept
+    rel_a1()
+    a3, _ = state._select_llm(str(ckpt_a))
+    assert a3 is a1                                  # still cached
+    rel_c()
+    # with nothing held, a fourth model evicts down to the cap
+    ckpt_d = tmp_path / "lm-d"; ckpt_d.mkdir()
+    state._select_llm(str(ckpt_d))[1]()
+    assert len(state._llm_cache) == state.max_cached_llms
