@@ -299,9 +299,28 @@ class AceStepHandler:
         on RESOURCE_EXHAUSTED, first halve the parallel window group, then
         the decode window itself, and retry."""
         z = np.asarray(latents, np.float32)
-        segs = min(8, max(1, z.shape[1] // self._seg_frames))
+        B, T = z.shape[:2]
+        segs = min(8, max(1, T // self._seg_frames))
         if segs > 1:
             return self._decode_segmented(z, segs)
+        if B > 1 and B * T >= self._seg_frames:
+            # batch items are independent: decode equal item-groups with
+            # every group dispatched before any fetch, overlapping group
+            # i's audio transfer with group i+1's decode compute
+            want = min(B, -(-B * T // self._seg_frames))
+            groups = max(g for g in range(1, want + 1) if B % g == 0)
+            if groups > 1:
+                g = B // groups
+                chunk, gw = self._decode_plan(T)
+                while True:
+                    try:
+                        fn = self._decode_fn((g, T, z.shape[2]), chunk, gw)
+                        outs = [fn(self.vae_params, z[i * g:(i + 1) * g])
+                                for i in range(groups)]
+                        return np.concatenate(
+                            [self._audio_to_host(o) for o in outs], axis=0)
+                    except Exception as e:  # noqa: BLE001 — OOM ladder
+                        chunk, gw = _degrade_plan(e, chunk, gw)
         chunk, groups = self._decode_plan(z.shape[1])
         while True:
             try:

@@ -288,3 +288,23 @@ def test_segmented_decode_matches_whole(handler):
     interior = np.abs(seg - whole)[:, edge:-edge]
     assert np.max(interior) <= 4 * peak / 32767.0, np.max(interior)
     assert np.all(np.isfinite(seg))
+
+
+def test_batch_group_decode_matches_whole(handler):
+    """Batch-axis decode groups (overlapped dispatch/transfer) are exact:
+    items are independent, so grouping must reproduce the whole-batch
+    result to the int16 quantization floor."""
+    rng = np.random.default_rng(2)
+    z = rng.standard_normal((4, 30, 64)).astype(np.float32)
+
+    whole = handler.decode_latents(z)
+    orig = handler._seg_frames
+    try:
+        handler._seg_frames = 60      # 4*30=120 frames >= 60 -> 2 groups
+        grouped = handler.decode_latents(z)
+    finally:
+        handler._seg_frames = orig
+
+    assert grouped.shape == whole.shape
+    peak = np.abs(whole).max(axis=(1, 2), keepdims=True)
+    assert np.all(np.abs(grouped - whole) <= 2 * peak / 32767.0 + 1e-7)
