@@ -177,19 +177,30 @@ class AceStepHandler:
         self.lora = LoraManager(self.params)
         self.initialized = True
 
-    def enable_mesh(self, dp: Optional[int] = None) -> None:
-        """Shard generation over a dp-way device mesh (batch parallelism).
+    def enable_mesh(self, dp: Optional[int] = None, tp: int = 1) -> None:
+        """Shard generation over a dp x tp device mesh.
 
-        Weights replicate over ICI; latents/noise/conditioning shard on the
-        batch axis. Batch sizes must be multiples of dp."""
+        dp (batch parallelism): weights replicate over ICI, latents/noise/
+        conditioning shard on the batch axis; batch sizes must be multiples
+        of dp. tp (tensor parallelism): attention/MLP projections shard
+        head-/column-wise (parallel.dit_param_pspecs) so a SINGLE song's
+        denoising spreads over tp chips — XLA inserts the all-reduces.
+        The reference declares an equivalent DiT TP plan but never executes
+        it (configuration_acestep_v15.py:133-146); here it runs."""
         from jax.sharding import Mesh
 
         devices = jax.devices()
-        dp = dp or len(devices)
-        if len(devices) < dp:
-            raise ValueError(f"mesh dp={dp} needs {dp} devices, "
+        if dp is None:
+            dp = max(1, len(devices) // tp)
+        need = dp * tp
+        if len(devices) < need:
+            raise ValueError(f"mesh dp={dp} x tp={tp} needs {need} devices, "
                              f"have {len(devices)}")
-        self.mesh = Mesh(np.asarray(devices[:dp]).reshape(dp), ("dp",))
+        if tp > 1:
+            self.mesh = Mesh(np.asarray(devices[:need]).reshape(dp, tp),
+                             ("dp", "tp"))
+        else:
+            self.mesh = Mesh(np.asarray(devices[:dp]).reshape(dp), ("dp",))
         self._fn_cache.clear()
 
     def get_service_status(self) -> Dict[str, Any]:
@@ -471,15 +482,27 @@ class AceStepHandler:
             replicated = NamedSharding(mesh, P())
             batched = NamedSharding(mesh, P("dp"))
 
-            # params replicated over ICI, every batch-leading input sharded
-            # on dp (prefix pytree applies to all dict leaves); XLA runs the
-            # whole trajectory SPMD with zero cross-chip collectives (batch
-            # parallelism) — the TPU-native replacement for the reference's
-            # single-GPU batch loop (SURVEY §7.7). silence_latent is tiled
-            # to the batch in generate_music when a mesh is active.
+            # params replicated over ICI (dp) and, when the mesh has a tp
+            # axis, sharded head-/column-wise per dit_param_pspecs; every
+            # batch-leading input shards on dp (prefix pytree applies to
+            # all dict leaves). dp-only runs the whole trajectory SPMD with
+            # zero cross-chip collectives; tp adds XLA all-reduces after
+            # attention/MLP — the TPU-native replacement for the
+            # reference's single-GPU batch loop (SURVEY §7.7).
+            # silence_latent is tiled to the batch when a mesh is active.
+            param_shardings: Any = replicated
+            if "tp" in mesh.axis_names and mesh.shape["tp"] > 1:
+                from acestep_tpu.parallel import dit_param_pspecs
+                from acestep_tpu.parallel.mesh import sanitize_pspecs
+
+                pspecs = sanitize_pspecs(
+                    self.params, dit_param_pspecs(self.params), mesh)
+                param_shardings = jax.tree.map(
+                    lambda s: NamedSharding(mesh, s), pspecs,
+                    is_leaf=lambda x: isinstance(x, P))
             return jax.jit(
                 fn,
-                in_shardings=(replicated, batched, replicated),
+                in_shardings=(param_shardings, batched, replicated),
                 out_shardings=batched,
             )
         return jax.jit(fn)
