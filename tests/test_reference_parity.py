@@ -665,3 +665,137 @@ def test_turbo_cover_noise_trajectory_matches_reference(ref_modeling):
                             infer_method="ode")
     ours_np = np.asarray(ours)
     np.testing.assert_allclose(ours_np, ref_np, rtol=5e-3, atol=5e-3)
+
+
+def test_sft_custom_timesteps_adg_trajectory_matches_reference():
+    """SFT-model trajectory with CUSTOM timesteps + ADG guidance vs the real
+    reference sft model (its one difference from base is the timesteps
+    parameter, ref models/sft/modeling_acestep_v15_base.py:1811,1864-1875).
+    Closes the last sampler-family parity gap (turbo/base covered above)."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from acestep_tpu.config import DiTConfig
+    from acestep_tpu.models.dit import prepare_condition
+    from acestep_tpu.models.sampler import ConditionSet, sample_guided
+    from acestep_tpu.utils.checkpoint import convert_dit_state
+
+    sft_dir = "/root/reference/acestep/models/sft"
+    if "vector_quantize_pytorch" not in sys.modules:
+        stub = types.ModuleType("vector_quantize_pytorch")
+
+        class ResidualFSQ(torch.nn.Module):
+            def __init__(self, *a, **k):
+                super().__init__()
+
+        stub.ResidualFSQ = ResidualFSQ
+        sys.modules["vector_quantize_pytorch"] = stub
+    # the sft package reuses base module names: import under unique names
+    import importlib.util
+
+    def load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    sys.path.insert(0, sft_dir)
+    try:
+        ref_cfg_mod = load("sft_configuration_acestep_v15",
+                           os.path.join(sft_dir, "configuration_acestep_v15.py"))
+        ref_mod = load("sft_modeling_acestep_v15_base",
+                       os.path.join(sft_dir, "modeling_acestep_v15_base.py"))
+    finally:
+        sys.path.remove(sft_dir)
+
+    tiny = dict(TINY)
+    tiny.update(text_hidden_dim=32, timbre_hidden_dim=64,
+                num_lyric_encoder_hidden_layers=2,
+                num_timbre_encoder_hidden_layers=1,
+                num_attention_pooler_hidden_layers=1, fsq_dim=64)
+    torch.manual_seed(11)
+    ref_config = ref_cfg_mod.AceStepConfig(**tiny)
+    ref_config._attn_implementation = "eager"
+    model = ref_mod.AceStepConditionGenerationModel(ref_config).eval()
+
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    state.setdefault("tokenizer.quantizer.layers.0.project_in.weight",
+                     np.zeros((6, 64), np.float32))
+    state.setdefault("tokenizer.quantizer.layers.0.project_in.bias",
+                     np.zeros((6,), np.float32))
+    state.setdefault("tokenizer.quantizer.layers.0.project_out.weight",
+                     np.zeros((64, 6), np.float32))
+    state.setdefault("tokenizer.quantizer.layers.0.project_out.bias",
+                     np.zeros((64,), np.float32))
+    cfg = DiTConfig.tiny(
+        text_hidden_dim=32, num_lyric_encoder_hidden_layers=2,
+        num_timbre_encoder_hidden_layers=1,
+        num_attention_pooler_hidden_layers=1, fsq_dim=64,
+        sliding_window=TINY["sliding_window"],
+        layer_types=tuple(TINY["layer_types"]),
+        attention_impl="dense", model_version="sft")
+    params = convert_dit_state(state, cfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(11)
+    B, T = 1, 20
+    text_h = rng.standard_normal((B, 4, 32)).astype(np.float32)
+    lyric_h = rng.standard_normal((B, 6, 32)).astype(np.float32)
+    refer = rng.standard_normal((B, 10, 64)).astype(np.float32)
+    src = np.zeros((B, T, 64), np.float32)
+    chunk = np.ones((B, T, 64), np.float32)
+    hints = rng.standard_normal((B, T, 64)).astype(np.float32)
+    gscale = 3.5
+    schedule = [0.97, 0.76, 0.5, 0.28, 0.085, 0.0]
+
+    with torch.no_grad():
+        ref_out = model.generate_audio(
+            text_hidden_states=torch.from_numpy(text_h),
+            text_attention_mask=torch.ones(B, 4),
+            lyric_hidden_states=torch.from_numpy(lyric_h),
+            lyric_attention_mask=torch.ones(B, 6),
+            refer_audio_acoustic_hidden_states_packed=torch.from_numpy(refer),
+            refer_audio_order_mask=torch.arange(B).long(),
+            src_latents=torch.from_numpy(src),
+            chunk_masks=torch.from_numpy(chunk),
+            is_covers=torch.zeros(B),
+            precomputed_lm_hints_25Hz=torch.from_numpy(hints),
+            silence_latent=torch.zeros(1, T, 64),
+            seed=13, diffusion_guidance_sale=gscale,
+            infer_method="ode", use_adg=True,
+            timesteps=torch.tensor(schedule, dtype=torch.float32),
+            use_progress_bar=False,
+        )
+        noise = model.prepare_noise(
+            torch.cat([torch.from_numpy(src), torch.from_numpy(chunk)],
+                      dim=-1), seed=13).numpy()
+    ref_np = ref_out["target_latents"].numpy()
+
+    with jax.default_matmul_precision("float32"):
+        enc, _m, ctx = prepare_condition(
+            params, cfg,
+            text_hidden_states=jnp.asarray(text_h),
+            text_attention_mask=jnp.ones((B, 4), jnp.int32),
+            lyric_hidden_states=jnp.asarray(lyric_h),
+            lyric_attention_mask=jnp.ones((B, 6), jnp.int32),
+            refer_audio_packed=jnp.asarray(refer),
+            refer_order_mask=jnp.arange(B, dtype=jnp.int32),
+            src_latents=jnp.asarray(src),
+            chunk_masks=jnp.asarray(chunk),
+            is_covers=jnp.zeros((B,), jnp.int32),
+            precomputed_lm_hints_25hz=jnp.asarray(hints),
+        )
+        cond = ConditionSet.build(params, cfg, enc, ctx)
+        null = jnp.broadcast_to(
+            params["null_condition_emb"].astype(enc.dtype), enc.shape)
+        null_cond = ConditionSet.build(params, cfg, null, ctx)
+        ours = sample_guided(
+            params, cfg, x_init=jnp.asarray(noise),
+            schedule=schedule,
+            cond=cond, null_cond=null_cond, guidance_scale=gscale,
+            cfg_interval=(0.0, 1.0), use_adg=True, infer_method="ode")
+    ours_np = np.asarray(ours)
+    assert ours_np.shape == ref_np.shape
+    np.testing.assert_allclose(ours_np, ref_np, rtol=5e-3, atol=5e-3)
