@@ -96,7 +96,8 @@ class GenerationConfig:
     seeds: Optional[List[int]] = None
     lm_batch_chunk_size: int = 8
     constrained_decoding_debug: bool = False
-    audio_format: str = "wav"   # reference defaults to flac; wav is always available
+    # reference default (inference.py:190); native FLAC encoder in-repo
+    audio_format: str = "flac"
     output_dir: str = "outputs"
     want_lrc: bool = False      # per-result LRC + alignment score
 

@@ -59,6 +59,12 @@ def load_audio(path: str, *, target_sr: int = SAMPLE_RATE,
     p = Path(path)
     if p.suffix.lower() == ".wav":
         data, sr = load_wav(path)
+    elif p.suffix.lower() == ".flac":
+        from acestep_tpu.utils.flac import decode_flac
+
+        with open(p, "rb") as f:
+            pcm, sr = decode_flac(f.read())
+        data = pcm.astype(np.float32) / 32768.0
     elif _ffmpeg():
         out = subprocess.run(
             [_ffmpeg(), "-v", "error", "-i", str(p), "-f", "f32le",
@@ -162,11 +168,12 @@ def save_wav(path: str, audio: np.ndarray, sr: int = SAMPLE_RATE,
 
 
 class AudioSaver:
-    """Multi-format saver (reference audio_utils.AudioSaver): wav/wav32
-    natively; flac/mp3/opus/aac via ffmpeg when available."""
+    """Multi-format saver (reference audio_utils.AudioSaver): wav/wav32/flac
+    natively (flac via utils/flac.py — the reference's DEFAULT format works
+    without ffmpeg); mp3/opus/aac/ogg via ffmpeg when available."""
 
-    NATIVE = {"wav", "wav32"}
-    FFMPEG = {"flac", "mp3", "opus", "aac", "ogg"}
+    NATIVE = {"wav", "wav32", "flac"}
+    FFMPEG = {"mp3", "opus", "aac", "ogg"}
 
     def __init__(self, output_dir: str = "outputs"):
         self.output_dir = Path(output_dir)
@@ -186,6 +193,15 @@ class AudioSaver:
         if fmt == "wav32":
             return save_wav(self.output_dir / f"{name}.wav", audio, sr,
                             subtype="PCM_32")
+        if fmt == "flac":
+            from acestep_tpu.utils.flac import encode_flac
+
+            pcm = np.clip(np.asarray(audio, np.float32) * 32767.0,
+                          -32768, 32767).astype(np.int16)
+            out = self.output_dir / f"{name}.flac"
+            with open(out, "wb") as f:
+                f.write(encode_flac(pcm, sr))
+            return str(out)
         if fmt in self.FFMPEG:
             if not _ffmpeg():
                 raise RuntimeError(f"{fmt} output requires ffmpeg; "
