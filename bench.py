@@ -159,7 +159,9 @@ def matrix() -> list:
         config = GenerationConfig(batch_size=batch,
                                   output_dir="/tmp/bench_out",
                                   allow_lm_batch=True,
-                                  use_random_seed=False)
+                                  use_random_seed=False,
+                                  audio_format="wav")  # measure generation,
+        # not the (now-default) flac encode
         inference.generate_music(handler, llm, params, config)  # warm
         best = None
         for _ in range(repeats):
