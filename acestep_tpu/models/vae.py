@@ -79,10 +79,29 @@ def _init_encoder_block(key, in_dim: int, out_dim: int, stride: int) -> dict:
     }
 
 
+def _res_stack(units, x: jnp.ndarray) -> jnp.ndarray:
+    """The 3-unit residual stack (dilations 1/3/9) shared by encoder and
+    decoder blocks. On TPU this runs as ONE fused Pallas kernel (snake +
+    dilated conv7 + snake + conv1 + residual, all in VMEM — the XLA path
+    pays an HBM round-trip per op and these levels are memory-bound);
+    elsewhere it composes the plain ops. `ACESTEP_FUSED_SNAKE=0` forces
+    the composed path (e.g. when differentiating through the VAE — the
+    kernel defines no VJP)."""
+    import os
+
+    from acestep_tpu.ops import snake_conv
+
+    if (os.environ.get("ACESTEP_FUSED_SNAKE", "1") != "0"
+            and snake_conv.supported(x, x.shape[-1])):
+        return snake_conv.res_unit_stack(units, x)
+    for u, d in zip(units, (1, 3, 9)):
+        x = _res_unit(u, x, d)
+    return x
+
+
 def _encoder_block(p: dict, x: jnp.ndarray, stride: int) -> jnp.ndarray:
-    x = _res_unit(p["res1"], x, 1)
-    x = _res_unit(p["res2"], x, 3)
-    x = snake1d(p["snake"], _res_unit(p["res3"], x, 9))
+    x = _res_stack((p["res1"], p["res2"], p["res3"]), x)
+    x = snake1d(p["snake"], x)
     return conv1d(p["down"], x, stride=stride, padding=math.ceil(stride / 2))
 
 
@@ -100,10 +119,7 @@ def _init_decoder_block(key, in_dim: int, out_dim: int, stride: int) -> dict:
 def _decoder_block(p: dict, x: jnp.ndarray, stride: int) -> jnp.ndarray:
     x = conv1d_transpose(p["up"], snake1d(p["snake"], x), stride=stride,
                          padding=math.ceil(stride / 2))
-    x = _res_unit(p["res1"], x, 1)
-    x = _res_unit(p["res2"], x, 3)
-    x = _res_unit(p["res3"], x, 9)
-    return x
+    return _res_stack((p["res1"], p["res2"], p["res3"]), x)
 
 
 # ------------------------------------------------------------------

@@ -187,10 +187,10 @@ def matrix() -> list:
     # best-of-3 on the cheap rows: device<->host bandwidth on tunneled
     # parts is noisy and these rows are transfer-sensitive
     run_dit("60s_b1", 60, 1, repeats=3)
-    run_dit("30s_b8", 30, 8)
-    run_dit("600s_b1", 600, 1, repeats=1)
+    run_dit("30s_b8", 30, 8, repeats=3)
+    run_dit("600s_b1", 600, 1, repeats=2)
     run_think("10s_b1_think", 10, 1, repeats=3)
-    run_think("30s_b8_think", 30, 8, repeats=2)
+    run_think("30s_b8_think", 30, 8, repeats=3)
 
     # quantized row (w8a8: int8 x int8 MXU matmuls)
     handler_q = AceStepHandler()
