@@ -38,11 +38,16 @@ def init_snake(dim: int) -> dict:
 
 
 def snake1d(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    # sin^2 via the range-reduced polynomial (ops/snake_conv._sin2): the
+    # VPU's library sin costs ~28 cycles/element and snake is the VAE's
+    # hottest elementwise op; the polynomial's max error (1.2e-6) is far
+    # below bf16 activation resolution
+    from acestep_tpu.ops.snake_conv import _sin2
+
     alpha = jnp.exp(p["alpha"].astype(jnp.float32))
     beta = jnp.exp(p["beta"].astype(jnp.float32))
     xf = x.astype(jnp.float32)
-    s = jnp.sin(alpha * xf)
-    out = xf + (1.0 / (beta + 1e-9)) * (s * s)
+    out = xf + (1.0 / (beta + 1e-9)) * _sin2(alpha * xf)
     return out.astype(x.dtype)
 
 

@@ -50,9 +50,15 @@ _COS2PI = (9.9999880376e-01, -1.9738972511e+01, 6.4931763898e+01,
 
 
 def _sin2(t: jnp.ndarray) -> jnp.ndarray:
-    """sin(t)^2 = 0.5 - 0.5*cos(2t), cos by range-reduced polynomial."""
-    u = t * jnp.float32(1.0 / jnp.pi)        # cos(2t) has period pi in t
-    r = u - jnp.round(u)                     # r in [-0.5, 0.5]
+    """sin(t)^2 = 0.5 - 0.5*cos(2t), cos by range-reduced polynomial.
+
+    Cody-Waite two-constant reduction (pi = pi_hi + pi_lo, pi_hi exact in
+    11 bits): plain `u - round(u)` loses ~|t|*ulp to cancellation, visible
+    above |t| ~ 100; this keeps absolute error <2e-6 out to |t| ~ 1e4.
+    """
+    n = jnp.round(t * jnp.float32(1.0 / jnp.pi))
+    r_t = (t - n * jnp.float32(3.140625)) - n * jnp.float32(9.6765358979e-4)
+    r = r_t * jnp.float32(1.0 / jnp.pi)      # r in [-0.5, 0.5]
     z = r * r
     c = jnp.float32(_COS2PI[6])
     for k in (5, 4, 3, 2, 1, 0):
@@ -145,6 +151,34 @@ def _pick_block(C: int) -> int:
     return 512
 
 
+def _composed_stack(units, x: jnp.ndarray) -> jnp.ndarray:
+    """The plain-op reference chain (used by the kernel's backward pass)."""
+    from acestep_tpu.models.vae import _res_unit
+
+    for u, d in zip(units, DILATIONS):
+        x = _res_unit(u, x, d)
+    return x
+
+
+@functools.lru_cache(maxsize=None)
+def _stack_with_vjp(block, interpret):
+    @jax.custom_vjp
+    def f(units, x):
+        return _res_unit_stack_impl(units, x, block=block,
+                                    interpret=interpret)
+
+    def fwd(units, x):
+        return f(units, x), (units, x)
+
+    def bwd(res, g):
+        units, x = res
+        _, vjp = jax.vjp(_composed_stack, units, x)
+        return vjp(g.astype(x.dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def res_unit_stack(units, x: jnp.ndarray, *, block: int | None = None,
                    interpret: bool = False) -> jnp.ndarray:
     """Fused 3x residual-unit stack (dilations 1/3/9) on (B, L, C).
@@ -152,7 +186,16 @@ def res_unit_stack(units, x: jnp.ndarray, *, block: int | None = None,
     `units`: sequence of 3 param dicts shaped like models/vae._init_res_unit
     (keys snake1/conv1/snake2/conv2). Exact-match semantics vs applying
     models/vae._res_unit three times (chained zero-padded 'same' convs).
+    Differentiable: the custom VJP recomputes through the composed XLA
+    chain (the kernel itself defines no gradient; nothing in production
+    differentiates VAE decode, so the recompute cost is test-only).
     """
+    # units arrive as a tuple/list of dicts — pass as a tuple pytree
+    return _stack_with_vjp(block, interpret)(tuple(units), x)
+
+
+def _res_unit_stack_impl(units, x: jnp.ndarray, *, block: int | None = None,
+                         interpret: bool = False) -> jnp.ndarray:
     assert len(units) == 3, "stack is fixed at 3 units (res1/res2/res3)"
     B, L, C = x.shape
     BL = block or _pick_block(C)

@@ -48,6 +48,36 @@ def test_matches_composed_res_units(B, L, C, block):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_sin2_polynomial_accuracy():
+    """The range-reduced degree-6 polynomial must track sin^2 to <2e-6
+    over a wide argument range (snake inputs are exp(alpha)*activation)."""
+    from acestep_tpu.ops.snake_conv import _sin2
+
+    t = jnp.asarray(np.linspace(-2000.0, 2000.0, 400001), jnp.float32)
+    got = np.asarray(_sin2(t))
+    want = np.sin(np.asarray(t, np.float64)) ** 2
+    assert np.abs(got - want).max() < 2e-6
+
+
+def test_kernel_is_differentiable_via_composed_vjp():
+    """grad(res_unit_stack) must equal grad of the composed chain (the
+    custom VJP recomputes through the plain ops)."""
+    key = jax.random.PRNGKey(5)
+    C, L = 128, 256
+    units = _mk_units(key, C)
+    x = jax.random.normal(jax.random.PRNGKey(6), (1, L, C), jnp.float32)
+
+    def loss_kernel(x):
+        return jnp.sum(res_unit_stack(units, x, block=128, interpret=True) ** 2)
+
+    def loss_ref(x):
+        return jnp.sum(_reference(units, x) ** 2)
+
+    gk = np.asarray(jax.grad(loss_kernel)(x))
+    gr = np.asarray(jax.grad(loss_ref)(x))
+    np.testing.assert_allclose(gk, gr, rtol=1e-4, atol=1e-4)
+
+
 def test_bf16_close_to_f32_reference():
     key = jax.random.PRNGKey(2)
     C, L = 128, 384
