@@ -482,6 +482,16 @@ class _Handler(BaseHTTPRequestHandler):
 
     # -- plumbing -----------------------------------------------------------
 
+    # multipart file field -> request path field (the reference's upload
+    # channel, api_server.py:1149-1171 + docs/en/API.md "Method B"; an
+    # uploaded file overrides the corresponding *_path parameter)
+    _UPLOAD_FIELDS = {
+        "reference_audio": "reference_audio_path",
+        "ref_audio": "reference_audio_path",
+        "src_audio": "src_audio_path",
+        "ctx_audio": "src_audio_path",
+    }
+
     def _json_body(self) -> Dict[str, Any]:
         length = int(self.headers.get("Content-Length") or 0)
         if length <= 0:
@@ -495,7 +505,43 @@ class _Handler(BaseHTTPRequestHandler):
                 return {}
         if "x-www-form-urlencoded" in ctype:
             return {k: v[0] for k, v in parse_qs(raw.decode("utf-8")).items()}
+        if "multipart/form-data" in ctype:
+            return self._multipart_body(raw)
         return {}
+
+    def _multipart_body(self, raw: bytes) -> Dict[str, Any]:
+        """Parse multipart/form-data: form fields become request values
+        (schemas.from_dict coerces the strings), file fields are saved to
+        temp files and mapped onto reference/src audio paths."""
+        import email.parser
+        import email.policy
+        import tempfile
+
+        header = ("Content-Type: " + self.headers.get("Content-Type", "")
+                  + "\r\nMIME-Version: 1.0\r\n\r\n").encode("utf-8")
+        msg = email.parser.BytesParser(
+            policy=email.policy.HTTP).parsebytes(header + raw)
+        if not msg.is_multipart():
+            return {}
+        fields: Dict[str, Any] = {}
+        files: Dict[str, str] = {}
+        for part in msg.iter_parts():
+            name = part.get_param("name", header="content-disposition")
+            if not name:
+                continue
+            payload = part.get_payload(decode=True) or b""
+            filename = part.get_filename()
+            if filename and name in self._UPLOAD_FIELDS:
+                suffix = os.path.splitext(filename)[1] or ".wav"
+                fd, path = tempfile.mkstemp(suffix=suffix,
+                                            prefix="acestep_upload_")
+                with os.fdopen(fd, "wb") as f:
+                    f.write(payload)
+                files[self._UPLOAD_FIELDS[name]] = path
+            elif not filename:
+                fields[name] = payload.decode("utf-8", "replace")
+        fields.update(files)      # uploads override any *_path form field
+        return fields
 
     def _send_json(self, payload: Any, status: int = 200) -> None:
         body = json.dumps(payload, ensure_ascii=False).encode("utf-8")

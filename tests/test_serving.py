@@ -344,3 +344,47 @@ def test_per_request_lm_swap(tmp_path, monkeypatch):
     ckpt_d = tmp_path / "lm-d"; ckpt_d.mkdir()
     state._select_llm(str(ckpt_d))[1]()
     assert len(state._llm_cache) == state.max_cached_llms
+
+
+def test_multipart_release_task_with_upload(server_env, tmp_path):
+    """Reference API 'Method B': multipart/form-data with form fields and a
+    src_audio file upload (docs/en/API.md; api_server.py:1149-1171). The
+    uploaded file must land on disk and override src_audio_path."""
+    _, handler, port = server_env
+    wav_bytes = b"RIFF....fakewav-payload"
+    boundary = "----acestepboundary123"
+
+    def part(name, value, filename=None):
+        head = f'Content-Disposition: form-data; name="{name}"'
+        if filename:
+            head += f'; filename="{filename}"'
+            head += "\r\nContent-Type: application/octet-stream"
+        body = value if isinstance(value, bytes) else value.encode()
+        return (f"--{boundary}\r\n{head}\r\n\r\n").encode() + body + b"\r\n"
+
+    payload = (part("prompt", "piano etude")
+               + part("lyrics", "[inst]")
+               + part("thinking", "false")
+               + part("batch_size", "2")
+               + part("src_audio_path", "/should/be/overridden.wav")
+               + part("src_audio", wav_bytes, filename="upload.wav")
+               + f"--{boundary}--\r\n".encode())
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+    conn.request("POST", "/release_task", payload, {
+        "Content-Type": f"multipart/form-data; boundary={boundary}",
+        "Content-Length": str(len(payload)),
+    })
+    resp = conn.getresponse()
+    out = json.loads(resp.read().decode())
+    conn.close()
+    assert resp.status == 200, out
+    entry = _wait_done(port, out["data"]["task_id"])
+    assert entry["status"] == 1, entry
+
+    call = handler.calls[-1]
+    assert call["batch_size"] == 2
+    src = call.get("src_audio")
+    assert src and src != "/should/be/overridden.wav"
+    with open(src, "rb") as f:
+        assert f.read() == wav_bytes
