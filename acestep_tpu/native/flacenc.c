@@ -87,3 +87,16 @@ size_t rice_decode(const unsigned char *data, size_t nbytes, size_t bitpos,
     }
     return bitpos;
 }
+
+/* LPC reconstruction: s[0..order) hold warmup samples, s[order..n) hold
+ * residuals on entry and reconstructed samples on exit.
+ * s[i] += (sum_j coefs[j] * s[i-1-j]) >> shift  (arithmetic shift). */
+void lpc_reconstruct(int64_t *s, size_t n, const int64_t *coefs, int order,
+                     int shift) {
+    for (size_t i = (size_t)order; i < n; i++) {
+        int64_t pred = 0;
+        for (int j = 0; j < order; j++)
+            pred += coefs[j] * s[i - 1 - j];
+        s[i] += pred >> shift;
+    }
+}

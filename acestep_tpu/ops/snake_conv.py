@@ -199,7 +199,7 @@ def _res_unit_stack_impl(units, x: jnp.ndarray, *, block: int | None = None,
     assert len(units) == 3, "stack is fixed at 3 units (res1/res2/res3)"
     B, L, C = x.shape
     BL = block or _pick_block(C)
-    dtype = x.dtype if x.dtype != jnp.float32 else jnp.float32
+    dtype = x.dtype
     nj = -(-L // BL)
     lp = nj * BL
     # one block of zeros each side gives every grid step real neighbors

@@ -300,7 +300,8 @@ class AppState:
             tmpdir = _tempfile.gettempdir()
             for path in (req.reference_audio_path, req.src_audio_path):
                 if path and os.path.dirname(path) == tmpdir and \
-                        os.path.basename(path).startswith("acestep_or_"):
+                        os.path.basename(path).startswith(
+                            ("acestep_or_", "acestep_upload_")):
                     temp_files.append(path)
             if req.reference_audio_b64:
                 req.reference_audio_path = openrouter.base64_to_temp_file(
@@ -381,7 +382,12 @@ class AppState:
                         pass
             payload = result.to_dict()
             payload["dit_model"] = model_name
-            payload["lm_model"] = (getattr(req, "lm_model_path", None) or "")
+            # report the LM actually used: _select_llm falls back to the
+            # default on build/download failure, so echoing the requested
+            # path would misreport the swap as successful
+            payload["lm_model"] = (
+                (getattr(req, "lm_model_path", None) or "")
+                if llm_handler is not self.llm_handler else "")
             payload["prompt"] = params.caption
             payload["lyrics"] = params.lyrics
             if result.success:

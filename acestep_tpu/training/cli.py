@@ -97,10 +97,11 @@ def _training_config(args, timestep_mode: str):
     if args.preset:
         tcfg = get_preset(args.preset, **overrides)
     else:
-        tcfg = LoRATrainingConfig(timestep_mode=timestep_mode, **overrides)
-    if not args.preset:
-        tcfg = dataclasses.replace(tcfg, timestep_mode=timestep_mode)
-    return tcfg
+        tcfg = LoRATrainingConfig(**overrides)
+    # the subcommand IS the timestep-mode selector (vanilla=discrete
+    # shift-3, fixed=continuous — Side-Step semantics); it overrides
+    # whatever the preset bundles
+    return dataclasses.replace(tcfg, timestep_mode=timestep_mode)
 
 
 def _run_adapter_training(args, timestep_mode: str) -> int:
@@ -115,7 +116,7 @@ def _run_adapter_training(args, timestep_mode: str) -> int:
     batches = make_batches(dataset.train_files, tcfg.batch_size,
                            latent_dim=handler.cfg.audio_acoustic_hidden_dim,
                            seed=args.seed)
-    print(f"training {tcfg.kind} ({timestep_mode}) on "
+    print(f"training {tcfg.kind} ({tcfg.timestep_mode}) on "
           f"{len(dataset.train_files)} samples "
           f"(+{len(dataset.val_files)} val) -> {tcfg.output_dir}",
           flush=True)

@@ -146,10 +146,17 @@ class DatasetBuildPipeline:
 
     @staticmethod
     def _entry_id(entry: Dict[str, Any]) -> str:
+        """Content-sensitive id: path + size + mtime, so replacing a file
+        at the same path invalidates its cached latents/labels/tensors
+        instead of silently resuming from the old audio's artifacts."""
         import hashlib
 
-        return hashlib.sha1(
-            entry["audio_path"].encode("utf-8")).hexdigest()[:12]
+        try:
+            st = os.stat(entry["audio_path"])
+            sig = f"{entry['audio_path']}|{st.st_size}|{int(st.st_mtime)}"
+        except OSError:
+            sig = entry["audio_path"]
+        return hashlib.sha1(sig.encode("utf-8")).hexdigest()[:12]
 
     def status(self) -> Dict[str, Any]:
         """Per-stage progress (drives the studio dataset tab)."""

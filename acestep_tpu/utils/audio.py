@@ -62,9 +62,21 @@ def load_audio(path: str, *, target_sr: int = SAMPLE_RATE,
     elif p.suffix.lower() == ".flac":
         from acestep_tpu.utils.flac import decode_flac
 
-        with open(p, "rb") as f:
-            pcm, sr = decode_flac(f.read())
-        data = pcm.astype(np.float32) / 32768.0
+        try:
+            with open(p, "rb") as f:
+                pcm, sr = decode_flac(f.read())
+            data = pcm.astype(np.float32) / 32768.0
+        except ValueError:
+            # outside the native decoder's surface (e.g. 24-bit streams):
+            # fall through to ffmpeg when available
+            if not _ffmpeg():
+                raise
+            out = subprocess.run(
+                [_ffmpeg(), "-v", "error", "-i", str(p), "-f", "f32le",
+                 "-ac", str(target_channels), "-ar", str(target_sr), "-"],
+                capture_output=True, check=True)
+            return np.frombuffer(out.stdout, dtype="<f4").reshape(
+                -1, target_channels).copy()
     elif _ffmpeg():
         out = subprocess.run(
             [_ffmpeg(), "-v", "error", "-i", str(p), "-f", "f32le",

@@ -16,7 +16,11 @@ The decoder exists for loading .flac inputs back (utils/audio.load_audio)
 and as the encoder's adversarial check: it re-derives everything from the
 bitstream and verifies both CRCs and the MD5, so encoder/decoder bugs
 cannot cancel out silently unless they are exactly symmetric; golden-byte
-tests pin the emitted format against regressions.
+tests pin the emitted format against regressions. The decoder covers the
+full 16-bit feature surface real-world encoders emit (libFLAC/ffmpeg):
+LPC subframes up to order 32 (C kernel for the sequential IIR), FIXED,
+CONSTANT, VERBATIM, wasted bits, all rice partition orders, and
+left/side / right/side / mid/side stereo decorrelation.
 
 Format reference: https://xiph.org/flac/format.html (RFC 9639).
 """
@@ -305,6 +309,8 @@ def encode_flac(samples: np.ndarray, sample_rate: int,
     if x.ndim == 1:
         x = x[:, None]
     n, ch = x.shape
+    if n == 0:
+        raise ValueError("encode_flac requires at least one sample")
     if not 1 <= ch <= 8:
         raise ValueError(f"unsupported channel count {ch}")
     bps = 16
@@ -366,6 +372,30 @@ _RATE_TABLE = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
 _BPS_TABLE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
 
 
+def _lpc_reconstruct(warmup: np.ndarray, res: np.ndarray,
+                     coefs: np.ndarray, shift: int) -> np.ndarray:
+    """Invert an LPC subframe: s[i] = res[i] + (sum c[j]*s[i-1-j]) >> shift.
+
+    Inherently sequential (IIR with integer truncation each step, so no
+    float shortcut is bit-exact); the C kernel runs it at memory speed,
+    the Python loop is the no-compiler fallback."""
+    order = len(warmup)
+    s = np.concatenate([warmup, res]).astype(np.int64)
+    from acestep_tpu.utils.flac_native import native_lpc_reconstruct
+
+    if native_lpc_reconstruct is not None and len(s) > order:
+        native_lpc_reconstruct(s, coefs, order, shift)
+        return s
+    c = [int(v) for v in coefs]
+    buf = [int(v) for v in s]
+    for i in range(order, len(buf)):
+        pred = 0
+        for j in range(order):
+            pred += c[j] * buf[i - 1 - j]
+        buf[i] += pred >> shift
+    return np.asarray(buf, np.int64)
+
+
 def _fixed_reconstruct(warmup: np.ndarray, res: np.ndarray,
                        order: int) -> np.ndarray:
     """Invert the order-k fixed predictor: the residual of a FIXED subframe
@@ -377,6 +407,48 @@ def _fixed_reconstruct(warmup: np.ndarray, res: np.ndarray,
         first = np.diff(warm, n=k - 1)[0]
         seq = np.cumsum(np.concatenate([np.array([first], np.int64), seq]))
     return seq
+
+
+def _decode_subframe(br: BitReader, nb: int, sf_bps: int) -> np.ndarray:
+    """One subframe -> (nb,) int64. Supports CONSTANT/VERBATIM/FIXED/LPC
+    plus wasted bits (RFC 9639 §9.2.1-9.2.5) — everything a spec-conforming
+    encoder (libFLAC, ffmpeg) emits for 16-bit streams."""
+    if br.read(1):
+        raise ValueError("bad subframe padding bit")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):                           # wasted-bits flag: k-1 unary
+        wasted = br.read_unary() + 1
+        sf_bps -= wasted
+    if stype == 0:                           # CONSTANT
+        out = np.full(nb, br.read_signed(sf_bps), np.int64)
+    elif stype == 1:                         # VERBATIM
+        out = np.array([br.read_signed(sf_bps) for _ in range(nb)],
+                       np.int64)
+    elif 8 <= stype <= 12:                   # FIXED, order 0-4
+        order = stype - 8
+        warm = np.array([br.read_signed(sf_bps) for _ in range(order)],
+                        np.int64)
+        res = _read_residual(br, nb - order, order)
+        out = _fixed_reconstruct(warm, res, order)
+    elif stype >= 32:                        # LPC, order 1-32
+        order = (stype & 0x1F) + 1
+        warm = np.array([br.read_signed(sf_bps) for _ in range(order)],
+                        np.int64)
+        precision = br.read(4)
+        if precision == 0b1111:
+            raise ValueError("invalid LPC coefficient precision")
+        precision += 1
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative LPC shift")
+        coefs = np.array([br.read_signed(precision) for _ in range(order)],
+                         np.int64)
+        res = _read_residual(br, nb - order, order)
+        out = _lpc_reconstruct(warm, res, coefs, shift)
+    else:
+        raise ValueError(f"reserved subframe type {stype}")
+    return out << wasted if wasted else out
 
 
 def decode_flac(data: bytes) -> Tuple[np.ndarray, int]:
@@ -441,35 +513,26 @@ def decode_flac(data: bytes) -> Tuple[np.ndarray, int]:
         expect_crc8 = br.read(8)
         if crc8(data[frame_start: frame_start + header_len]) != expect_crc8:
             raise ValueError("frame header CRC-8 mismatch")
-        if chan_code >= 8:
-            raise ValueError("stereo decorrelation not supported")
-        nch = chan_code + 1
+        if chan_code > 10:
+            raise ValueError(f"reserved channel assignment {chan_code}")
+        decorr = chan_code if chan_code >= 8 else None
+        nch = 2 if decorr is not None else chan_code + 1
         frame_bps = _BPS_TABLE.get(bps_code, bps)
 
         chans = []
-        for _c in range(nch):
-            if br.read(1):
-                raise ValueError("bad subframe padding bit")
-            stype = br.read(6)
-            if br.read(1):                   # wasted bits
-                k = 1
-                while br.read(1) == 0:
-                    k += 1
-                raise ValueError("wasted bits not supported")
-            if stype == 0:                   # CONSTANT
-                v = br.read_signed(frame_bps)
-                chans.append(np.full(nb, v, np.int64))
-            elif stype == 1:                 # VERBATIM
-                chans.append(np.array([br.read_signed(frame_bps)
-                                       for _ in range(nb)], np.int64))
-            elif 8 <= stype <= 12:           # FIXED
-                order = stype - 8
-                warm = np.array([br.read_signed(frame_bps)
-                                 for _ in range(order)], np.int64)
-                res = _read_residual(br, nb - order, order)
-                chans.append(_fixed_reconstruct(warm, res, order))
-            else:
-                raise ValueError(f"unsupported subframe type {stype}")
+        for c in range(nch):
+            # the side channel of a decorrelated pair carries one extra bit
+            # (left/side: ch1 is side; right/side: ch0; mid/side: ch1)
+            side = decorr is not None and c == {8: 1, 9: 0, 10: 1}[decorr]
+            chans.append(_decode_subframe(br, nb, frame_bps + (1 if side
+                                                               else 0)))
+        if decorr == 8:                      # left/side: R = L - side
+            chans = [chans[0], chans[0] - chans[1]]
+        elif decorr == 9:                    # right/side: L = R + side
+            chans = [chans[1] + chans[0], chans[1]]
+        elif decorr == 10:                   # mid/side
+            m2 = (chans[0] << 1) | (chans[1] & 1)
+            chans = [(m2 + chans[1]) >> 1, (m2 - chans[1]) >> 1]
         br.align()
         body_len = br.bitpos // 8 - frame_start
         expect_crc16 = int.from_bytes(

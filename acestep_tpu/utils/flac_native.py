@@ -54,6 +54,10 @@ def _load():
     lib.rice_decode.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
         ctypes.POINTER(ctypes.c_uint64), ctypes.c_size_t, ctypes.c_int]
+    lib.lpc_reconstruct.restype = None
+    lib.lpc_reconstruct.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int]
     _LIB = lib
     return _LIB
 
@@ -115,11 +119,24 @@ def _native_crc16(data: bytes) -> int:
     return int(_LIB.crc16(data, len(data)))
 
 
+def _native_lpc_reconstruct(samples: np.ndarray, coefs: np.ndarray,
+                            order: int, shift: int) -> None:
+    """In place: samples (int64, warmup then residuals) -> reconstructed."""
+    lib = _load()
+    s = samples          # caller guarantees contiguous int64
+    c = np.ascontiguousarray(coefs, np.int64)
+    lib.lpc_reconstruct(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(s),
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), order, shift)
+
+
 if _load() is not None:
     native_crc16 = _native_crc16
     native_rice_encode = _native_rice_encode
     native_rice_decode = _native_rice_decode
+    native_lpc_reconstruct = _native_lpc_reconstruct
 else:  # no compiler: flac.py falls back to pure Python
     native_crc16 = None
     native_rice_encode = None
     native_rice_decode = None
+    native_lpc_reconstruct = None

@@ -192,25 +192,30 @@ def matrix() -> list:
     run_think("10s_b1_think", 10, 1, repeats=3)
     run_think("30s_b8_think", 30, 8, repeats=3)
 
-    # quantized row (w8a8: int8 x int8 MXU matmuls)
+    # quantized row (w8a8: int8 x int8 MXU matmuls). Drop the bf16 handler
+    # and LM first: keeping two full DiT+VAE param sets resident would
+    # squeeze HBM on exactly the parts w8a8 targets
+    del handler, llm
     handler_q = AceStepHandler()
     handler_q.initialize_service(seed=0, quantization="w8a8")
-    t0 = time.perf_counter()
-    r = handler_q.generate_music("bench", "[inst]", audio_duration=60.0,
-                                 seeds=1, infer_steps=8)
-    np.asarray(r.audios[0][:8])
-    for _ in range(1):
+    handler_q.generate_music("bench", "[inst]", audio_duration=60.0,
+                             seeds=1, infer_steps=8)   # warm/compile
+    best = None
+    for i in range(2):
         t0 = time.perf_counter()
         r = handler_q.generate_music("bench", "[inst]", audio_duration=60.0,
-                                     seeds=2, infer_steps=8)
+                                     seeds=2 + i, infer_steps=8)
         np.asarray(r.audios[0][:8])
-    wall = time.perf_counter() - t0
+        wall = time.perf_counter() - t0
+        if best is None or wall < best[0]:
+            best = (wall, r.time_costs)
+    wall, costs = best
     rows.append({
         "config": "60s_b1_w8a8", "duration_s": 60, "batch": 1,
         "thinking": False, "wall_s": round(wall, 3),
         "seconds_per_song": round(wall, 3), "rtf": round(60 / wall, 1),
-        "diffusion_s": round(r.time_costs.get("diffusion_time_cost", 0), 3),
-        "vae_s": round(r.time_costs.get("vae_decode_time_cost", 0), 3),
+        "diffusion_s": round(costs.get("diffusion_time_cost", 0), 3),
+        "vae_s": round(costs.get("vae_decode_time_cost", 0), 3),
     })
     log(f"matrix 60s_b1_w8a8: {rows[-1]}")
     return rows

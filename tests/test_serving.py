@@ -32,9 +32,14 @@ class FakeDiTHandler:
     def __init__(self, output_dir):
         self.output_dir = output_dir
         self.calls = []
+        self.src_contents = []
 
     def generate_music(self, **kwargs):
         self.calls.append(kwargs)
+        src = kwargs.get("src_audio")
+        if isinstance(src, str) and os.path.exists(src):
+            with open(src, "rb") as f:
+                self.src_contents.append(f.read())
         batch = kwargs.get("batch_size", 1)
         sr = 48000
         audio = np.zeros((sr // 10, 2), np.float32)
@@ -386,5 +391,6 @@ def test_multipart_release_task_with_upload(server_env, tmp_path):
     assert call["batch_size"] == 2
     src = call.get("src_audio")
     assert src and src != "/should/be/overridden.wav"
-    with open(src, "rb") as f:
-        assert f.read() == wav_bytes
+    assert handler.src_contents[-1] == wav_bytes
+    # upload temp file is cleaned after the job (leak guard)
+    assert not os.path.exists(src)
