@@ -61,7 +61,14 @@ class TokenTables:
 
     def __init__(self, tokenizer):
         self.tok = tokenizer
-        V = tokenizer.vocab_size
+        # len(tokenizer), NOT tokenizer.vocab_size: HF vocab_size excludes
+        # added tokens, and the ids that matter most here (<think>,
+        # <|audio_code_N|>, <|im_end|>) ARE added tokens on the real
+        # checkpoints (Qwen3 base vocab + ACE-Step additions above it)
+        try:
+            V = len(tokenizer)
+        except TypeError:
+            V = tokenizer.vocab_size
         self.vocab_size = V
         # one batch_decode call instead of V decode() calls (HF fast
         # tokenizers: ~150k singleton decodes cost tens of seconds at init)
@@ -74,9 +81,6 @@ class TokenTables:
         self.newline_ids = np.asarray(
             [i for i, t in enumerate(texts) if t.strip() == "" and "\n" in t],
             np.int32)
-        self.digit_ids = np.asarray(
-            [i for i, t in enumerate(texts) if t and t.strip().isdigit()
-             and "\n" not in t], np.int32)
         code_re = re.compile(r"^<\|audio_code_(\d+)\|>$")
         self.code_ids = np.asarray(
             [i for i, t in enumerate(texts) if code_re.match(t)], np.int32)
@@ -93,6 +97,18 @@ class TokenTables:
 
     def encode(self, text: str) -> List[int]:
         return list(self.tok.encode(text))
+
+
+def _cached_trie(tables: TokenTables, key, builder) -> "Trie":
+    """Memoize value tries on the TokenTables instance (they depend only
+    on the tokenizer + the key); tries are read-only after construction,
+    so sharing across concurrent FSMs is safe."""
+    cache = getattr(tables, "_trie_cache", None)
+    if cache is None:
+        cache = tables._trie_cache = {}
+    if key not in cache:
+        cache[key] = builder()
+    return cache[key]
 
 
 def _number_trie(tables: TokenTables, lo: int, hi: int) -> Trie:
@@ -217,21 +233,42 @@ class MetadataFSM:
         self.n_codes = 0
         self.finished = False
 
+        # value tries depend only on (tokenizer, max_duration, vocab) —
+        # memoized on the TokenTables so per-request/per-batch-row FSM
+        # construction doesn't redo ~1000 tokenizer.encode calls
         self._tries = {
-            "bpm": _number_trie(tables, BPM_MIN, BPM_MAX),
-            "duration": _number_trie(tables, DURATION_MIN, self.max_duration),
-            "keyscale": _set_trie(tables, default_keyscales()),
-            "language": _set_trie(tables, [l for l in VALID_LANGUAGES]),
-            "timesignature": _set_trie(
-                tables, [str(v) for v in VALID_TIME_SIGNATURES]),
+            "bpm": _cached_trie(tables, ("bpm",),
+                                lambda: _number_trie(tables, BPM_MIN,
+                                                     BPM_MAX)),
+            "duration": _cached_trie(
+                tables, ("duration", self.max_duration),
+                lambda: _number_trie(tables, DURATION_MIN,
+                                     self.max_duration)),
+            "keyscale": _cached_trie(
+                tables, ("keyscale",),
+                lambda: _set_trie(tables, default_keyscales())),
+            "language": _cached_trie(
+                tables, ("language",),
+                lambda: _set_trie(tables, list(VALID_LANGUAGES))),
+            "timesignature": _cached_trie(
+                tables, ("timesignature",),
+                lambda: _set_trie(
+                    tables, [str(v) for v in VALID_TIME_SIGNATURES])),
         }
         if genres_vocab:
             # caption-priority: when the caption names genres from the
-            # vocab, restrict the genres field to the matched subset
+            # vocab, restrict the genres field to the matched subset.
+            # Only the full-vocab trie is memoized (stable key); a
+            # caption-matched subset is small and cheap to build fresh
             matched = match_caption_genres(caption, genres_vocab)
             self.caption_matched_genres = matched
-            self._tries["genres"] = _set_trie(tables,
-                                              matched or genres_vocab)
+            if matched:
+                self._tries["genres"] = _set_trie(tables, matched)
+            else:
+                # key on the full tuple: hot-reloaded vocab must miss
+                self._tries["genres"] = _cached_trie(
+                    tables, ("genres", tuple(genres_vocab)),
+                    lambda: _set_trie(tables, genres_vocab))
 
         self._queue: List[int] = []
         self._trie_node: Optional[Trie] = None
@@ -293,7 +330,9 @@ class MetadataFSM:
         self._mode = "done"
         dur = self.metadata_text.get("duration")
         try:
-            self.target_codes = int(float(dur)) * self.codes_per_second \
+            # int(dur * 5), matching the device fast path (handler.py
+            # n_codes) — int(dur)*5 would shorten fractional durations
+            self.target_codes = int(float(dur) * self.codes_per_second) \
                 if dur else None
         except ValueError:
             self.target_codes = None
@@ -305,7 +344,7 @@ class MetadataFSM:
     def begin_codes(self, target_duration: Optional[float] = None):
         """Switch to codes phase (phase-2 prompts reuse the same FSM class)."""
         if target_duration:
-            self.target_codes = int(target_duration) * self.codes_per_second
+            self.target_codes = int(target_duration * self.codes_per_second)
         self._enter_codes()
 
     # ------------------------------------------------------------------

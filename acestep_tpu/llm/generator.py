@@ -22,7 +22,6 @@ same).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
@@ -31,7 +30,7 @@ import numpy as np
 
 from acestep_tpu.config import LMConfig
 from acestep_tpu.models.lm import (
-    KVCache, cfg_mix_logits, lm_forward, lm_logits, sample_tokens,
+    KVCache, lm_forward, lm_logits, sample_tokens,
 )
 
 PROMPT_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
@@ -279,11 +278,17 @@ class LMEngine:
             ids[i, : min(len(r), L)] = r[:L]
         lens = np.minimum(lens, L)
 
-        budget = min(new_tokens_budget, self.max_len - L)
+        # budget against the REAL prompt length, not the bucket: a 2100-
+        # token prompt buckets to 4096 and would otherwise see zero budget
+        # at max_len=4096 despite ~2000 tokens of true headroom (the cache
+        # is sized L+budget below, so bucket padding costs memory, not
+        # generation room)
+        budget = min(new_tokens_budget, self.max_len - int(lens.max()))
         if budget <= 0:
             raise ValueError(
-                f"prompt bucket {L} leaves no room for generation within "
-                f"max_len {self.max_len}; raise LMEngine(max_len=...)")
+                f"prompt length {int(lens.max())} leaves no room for "
+                f"generation within max_len {self.max_len}; raise "
+                f"LMEngine(max_len=...)")
         cache = KVCache.create(self.cfg, len(rows), L + budget,
                                dtype=self.dtype)
         logits, cache = self._prefill(self.params, jnp.asarray(ids),

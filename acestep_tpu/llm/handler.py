@@ -117,6 +117,9 @@ class LLMHandler:
         """Load a checkpoint dir (HF layout) or build the self-contained
         fallback stack (SimpleTokenizer + random-init tiny LM)."""
         self.max_duration = max_duration
+        # device-FSM tables are keyed by metadata only — they encode token
+        # ids of THIS tokenizer, so a re-initialize must drop them
+        self._cot_table_cache = {}
         if checkpoint_dir:
             from acestep_tpu.llm.tokenizer import load_hf_tokenizer
             from acestep_tpu.utils.checkpoint import load_lm_checkpoint

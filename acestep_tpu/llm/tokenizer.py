@@ -38,6 +38,10 @@ class SimpleTokenizer:
     def vocab_size(self) -> int:
         return len(self._id_to_text)
 
+    def __len__(self) -> int:
+        # HF convention: len(tokenizer) = full vocab incl. added tokens
+        return len(self._id_to_text)
+
     def encode(self, text: str) -> List[int]:
         out: List[int] = []
         for part in self._special_re.split(text):

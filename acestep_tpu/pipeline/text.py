@@ -190,6 +190,8 @@ def prepare_seeds(batch_size: int, seeds: Union[None, int, str, Sequence[int]] =
             return [random.randint(0, 2 ** 31 - 1) for _ in range(batch_size)]
     if isinstance(seeds, int):
         seeds = [seeds]
+    if not seeds:                     # [] behaves like None: all random
+        return [random.randint(0, 2 ** 31 - 1) for _ in range(batch_size)]
     out = []
     for i in range(batch_size):
         s = seeds[i % len(seeds)]

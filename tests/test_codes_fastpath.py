@@ -50,3 +50,19 @@ def test_phase2_unconstrained_still_works(handler):
         "chill", "", target_duration=2.0, constrained=False, seed=2,
         max_cot_tokens=32)
     assert "metadata" in out
+
+
+def test_prefill_budget_uses_real_prompt_length(handler):
+    """A prompt just over a bucket boundary must not zero the generation
+    budget when the bucket rounds up to max_len (regression: understand()
+    on long songs raised 'no room for generation' despite real headroom)."""
+    engine = handler.engine
+    old_max = engine.max_len
+    try:
+        engine.max_len = 128
+        prompt = "x" * 70          # ~70 tokens -> bucket 128 == max_len
+        _logits, _cache, lens, budget = engine._prefill_prompts([prompt], 40)
+        assert budget == min(40, 128 - int(lens.max()))
+        assert budget > 0
+    finally:
+        engine.max_len = old_max

@@ -282,3 +282,50 @@ def test_keyscale_trie_has_no_special_tokens(tables, tok):
                 walk(child, depth + 1)
 
     walk(fsm._tries["keyscale"])
+
+
+def test_token_tables_cover_added_tokens():
+    """HF tokenizers exclude added tokens from vocab_size; the real
+    checkpoints put <think>/<|audio_code_N|>/<|im_end|> exactly there.
+    TokenTables must size by len(tokenizer), or the codes phase masks out
+    every audio-code id and special ids crash table indexing."""
+
+    class HFLike:
+        """Mimics an HF fast tokenizer: vocab_size < len(tokenizer)."""
+
+        def __init__(self):
+            self.inner = SimpleTokenizer(num_audio_codes=16)
+            # pretend everything from <think> up is an 'added token'
+            self.vocab_size = self.inner._text_to_id["<think>"]
+            self.eos_token_id = self.inner.eos_token_id
+
+        def __len__(self):
+            return self.inner.vocab_size
+
+        def encode(self, text):
+            return self.inner.encode(text)
+
+        def decode(self, ids):
+            return self.inner.decode(ids)
+
+    tok = HFLike()
+    tables = TokenTables(tok)
+    assert tables.vocab_size == len(tok)
+    assert len(tables.code_ids) == 16          # codes live above vocab_size
+    think_ids = tok.encode("<think>")
+    assert all(i < tables.vocab_size for i in think_ids)
+    # FSM construction + first mask must not crash on added-token ids
+    fsm = MetadataFSM(tables)
+    assert fsm.next_mask() is not None
+
+
+def test_fsm_trie_cache_reused_across_instances():
+    tok = SimpleTokenizer(num_audio_codes=8)
+    tables = TokenTables(tok)
+    a = MetadataFSM(tables)
+    b = MetadataFSM(tables)
+    assert a._tries["bpm"] is b._tries["bpm"]
+    assert a._tries["duration"] is b._tries["duration"]
+    # different max_duration -> different cached trie
+    c = MetadataFSM(tables, max_duration=120)
+    assert c._tries["duration"] is not a._tries["duration"]
