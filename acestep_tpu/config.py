@@ -77,6 +77,11 @@ class DiTConfig:
         return self.num_attention_heads // self.num_key_value_heads
 
     def layer_is_sliding(self, layer_idx: int) -> bool:
+        # use_sliding_window=False disables the band globally: the
+        # reference then sets sliding_window=None and every layer attends
+        # fully (configuration_acestep_v15.py:196)
+        if not self.use_sliding_window:
+            return False
         return self.layer_types[layer_idx] == "sliding_attention"
 
     def layers_alternate(self) -> bool:

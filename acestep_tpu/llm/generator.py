@@ -30,8 +30,17 @@ import numpy as np
 
 from acestep_tpu.config import LMConfig
 from acestep_tpu.models.lm import (
-    KVCache, lm_forward, lm_logits, sample_tokens,
+    KVCache, cfg_mix_logits, lm_forward, lm_logits, sample_tokens,
 )
+
+
+def _mix_fn(do_cfg: bool, cfg_scale: float):
+    """Paired-CFG logit mix (rows [cond; uncond]) or identity — the one
+    place the mixing convention lives (models/lm.cfg_mix_logits)."""
+    if not do_cfg:
+        return lambda lg: lg
+    return lambda lg: cfg_mix_logits(lg, cfg_scale)
+
 
 PROMPT_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
 
@@ -240,10 +249,7 @@ class LMEngine:
 
         @jax.jit
         def run(params, logits, cache, row_lens, key):
-            def mix(lg):
-                B = lg.shape[0] // 2 if do_cfg else lg.shape[0]
-                return (lg[B:] + cfg_scale * (lg[:B] - lg[B:])) if do_cfg \
-                    else lg
+            mix = _mix_fn(do_cfg, cfg_scale)
 
             def step(carry, _):
                 logits, cache, row_lens, key = carry
@@ -310,8 +316,7 @@ class LMEngine:
         @jax.jit
         def step(params, logits, allow, cache, row_lens, key):
             B = logits.shape[0] // 2 if do_cfg else logits.shape[0]
-            mixed = (logits[B:] + cfg_scale * (logits[:B] - logits[B:])
-                     if do_cfg else logits)
+            mixed = _mix_fn(do_cfg, cfg_scale)(logits)
             toks = sample_tokens(key, mixed, temperature=temperature,
                                  top_k=top_k, top_p=top_p, allow_mask=allow)
             feed = jnp.concatenate([toks, toks]) if do_cfg else toks
@@ -338,10 +343,7 @@ class LMEngine:
         def loop(params, logits0, cache, row_lens, key, tbl):
             V = logits0.shape[-1]
 
-            def mix(lg):
-                B = lg.shape[0] // 2 if do_cfg else lg.shape[0]
-                return (lg[B:] + cfg_scale * (lg[:B] - lg[B:])) if do_cfg \
-                    else lg
+            mix = _mix_fn(do_cfg, cfg_scale)
 
             def cond(carry):
                 _, _, _, _, state, _, i = carry
@@ -443,9 +445,7 @@ class LMEngine:
             B = logits0.shape[0] // 2 if do_cfg else logits0.shape[0]
             V = logits0.shape[-1]
 
-            def mix(lg):
-                return (lg[B:] + cfg_scale * (lg[:B] - lg[B:])) if do_cfg \
-                    else lg
+            mix = _mix_fn(do_cfg, cfg_scale)
 
             def cond(carry):
                 _, _, _, _, states, _, _, i = carry
@@ -573,11 +573,7 @@ class LMEngine:
             iota = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)
             allow = (iota >= code_start) & (iota < code_end)
 
-            def mix(lg):
-                B = lg.shape[0] // 2 if do_cfg else lg.shape[0]
-                if do_cfg:
-                    return lg[B:] + cfg_scale * (lg[:B] - lg[B:])
-                return lg
+            mix = _mix_fn(do_cfg, cfg_scale)
 
             def step(carry, _):
                 logits, cache, row_lens, key = carry

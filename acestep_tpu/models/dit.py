@@ -211,6 +211,10 @@ def encoder_stack(p_layers: dict, cfg: DiTConfig, x: jnp.ndarray, *,
         if sliding_mask is None:
             mask = full_mask
         elif full_mask is None:
+            # ONLY valid when L <= window+1 (attention_pooler /
+            # audio_detokenize, L=5-6): the band is then all-True, so
+            # full layers are unaffected. Callers with longer sequences
+            # must pass an explicit full_mask (see timbre_encoder).
             mask = sliding_mask
         else:
             mask = jnp.where(is_sliding, sliding_mask, full_mask)
@@ -281,8 +285,13 @@ def timbre_encoder(p: dict, cfg: DiTConfig, refs_packed: jnp.ndarray,
     L = x.shape[1]
     n = jax.tree.leaves(p["layers"])[0].shape[0]
     rope = rope_cos_sin(L, cfg.head_dim, cfg.rope_theta, dtype=x.dtype)
+    # full_attention layers attend UNRESTRICTED over the 750-frame
+    # reference (ref :1122-1150 builds the band only for sliding layers);
+    # passing full_mask=None here would band every layer
+    full = bidirectional_mask(L)
     sliding = bidirectional_mask(L, window=cfg.sliding_window)
-    x = encoder_stack(p["layers"], cfg, x, full_mask=None, sliding_mask=sliding,
+    x = encoder_stack(p["layers"], cfg, x, full_mask=full,
+                      sliding_mask=sliding,
                       sliding_flags=_sliding_flags(cfg, n), rope=rope)
     x = rms_norm(p["norm"], x, cfg.rms_norm_eps)
     cls = x[:, 0, :]

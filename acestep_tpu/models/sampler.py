@@ -88,7 +88,9 @@ def apg_step(pred_cond, pred_uncond, running_avg, *, guidance_scale: float,
         n = jnp.linalg.norm(d, axis=1, keepdims=True)
         d = d * jnp.minimum(1.0, norm_threshold / n)
     v1 = pred_cond.astype(f32)
-    v1 = v1 / jnp.linalg.norm(v1, axis=1, keepdims=True)
+    # torch F.normalize clamps the denominator at eps=1e-12; an unguarded
+    # division turns an all-zero column (dead quantized channel) into NaN
+    v1 = v1 / jnp.maximum(jnp.linalg.norm(v1, axis=1, keepdims=True), 1e-12)
     parallel = jnp.sum(d * v1, axis=1, keepdims=True) * v1
     orthogonal = d - parallel
     update = orthogonal + eta * parallel
@@ -290,7 +292,12 @@ def sample_guided(params, cfg: DiTConfig, *,
             k, sub = jax.random.split(k)
             noise = jax.random.normal(sub, xt.shape, xt.dtype)
             t_b = jnp.full((bsz,), t, x_init.dtype)
-            xt = renoise(get_x0_from_noise(xt, vt, t_b), t_next, noise)
+            # the reference renoises at the UNSHIFTED linear timestep
+            # 1-(i+1)/n (base :1972, with infer_steps reassigned to the
+            # truncated count after cover-noise), NOT the shift-warped
+            # schedule value — they only coincide at shift=1
+            lin_next = 1.0 - (i + 1).astype(x_init.dtype) / n
+            xt = renoise(get_x0_from_noise(xt, vt, t_b), lin_next, noise)
         else:
             xt = xt - vt * (t - t_next)
         return (xt, momentum, k), None

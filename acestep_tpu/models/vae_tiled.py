@@ -47,6 +47,23 @@ def _windows(x: jnp.ndarray, stride: int, overlap: int):
     return jax.vmap(take)(starts), n
 
 
+def _grouped_map(wins: jnp.ndarray, n: int, parallel_windows: int, fn):
+    """Run `fn` over windows in groups folded into the batch axis.
+
+    Pads the window axis to a whole number of groups (zero windows),
+    `lax.map`s over the groups, then un-pads back to `n` windows. `fn`
+    takes (G, B, win, C) and returns a pytree of (G, B, ...) arrays.
+    Shared by tiled_decode/tiled_encode so the pad/reshape/trim scheme
+    exists exactly once."""
+    groups = max(1, min(parallel_windows, n))
+    pad_n = (-n) % groups
+    if pad_n:
+        wins = jnp.concatenate([wins, jnp.zeros_like(wins[:pad_n])], axis=0)
+    wins = wins.reshape((n + pad_n) // groups, groups, *wins.shape[1:])
+    out = jax.lax.map(fn, wins)                       # pytree of (ng, G, ...)
+    return jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:])[:n], out)
+
+
 def tiled_decode(params: dict, cfg: VAEConfig, latents: jnp.ndarray, *,
                  chunk_size: int = DEFAULT_DECODE_CHUNK,
                  overlap: int = DEFAULT_DECODE_OVERLAP,
@@ -76,13 +93,7 @@ def tiled_decode(params: dict, cfg: VAEConfig, latents: jnp.ndarray, *,
         audio = audio.reshape(G, B, *audio.shape[1:])
         return audio[:, :, overlap * hop:-(overlap * hop) if overlap else None]
 
-    groups = max(1, min(parallel_windows, n))
-    pad_n = (-n) % groups
-    if pad_n:
-        wins = jnp.concatenate([wins, jnp.zeros_like(wins[:pad_n])], axis=0)
-    wins = wins.reshape((n + pad_n) // groups, groups, *wins.shape[1:])
-    cores = jax.lax.map(decode_group, wins)           # (ng, G, B, s*hop, ch)
-    cores = cores.reshape(-1, *cores.shape[2:])[:n]   # (n, B, stride*hop, ch)
+    cores = _grouped_map(wins, n, parallel_windows, decode_group)
     audio = jnp.moveaxis(cores, 0, 1).reshape(B, n * stride * hop, -1)
     return audio[:, : T * hop]
 
@@ -120,15 +131,8 @@ def tiled_encode(params: dict, cfg: VAEConfig, audio: jnp.ndarray, *,
         trim = slice(overlap, -overlap if overlap else None)
         return mean[:, :, trim], std[:, :, trim]
 
-    groups = max(1, min(parallel_windows, n))
-    pad_n = (-n) % groups
-    if pad_n:
-        wins = jnp.concatenate([wins, jnp.zeros_like(wins[:pad_n])], axis=0)
-    wins = wins.reshape((n + pad_n) // groups, groups, *wins.shape[1:])
-    means, stds = jax.lax.map(encode_group, wins)
+    means, stds = _grouped_map(wins, n, parallel_windows, encode_group)
     stride_t = chunk_size - 2 * overlap
-    means = means.reshape(-1, *means.shape[2:])[:n]
-    stds = stds.reshape(-1, *stds.shape[2:])[:n]
     mean = jnp.moveaxis(means, 0, 1).reshape(B, n * stride_t, -1)[:, :T]
     std = jnp.moveaxis(stds, 0, 1).reshape(B, n * stride_t, -1)[:, :T]
     return _sample(mean, std, key)

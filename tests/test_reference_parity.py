@@ -254,7 +254,7 @@ def test_condition_encoder_functionally_matches_reference(ref_modeling):
     tiny = dict(TINY)
     tiny.update(text_hidden_dim=32, timbre_hidden_dim=64,
                 num_lyric_encoder_hidden_layers=2,
-                num_timbre_encoder_hidden_layers=1)
+                num_timbre_encoder_hidden_layers=2)
     torch.manual_seed(2)
     ref_config = ref_cfg_mod.AceStepConfig(**tiny)
     ref_config._attn_implementation = "eager"
@@ -279,7 +279,7 @@ def test_condition_encoder_functionally_matches_reference(ref_modeling):
 
     cfg = DiTConfig.tiny(text_hidden_dim=32,
                          num_lyric_encoder_hidden_layers=2,
-                         num_timbre_encoder_hidden_layers=1,
+                         num_timbre_encoder_hidden_layers=2,
                          attention_impl="dense")
 
     rng = np.random.default_rng(2)
@@ -796,6 +796,143 @@ def test_sft_custom_timesteps_adg_trajectory_matches_reference():
             schedule=schedule,
             cond=cond, null_cond=null_cond, guidance_scale=gscale,
             cfg_interval=(0.0, 1.0), use_adg=True, infer_method="ode")
+    ours_np = np.asarray(ours)
+    assert ours_np.shape == ref_np.shape
+    np.testing.assert_allclose(ours_np, ref_np, rtol=5e-3, atol=5e-3)
+
+
+def test_base_sde_trajectory_matches_reference(monkeypatch):
+    """Base-model SDE trajectory with shift=3: the reference renoises at
+    the UNSHIFTED linear timestep 1-(i+1)/n (base :1972), not the shifted
+    schedule value. Per-step noise is zeroed on both sides (the reference
+    draws unseedable torch noise inside renoise), which makes the update
+    deterministic and exposes exactly the renoise-timestep semantics."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from acestep_tpu.config import DiTConfig
+    from acestep_tpu.models.dit import prepare_condition
+    from acestep_tpu.models.sampler import (
+        ConditionSet, build_continuous_schedule, sample_guided)
+    from acestep_tpu.utils.checkpoint import convert_dit_state
+
+    base_dir = "/root/reference/acestep/models/base"
+    if "vector_quantize_pytorch" not in sys.modules:
+        stub = types.ModuleType("vector_quantize_pytorch")
+
+        class ResidualFSQ(torch.nn.Module):
+            def __init__(self, *a, **k):
+                super().__init__()
+
+        stub.ResidualFSQ = ResidualFSQ
+        sys.modules["vector_quantize_pytorch"] = stub
+    sys.path.insert(0, base_dir)
+    try:
+        import configuration_acestep_v15 as ref_cfg_mod
+        import modeling_acestep_v15_base as ref_mod
+    finally:
+        sys.path.remove(base_dir)
+
+    tiny = dict(TINY)
+    tiny.update(text_hidden_dim=32, timbre_hidden_dim=64,
+                num_lyric_encoder_hidden_layers=2,
+                num_timbre_encoder_hidden_layers=1,
+                num_attention_pooler_hidden_layers=1, fsq_dim=64)
+    torch.manual_seed(11)
+    ref_config = ref_cfg_mod.AceStepConfig(**tiny)
+    ref_config._attn_implementation = "eager"
+    model = ref_mod.AceStepConditionGenerationModel(ref_config).eval()
+
+    # zero the per-step SDE noise (deterministic renoise on both sides)
+    def zero_renoise(x, t, noise=None):
+        if isinstance(t, torch.Tensor) and t.ndim != x.ndim:
+            t = t.unsqueeze(-1).unsqueeze(-1)
+        return (1 - t) * x
+
+    monkeypatch.setattr(model, "renoise", zero_renoise)
+
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    state.setdefault("tokenizer.quantizer.layers.0.project_in.weight",
+                     np.zeros((6, 64), np.float32))
+    state.setdefault("tokenizer.quantizer.layers.0.project_in.bias",
+                     np.zeros((6,), np.float32))
+    state.setdefault("tokenizer.quantizer.layers.0.project_out.weight",
+                     np.zeros((64, 6), np.float32))
+    state.setdefault("tokenizer.quantizer.layers.0.project_out.bias",
+                     np.zeros((64,), np.float32))
+    cfg = DiTConfig.tiny(
+        text_hidden_dim=32, num_lyric_encoder_hidden_layers=2,
+        num_timbre_encoder_hidden_layers=1,
+        num_attention_pooler_hidden_layers=1, fsq_dim=64,
+        sliding_window=TINY["sliding_window"],
+        layer_types=tuple(TINY["layer_types"]),
+        attention_impl="dense", model_version="base")
+    params = convert_dit_state(state, cfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(11)
+    B, T = 1, 20
+    text_h = rng.standard_normal((B, 4, 32)).astype(np.float32)
+    lyric_h = rng.standard_normal((B, 6, 32)).astype(np.float32)
+    refer = rng.standard_normal((B, 10, 64)).astype(np.float32)
+    src = np.zeros((B, T, 64), np.float32)
+    chunk = np.ones((B, T, 64), np.float32)
+    hints = rng.standard_normal((B, T, 64)).astype(np.float32)
+    steps, gscale, shift = 6, 4.0, 3.0      # shift != 1 is the point
+
+    with torch.no_grad():
+        ref_out = model.generate_audio(
+            text_hidden_states=torch.from_numpy(text_h),
+            text_attention_mask=torch.ones(B, 4),
+            lyric_hidden_states=torch.from_numpy(lyric_h),
+            lyric_attention_mask=torch.ones(B, 6),
+            refer_audio_acoustic_hidden_states_packed=torch.from_numpy(refer),
+            refer_audio_order_mask=torch.arange(B).long(),
+            src_latents=torch.from_numpy(src),
+            chunk_masks=torch.from_numpy(chunk),
+            is_covers=torch.zeros(B),
+            precomputed_lm_hints_25Hz=torch.from_numpy(hints),
+            silence_latent=torch.zeros(1, T, 64),
+            seed=13, infer_steps=steps, diffusion_guidance_sale=gscale,
+            infer_method="sde", shift=shift, use_progress_bar=False,
+        )
+        noise = model.prepare_noise(
+            torch.cat([torch.from_numpy(src), torch.from_numpy(chunk)],
+                      dim=-1), seed=13).numpy()
+    ref_np = ref_out["target_latents"].numpy()
+
+    # zero our per-step SDE noise the same way
+    real_normal = jax.random.normal
+    monkeypatch.setattr(jax.random, "normal",
+                        lambda key, shape, dtype=None: jnp.zeros(
+                            shape, dtype or jnp.float32))
+    try:
+        with jax.default_matmul_precision("float32"):
+            enc, _m, ctx = prepare_condition(
+                params, cfg,
+                text_hidden_states=jnp.asarray(text_h),
+                text_attention_mask=jnp.ones((B, 4), jnp.int32),
+                lyric_hidden_states=jnp.asarray(lyric_h),
+                lyric_attention_mask=jnp.ones((B, 6), jnp.int32),
+                refer_audio_packed=jnp.asarray(refer),
+                refer_order_mask=jnp.arange(B, dtype=jnp.int32),
+                src_latents=jnp.asarray(src),
+                chunk_masks=jnp.asarray(chunk),
+                is_covers=jnp.zeros((B,), jnp.int32),
+                precomputed_lm_hints_25hz=jnp.asarray(hints),
+            )
+            cond = ConditionSet.build(params, cfg, enc, ctx)
+            null = jnp.broadcast_to(
+                params["null_condition_emb"].astype(enc.dtype), enc.shape)
+            null_cond = ConditionSet.build(params, cfg, null, ctx)
+            ours = sample_guided(
+                params, cfg, x_init=jnp.asarray(noise),
+                schedule=build_continuous_schedule(steps, shift=shift),
+                cond=cond, null_cond=null_cond, guidance_scale=gscale,
+                cfg_interval=(0.0, 1.0), use_adg=False, infer_method="sde")
+    finally:
+        monkeypatch.setattr(jax.random, "normal", real_normal)
     ours_np = np.asarray(ours)
     assert ours_np.shape == ref_np.shape
     np.testing.assert_allclose(ours_np, ref_np, rtol=5e-3, atol=5e-3)
