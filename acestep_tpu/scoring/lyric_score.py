@@ -41,7 +41,11 @@ def lyric_alignment_score(captured: Dict[int, np.ndarray],
         d_text = np.diff(text_idx)
         d_time = np.diff(time_idx)
         moved = d_text > 0
-        monotonic = np.mean(d_time[moved] >= 0) if moved.any() else 0.0
+        # strict: the DTW path's time indices are non-decreasing by
+        # construction, so `>= 0` would be vacuously 1.0; a token advance
+        # only counts as monotonic when audio time actually advances too
+        # (degenerate all-tokens-on-one-frame alignments score 0 here)
+        monotonic = np.mean(d_time[moved] > 0) if moved.any() else 0.0
     else:
         monotonic = 0.0
     confidence_raw = float(np.mean(attn[text_idx, time_idx]))

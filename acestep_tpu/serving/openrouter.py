@@ -177,13 +177,23 @@ def chat_to_request(body: Dict[str, Any]) -> GenerateMusicRequest:
 
     task_type = body.get("task_type", "text2music")
     reference_audio = src_audio = None
+    used = 0
     if task_type == "text2music":
         if audio_paths:
             reference_audio = audio_paths[0]
             task_type = "music_continuation"
+            used = 1
     else:
         src_audio = audio_paths[0] if audio_paths else None
         reference_audio = audio_paths[1] if len(audio_paths) > 1 else None
+        used = min(len(audio_paths), 2)
+    for path in audio_paths[used:]:
+        # attachments beyond what the task consumes would leak their
+        # temp files (the job cleanup only tracks the two request paths)
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
 
     seed = body.get("seed")
     return GenerateMusicRequest(

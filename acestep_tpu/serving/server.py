@@ -291,8 +291,9 @@ class AppState:
 
         model_name, dit_handler = self._select_handler(req.model)
         llm_handler, release_llm = self._select_llm(getattr(req, "lm_model_path", None))
+        temp_files = []     # cleaned in the OUTER finally: an exception
+        # anywhere after upload materialization must not leak the files
         try:
-            temp_files = []
             # chat-adapter uploads (openrouter.base64_to_temp_file) are ours to
             # clean as well — they'd otherwise leak one audio file per request
             import tempfile as _tempfile
@@ -349,12 +350,6 @@ class AppState:
                             job_id, analysis.get("error") or "analysis failed")
                 except Exception as e:
                     self.job_store.mark_failed(job_id, str(e))
-                finally:
-                    for path in temp_files:
-                        try:
-                            os.unlink(path)
-                        except OSError:
-                            pass
                 self._cache_result(job_id)
                 return
 
@@ -370,16 +365,9 @@ class AppState:
                     params.caption = fmt.get("caption", params.caption)
                     params.lyrics = fmt.get("lyrics", params.lyrics)
 
-            try:
-                with self.reinit_lock:
-                    result = inference.generate_music(
-                        dit_handler, llm_handler, params, config)
-            finally:
-                for path in temp_files:     # ref _cleanup_job_temp_files
-                    try:
-                        os.unlink(path)
-                    except OSError:
-                        pass
+            with self.reinit_lock:
+                result = inference.generate_music(
+                    dit_handler, llm_handler, params, config)
             payload = result.to_dict()
             payload["dit_model"] = model_name
             # report the LM actually used: _select_llm falls back to the
@@ -403,6 +391,11 @@ class AppState:
                 self.avg_job_seconds = (self.avg_job_seconds * n + elapsed) / (n + 1)
                 self.completed_jobs = n + 1
         finally:
+            for path in temp_files:     # ref _cleanup_job_temp_files
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
             release_llm()
 
     # -- result cache (reference _update_local_cache, :1342-1433) -----------
@@ -411,12 +404,23 @@ class AppState:
         rec = self.job_store.get(job_id)
         if rec is None:
             return
-        data = [{
+        entry = {
             "file": "", "wave": "", "status": _map_status("running"),
             "create_time": int(rec.created_at), "env": rec.env,
             "progress": float(progress), "stage": stage,
-        }]
-        self.local_cache.set(f"{RESULT_KEY_PREFIX}{job_id}", data)
+        }
+        if stage != "queued":
+            # run-start timestamp survives later progress updates: the
+            # running-job timeout must not count queue wait (a long queue
+            # would otherwise fail jobs the moment they start)
+            prior = self.local_cache.get(f"{RESULT_KEY_PREFIX}{job_id}")
+            try:
+                prior_entry = json.loads(prior)[0] if prior else {}
+            except (ValueError, IndexError, TypeError):
+                prior_entry = {}
+            entry["run_start_time"] = prior_entry.get(
+                "run_start_time") or int(time.time())
+        self.local_cache.set(f"{RESULT_KEY_PREFIX}{job_id}", [entry])
 
     def _cache_result(self, job_id: str) -> None:
         rec = self.job_store.get(job_id)
@@ -567,10 +571,14 @@ class _Handler(BaseHTTPRequestHandler):
         url = urlparse(self.path)
         route = url.path.rstrip("/") or "/"
         # /health and the studio page stay open; everything else (audio
-        # downloads, stats, lora/training state) is API-key gated like POST
+        # downloads, stats, lora/training state) is API-key gated like
+        # POST. GET also accepts ?ai_token= — <audio src> elements cannot
+        # attach an Authorization header.
+        qs_token = (parse_qs(url.query).get("ai_token") or [None])[0]
         if route not in ("/health", "/", "/studio") and \
-                not self.state.check_auth(None,
-                                          self.headers.get("Authorization")):
+                not self.state.check_auth(
+                    {"ai_token": qs_token} if qs_token else None,
+                    self.headers.get("Authorization")):
             self._unauthorized()
             return
         try:
@@ -744,13 +752,15 @@ class _Handler(BaseHTTPRequestHandler):
             except ValueError:
                 entries = []
             status = entries[0].get("status", 2) if entries else 2
-            create_time = entries[0].get("create_time", 0) if entries else 0
             stage = entries[0].get("stage", "") if entries else ""
-            # timeout applies to RUNNING jobs only — a long queue is not a
-            # failure, and flipping 2 -> 1 later breaks terminal-status
-            # expectations
+            # timeout applies to RUNNING jobs only, measured from RUN
+            # start — queue wait is not a failure, and counting it would
+            # fail long-queued jobs the moment they start (then flip
+            # 2 -> 1 on success, breaking terminal-status expectations)
+            run_start = (entries[0].get("run_start_time")
+                         or entries[0].get("create_time", 0)) if entries else 0
             if status == 0 and stage == "running" \
-                    and (now - create_time) > TASK_TIMEOUT_SECONDS:
+                    and (now - run_start) > TASK_TIMEOUT_SECONDS:
                 status = 2
             data_list.append({"task_id": task_id, "result": payload,
                               "status": status})

@@ -78,6 +78,12 @@ def make_batches(files: Sequence[str], batch_size: int, *,
     epoch = 0
     while epochs is None or epoch < epochs:
         order = rng.permutation(len(files)) if shuffle else np.arange(len(files))
+        if len(order) < batch_size:
+            # tiny datasets (the reference's 8-song LoRA flow with fewer
+            # files than batch_size): cycle so one full batch still forms —
+            # otherwise the loop below yields nothing and spins forever
+            reps = -(-batch_size // len(order))
+            order = np.concatenate([order] * reps)[:batch_size]
         for start in range(0, len(order) - batch_size + 1, batch_size):
             idxs = order[start:start + batch_size]
             rows = [PreprocessedDataset.load(files[i]) for i in idxs]

@@ -291,8 +291,14 @@ class DatasetBuildPipeline:
 
         lat_dir = os.path.join(self.out_dir, "latents")
         counts = {}
-        splits = [("tensors", "dataset_train.json"
-                   if self.val_fraction > 0 else "dataset.json")]
+        # stage_manifest only writes split files when there are >=2
+        # entries; a single-file dataset with val_fraction>0 must still
+        # build tensors from dataset.json (not silently build nothing)
+        train_manifest = "dataset_train.json"
+        if not (self.val_fraction > 0 and os.path.exists(
+                os.path.join(self.out_dir, train_manifest))):
+            train_manifest = "dataset.json"
+        splits = [("tensors", train_manifest)]
         if self.val_fraction > 0:
             splits.append(("tensors_val", "dataset_val.json"))
         for sub, manifest_name in splits:

@@ -175,6 +175,7 @@ class LoRATrainer:
                                        cfg_ratio=tcfg.cfg_ratio)
 
         step = start_step
+        loss = None     # stays None when stopped before the first step
         t0 = time.time()
         for batch in batches:
             if step >= tcfg.max_steps:
@@ -198,4 +199,8 @@ class LoRATrainer:
                                   f"{tcfg.adapter_name}.npz"),
                      {"meta": self._meta(),
                       "weights": jax.tree.map(np.asarray, weights)})
-        yield step, 0.0, f"training complete; final checkpoint: {final}"
+        # report the final REAL loss — a literal 0.0 would be appended to
+        # metrics.jsonl and plotted as a bogus terminal plunge. None when
+        # stopped before the first step (no loss exists to report).
+        yield step, (float(loss) if loss is not None else None), \
+            f"training complete; final checkpoint: {final}"

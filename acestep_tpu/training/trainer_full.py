@@ -87,6 +87,11 @@ class FullTrainer:
             return
         import orbax.checkpoint as ocp
 
+        # the end-of-training save coincides with a periodic one when
+        # max_steps is a checkpoint_every multiple; orbax raises
+        # StepAlreadyExistsError on a re-save of the same step
+        if self.step in (self._ckpt.all_steps() or []):
+            return
         self._ckpt.save(self.step, args=ocp.args.Composite(
             params=ocp.args.StandardSave(self.params),
             opt_state=ocp.args.StandardSave(self.opt_state),

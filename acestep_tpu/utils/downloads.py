@@ -203,6 +203,14 @@ def ensure_model(name: str, root: Optional[str] = None,
         os.makedirs(partial, exist_ok=True)
         smart_download(repo_id, partial, prefer_source=prefer_source)
         write_manifest(partial)
+        if os.path.isdir(target):
+            # a leftover non-checkpoint dir (interrupted earlier download,
+            # config-only remnant) makes os.replace fail with ENOTEMPTY on
+            # Linux — it was already rejected by the checkpoint probe
+            # above, so it carries nothing worth keeping
+            import shutil
+
+            shutil.rmtree(target, ignore_errors=True)
         os.replace(partial, target)
         return target
 

@@ -453,7 +453,18 @@ def _decode_subframe(br: BitReader, nb: int, sf_bps: int) -> np.ndarray:
 
 def decode_flac(data: bytes) -> Tuple[np.ndarray, int]:
     """FLAC stream -> ((n, channels) int16, sample_rate). Verifies frame
-    CRCs and the STREAMINFO MD5; raises ValueError on any mismatch."""
+    CRCs and the STREAMINFO MD5; raises ValueError on any mismatch
+    (including truncated streams)."""
+    try:
+        return _decode_flac(data)
+    except IndexError as e:
+        # BitReader / header slicing run past EOF on truncated input —
+        # surface it as the same error class as every other corruption
+        # (load_audio's ffmpeg fallback and callers catch ValueError)
+        raise ValueError("truncated FLAC stream") from e
+
+
+def _decode_flac(data: bytes) -> Tuple[np.ndarray, int]:
     if data[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
     pos = 4

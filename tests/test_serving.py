@@ -286,6 +286,11 @@ def test_get_endpoints_require_api_key(tmp_path):
                      headers={"Authorization": "Bearer sekrit"})
         assert conn.getresponse().status == 200
         conn.close()
+        # query-param token: the studio's <audio src> cannot send headers
+        status, _ = _get(port, "/v1/stats?ai_token=sekrit")
+        assert status == 200
+        status, _ = _get(port, "/v1/stats?ai_token=wrong")
+        assert status == 401
     finally:
         state.shutdown()
         server.shutdown()
