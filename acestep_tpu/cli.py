@@ -296,24 +296,31 @@ def run_wizard(dit_handler, llm_handler, args) -> None:
             else:
                 print(f"  generation failed: {result.error}")
         elif cmd == "understand":
-            meta = _run_understand(dit_handler, llm_handler, rest.strip())
+            try:
+                meta = _run_understand(dit_handler, llm_handler, rest.strip())
+            except (OSError, ValueError) as e:
+                print(f"  ! {e}")      # a typo'd path must not kill the REPL
+                meta = None
             if meta and _input("Merge into parameters? (y/n)",
                                "y").lower().startswith("y"):
                 for key in ("caption", "bpm", "keyscale", "timesignature",
                             "duration"):
                     if meta.get(key) not in (None, ""):
                         try:
-                            _edit_field(params, key if key != "duration"
-                                        else "duration", str(meta[key]))
+                            _edit_field(params, key, str(meta[key]))
                         except Exception:
                             pass
         elif cmd == "codes":
             parts = rest.split()
             if parts:
-                codes = _export_codes(dit_handler, parts[0],
-                                      parts[1] if len(parts) > 1 else None)
-                if _input("Use as generation hints? (y/n)",
-                          "n").lower().startswith("y"):
+                try:
+                    codes = _export_codes(dit_handler, parts[0],
+                                          parts[1] if len(parts) > 1 else None)
+                except (OSError, ValueError) as e:
+                    print(f"  ! {e}")
+                    codes = None
+                if codes and _input("Use as generation hints? (y/n)",
+                                    "n").lower().startswith("y"):
                     params.audio_codes = codes
             else:
                 print("usage: codes <audio> [out_file]")
@@ -359,7 +366,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=-1)
     parser.add_argument("--no-think", action="store_true",
                         help="skip the LM planning phase")
-    parser.add_argument("--format", default="wav")
+    parser.add_argument("--format", default="flac",
+                        help="output format (flac is the repo default; "
+                             "native encoder, no ffmpeg needed)")
     parser.add_argument("--output-dir", default="outputs")
     parser.add_argument("--src-audio", default=None,
                         help="source audio for repaint/cover/extract/...")

@@ -184,7 +184,10 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
             else params.lyrics
         lm_meta: Dict[str, Any] = {}
         audio_codes = params.audio_codes or None
-        skip_lm = params.task_type in ("cover", "repaint") and audio_codes
+        # the reference skips the LM entirely for cover/repaint (its
+        # skip_lm_tasks, inference.py:390) — edit tasks must not have the
+        # LM overwrite the user's caption/metadata (or pay LM latency)
+        skip_lm = params.task_type in ("cover", "repaint")
         if llm_handler is not None and params.thinking and not skip_lm:
             t_lm = time.time()
             plan_kwargs = dict(
@@ -269,7 +272,10 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
             seeds=seeds,
             use_random_seed=config.use_random_seed and config.seeds is None
             and (params.seed is None or params.seed < 0),
-            src_audio=params.src_audio,
+            # text2music must not see a stale src_audio left over from a
+            # previous edit task (ref inference.py:598-599 guards this)
+            src_audio=(None if params.task_type == "text2music"
+                       else params.src_audio),
             refer_audios=params.reference_audio,
             audio_code_hints=audio_codes,
             repainting_start=(params.repainting_start

@@ -48,13 +48,23 @@ def _path_keys(path) -> list:
 
 def _linear_spec(keys, leaf, tp_axis: str):
     """PartitionSpec for one leaf given its dict path. Returns None to
-    replicate."""
-    if not keys or keys[-1] != "w":
+    replicate. Quantized linears (ops/quant: 'w' replaced by a
+    {q_key: int8/fp8, 'scale': f32} node) shard like their plain weight —
+    otherwise TP on a quantized model would silently replicate everything."""
+    if keys and keys[-1] == "w":
+        sub = None
+    elif len(keys) >= 2 and keys[-2] == "w":
+        sub = keys[-1]              # quantized payload or 'scale'
+    else:
         return None  # biases / norms / tables replicated
-    parent = keys[-2] if len(keys) >= 2 else ""
+    parent_idx = -2 if sub is None else -3
+    parent = keys[parent_idx] if len(keys) >= -parent_idx else ""
     if parent in _COL_KEYS:
+        # q has w's shape; scale is (..., 1, out) — both shard the out dim
         spec = (None, tp_axis)
     elif parent in _ROW_KEYS:
+        if sub == "scale":
+            return None   # per-OUT-channel scale; the sharded dim is IN
         spec = (tp_axis, None)
     else:
         return None

@@ -192,8 +192,14 @@ def prepare_seeds(batch_size: int, seeds: Union[None, int, str, Sequence[int]] =
         seeds = [seeds]
     if not seeds:                     # [] behaves like None: all random
         return [random.randint(0, 2 ** 31 - 1) for _ in range(batch_size)]
+    # reference semantics (task_utils.prepare_seeds): a single fixed seed
+    # pins item 0 and the REST are random (replicating it would render
+    # batch_size identical songs); short lists pad with random, never cycle
+    single = len(seeds) == 1 and seeds[0] is not None and seeds[0] >= 0
     out = []
     for i in range(batch_size):
-        s = seeds[i % len(seeds)]
+        s = seeds[i] if i < len(seeds) else None
+        if single and i > 0:
+            s = None
         out.append(random.randint(0, 2 ** 31 - 1) if s is None or s < 0 else int(s))
     return out

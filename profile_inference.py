@@ -163,6 +163,7 @@ def mode_tier_test(args) -> Dict[str, Any]:
     tiers = ([float(t) for t in args.tiers.split(",")] if args.tiers
              else [0.0, 8.0, 16.0, 32.0])
     results = []
+    handler = None
     for hbm in tiers:
         tier = get_tier_config(float(hbm))
         entry: Dict[str, Any] = {"hbm_gb": hbm, "tier": tier.name,
@@ -170,6 +171,11 @@ def mode_tier_test(args) -> Dict[str, Any]:
                                  "max_duration": tier.max_duration_s,
                                  "lm": tier.lm_size}
         try:
+            # drop the previous tier's params BEFORE the next init: two
+            # resident DiT+VAE sets would corrupt exactly the memory-limit
+            # measurement this mode makes (same reason bench.py dels its
+            # bf16 handler before the quantized one)
+            handler = None
             handler, init_s = _init_handler(args, hbm_override=float(hbm))
             run = _run_once(handler, duration=10.0,
                             batch=min(2, tier.max_batch), steps=4)
@@ -186,8 +192,11 @@ def mode_tier_test(args) -> Dict[str, Any]:
             # --tier-boundary, BENCHMARK.md:205-219): bf16 vs quantized
             # configurations per tier.
             entry["boundary"] = []
+            handler = None        # boundary configs are measured alone
+            h2 = None
             for quant in (None, "int8", "fp8", "w8a8"):
                 try:
+                    h2 = None     # free the previous quant config first
                     h2, _ = _init_handler(args, hbm_override=float(hbm),
                                           quantization=quant)
                     r = _run_once(h2, duration=10.0, batch=1, steps=4)
@@ -205,6 +214,9 @@ def mode_tier_test(args) -> Dict[str, Any]:
             # Max safe batch per tier (reference --tier-batch-boundary,
             # BENCHMARK.md:226-233): escalate 1,2,4,8 until failure.
             entry["batch_boundary"] = []
+            if handler is None:   # released by the quant-boundary sweep
+                h2 = None
+                handler, _ = _init_handler(args, hbm_override=float(hbm))
             max_ok = 0
             for batch in (1, 2, 4, 8):
                 try:

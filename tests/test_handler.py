@@ -308,3 +308,18 @@ def test_batch_group_decode_matches_whole(handler):
     assert grouped.shape == whole.shape
     peak = np.abs(whole).max(axis=(1, 2), keepdims=True)
     assert np.all(np.abs(grouped - whole) <= 2 * peak / 32767.0 + 1e-7)
+
+
+def test_prepare_seeds_single_seed_varies_batch():
+    """Reference task_utils semantics: a single fixed seed pins item 0 and
+    the rest are random (replication would render identical songs); short
+    lists pad with random instead of cycling."""
+    from acestep_tpu.pipeline.text import prepare_seeds
+
+    out = prepare_seeds(4, 7)
+    assert out[0] == 7
+    assert len(set(out)) > 1          # items 1..3 are random, not copies
+    out2 = prepare_seeds(4, [5, 6])
+    assert out2[:2] == [5, 6]
+    assert out2[2] != 5 or out2[3] != 6   # padded random, not cycled
+    assert prepare_seeds(3, [1, 2, 3]) == [1, 2, 3]

@@ -101,3 +101,33 @@ def test_mesh_tp_only_single_item():
                                     seeds=[7], normalize=False)
     np.testing.assert_allclose(res.pred_latents, ref.pred_latents,
                                rtol=2e-4, atol=2e-4)
+
+
+def test_quantized_params_get_tp_sharding_specs():
+    """TP specs must reach through quant nodes ({int8/fp8 payload, scale}
+    replacing 'w') — regression: quantized models silently replicated."""
+    from acestep_tpu.models.dit import init_dit_params
+    from acestep_tpu.ops.quant import quantize_tree
+    from acestep_tpu.parallel import dit_param_pspecs
+    from jax.sharding import PartitionSpec as P
+
+    cfg = DiTConfig.tiny()
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_tree(params, "w8a8")
+    specs = dit_param_pspecs(qparams)
+
+    def find(tree, *keys):
+        for k in keys:
+            tree = tree[k]
+        return tree
+
+    layer_q = find(specs, "decoder", "layers", "self_attn", "q_proj", "w")
+    assert isinstance(layer_q, dict), "q_proj.w should be a quant node"
+    payload_specs = [v for k, v in layer_q.items() if k != "scale"]
+    assert payload_specs and all("tp" in str(s) for s in payload_specs), \
+        payload_specs
+    assert "tp" in str(layer_q["scale"])      # col-parallel: out dim sharded
+    o_proj = find(specs, "decoder", "layers", "self_attn", "o_proj", "w")
+    assert o_proj["scale"] == P()             # row-parallel scale replicated
+    payload = [v for k, v in o_proj.items() if k != "scale"][0]
+    assert "tp" in str(payload)

@@ -376,6 +376,9 @@ def test_multipart_release_task_with_upload(server_env, tmp_path):
                + part("lyrics", "[inst]")
                + part("thinking", "false")
                + part("batch_size", "2")
+               # src audio only applies to edit tasks (text2music drops it,
+               # matching the reference's stale-src guard)
+               + part("task_type", "repaint")
                + part("src_audio_path", "/should/be/overridden.wav")
                + part("src_audio", wav_bytes, filename="upload.wav")
                + f"--{boundary}--\r\n".encode())
