@@ -131,3 +131,25 @@ def test_quantized_params_get_tp_sharding_specs():
     assert o_proj["scale"] == P()             # row-parallel scale replicated
     payload = [v for k, v in o_proj.items() if k != "scale"][0]
     assert "tp" in str(payload)
+
+
+def test_quantized_model_tp_matches_single_device():
+    """w8a8-quantized DiT under dp x tp must generate (and match the
+    unsharded quantized model) — regression: quant nodes were replicated,
+    and any spec/layout mismatch would surface here as a compile error."""
+    def q_handler(mesh=False):
+        h = AceStepHandler(
+            dit_config=DiTConfig.tiny(fsq_dim=64),
+            vae_config=VAEConfig.tiny(decoder_input_channels=64),
+            dtype=jnp.float32, frame_bucket=20, min_frames=20,
+            refer_frames=10)
+        h.initialize_service(seed=0, quantization="w8a8")
+        if mesh:
+            h.enable_mesh(dp=2, tp=2)
+        return h
+
+    kw = dict(audio_duration=0.8, seeds=[1, 2], normalize=False)
+    ref = q_handler().generate_music(["a", "b"], ["x"] * 2, **kw)
+    sharded = q_handler(mesh=True).generate_music(["a", "b"], ["x"] * 2, **kw)
+    np.testing.assert_allclose(sharded.pred_latents, ref.pred_latents,
+                               rtol=2e-4, atol=2e-4)
