@@ -69,6 +69,10 @@ FIELDS = [
     ("infer_method", "Sampler method (ode/sde)", str),
     ("shift", "Timestep shift", float),
     ("thinking", "Use LM planner (y/n)", bool),
+    ("lm_temperature", "LM temperature", float),
+    ("lm_metadata_temperature", "LM metadata-phase temperature (blank = LM temperature)", float),
+    ("lm_codes_temperature", "LM codes-phase temperature (blank = LM temperature)", float),
+    ("lm_repetition_penalty", "LM repetition penalty (1.0 = off)", float),
     ("seed", "Seed (-1 random)", int),
 ]
 
@@ -90,6 +94,10 @@ def _collect_params(args) -> GenerationParams:
         inference_steps=args.steps,
         seed=args.seed,
         task_type=args.task,
+        lm_temperature=args.lm_temperature,
+        lm_metadata_temperature=args.lm_metadata_temperature,
+        lm_codes_temperature=args.lm_codes_temperature,
+        lm_repetition_penalty=args.lm_repetition_penalty,
     )
     if args.language:
         params.vocal_language = args.language
@@ -364,6 +372,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--steps", type=int, default=8)
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--seed", type=int, default=-1)
+    parser.add_argument("--lm-temperature", type=float, default=0.85)
+    parser.add_argument("--lm-metadata-temperature", type=float, default=None,
+                        help="metadata-phase temperature override")
+    parser.add_argument("--lm-codes-temperature", type=float, default=None,
+                        help="codes-phase temperature override")
+    parser.add_argument("--lm-repetition-penalty", type=float, default=1.0)
     parser.add_argument("--no-think", action="store_true",
                         help="skip the LM planning phase")
     parser.add_argument("--format", default="flac",

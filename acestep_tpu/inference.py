@@ -66,6 +66,11 @@ class GenerationParams:
 
     thinking: bool = True
     lm_temperature: float = 0.85
+    # optional per-phase overrides (reference metadata_temperature /
+    # codes_temperature, llm_inference.py:282-304): None = use lm_temperature
+    lm_metadata_temperature: Optional[float] = None
+    lm_codes_temperature: Optional[float] = None
+    lm_repetition_penalty: float = 1.0
     lm_cfg_scale: float = 2.0
     lm_top_k: int = 0
     lm_top_p: float = 0.9
@@ -193,6 +198,9 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
             plan_kwargs = dict(
                 caption=params.caption, lyrics=lyrics,
                 temperature=params.lm_temperature,
+                metadata_temperature=params.lm_metadata_temperature,
+                codes_temperature=params.lm_codes_temperature,
+                repetition_penalty=params.lm_repetition_penalty,
                 cfg_scale=params.lm_cfg_scale,
                 top_k=params.lm_top_k, top_p=params.lm_top_p,
                 negative_prompt=params.lm_negative_prompt,
@@ -351,12 +359,26 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
 
 
 def understand_music(llm_handler, audio_codes: str,
-                     temperature: float = 0.85) -> UnderstandResult:
-    """LM 'understand' mode: audio codes -> metadata/caption/lyrics."""
+                     temperature: float = 0.85,
+                     top_k: Optional[int] = None,
+                     top_p: Optional[float] = None,
+                     repetition_penalty: float = 1.0,
+                     use_constrained_decoding: bool = True,
+                     constrained_decoding_debug: bool = False) -> UnderstandResult:
+    """LM 'understand' mode: audio codes -> metadata/caption/lyrics.
+
+    Knob surface mirrors the reference facade (inference.py:779-800);
+    cfg_scale / negative_prompt are not supported in understand mode.
+    `constrained_decoding_debug` is accepted for signature parity (debug
+    timing lives in utils/debug.py switches here)."""
     if llm_handler is None:
         return UnderstandResult(success=False, error="LLM handler not initialized")
     try:
-        out = llm_handler.understand(audio_codes, temperature=temperature)
+        out = llm_handler.understand(
+            audio_codes, temperature=temperature,
+            top_k=top_k or 0, top_p=top_p if top_p is not None else 1.0,
+            repetition_penalty=repetition_penalty,
+            use_constrained_decoding=use_constrained_decoding)
         return UnderstandResult(
             caption=out.get("caption", ""), lyrics=out.get("lyrics", ""),
             bpm=out.get("bpm"), duration=out.get("duration"),

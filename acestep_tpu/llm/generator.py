@@ -30,7 +30,8 @@ import numpy as np
 
 from acestep_tpu.config import LMConfig
 from acestep_tpu.models.lm import (
-    KVCache, cfg_mix_logits, lm_forward, lm_logits, sample_tokens,
+    KVCache, apply_repetition_penalty, cfg_mix_logits, lm_forward, lm_logits,
+    sample_tokens,
 )
 
 
@@ -40,6 +41,28 @@ def _mix_fn(do_cfg: bool, cfg_scale: float):
     if not do_cfg:
         return lambda lg: lg
     return lambda lg: cfg_mix_logits(lg, cfg_scale)
+
+
+def _pen_mix_fn(do_cfg: bool, cfg_scale: float, penalty: float):
+    """Penalize-then-mix: repetition penalty on the CONDITIONAL logits
+    before the CFG mix (reference order, nanovllm model_runner.py:528-552).
+    Returns f(logits (2B|B, V), seen (B, V) bool) -> mixed (B, V)."""
+    mix = _mix_fn(do_cfg, cfg_scale)
+    if penalty == 1.0:
+        return lambda lg, seen: mix(lg)
+
+    def f(lg, seen):
+        B = seen.shape[0]
+        cond = apply_repetition_penalty(lg[:B], seen, penalty)
+        lg = jnp.concatenate([cond, lg[B:]], axis=0) if do_cfg else cond
+        return mix(lg)
+
+    return f
+
+
+def _mark_seen(seen, toks):
+    """seen (B, V) bool, toks (B,) int32 -> seen with toks marked."""
+    return seen.at[jnp.arange(seen.shape[0]), toks].set(True)
 
 
 PROMPT_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
@@ -57,6 +80,26 @@ class GenOutput:
     token_ids: List[List[int]]     # generated ids per (conditional) sequence
     texts: List[str]
     stop_reasons: List[str]
+
+
+@dataclasses.dataclass
+class PrefixState:
+    """Device KV cache + the token streams it holds, for phase-1 -> phase-2
+    prefix reuse (the role of nano-vllm's prefix caching,
+    nanovllm/engine/block_manager.py `num_cached_tokens`): the phase-2
+    prompt extends phase 1's, so its prefill can start from the cached K/V
+    and forward only the delta tokens."""
+    cache: KVCache
+    tokens: List[List[int]]        # per ROW (cond + uncond): prompt + fed ids
+    row_lens: np.ndarray           # per-row valid K/V length
+
+
+def _common_prefix_len(a: List[int], b: List[int]) -> int:
+    n = min(len(a), len(b))
+    for i in range(n):
+        if a[i] != b[i]:
+            return i
+    return n
 
 
 class LMEngine:
@@ -84,23 +127,28 @@ class LMEngine:
         cfg_ = cfg
 
         @jax.jit
-        def prefill(params, ids, row_lens, cache):
-            B, L = ids.shape
-            hidden, cache = lm_forward(params, cfg_, ids, cache,
-                                       start_pos=jnp.zeros((B,), jnp.int32))
-            # logits at each row's last real token
-            idx = jnp.clip(row_lens - 1, 0, L - 1)
-            last = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0]
-            return lm_logits(params, cfg_, last[:, None, :])[:, 0], cache
-
-        @jax.jit
         def decode(params, tokens, row_lens, cache):
             hidden, cache = lm_forward(params, cfg_, tokens[:, None], cache,
                                        start_pos=row_lens)
             return lm_logits(params, cfg_, hidden)[:, 0], cache
 
-        self._prefill = prefill
+        @jax.jit
+        def prefill_at(params, ids, starts, dlens, cache):
+            """Delta prefill at per-row offsets (prefix-reuse path): writes
+            K/V at [starts, starts+L) per row; logits at each row's last
+            REAL delta token (index dlens-1 inside the padded block)."""
+            B, L = ids.shape
+            hidden, cache = lm_forward(params, cfg_, ids, cache,
+                                       start_pos=starts)
+            idx = jnp.clip(dlens - 1, 0, L - 1)
+            last = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0]
+            return lm_logits(params, cfg_, last[:, None, :])[:, 0], cache
+
         self._decode = decode
+        self._prefill_at = prefill_at
+        # per-call prefill accounting (tested by the prefix-reuse tests;
+        # also surfaced by bench rows): reused vs freshly processed tokens
+        self.last_prefill_stats: Dict[str, int] = {}
 
     # --------------------------------------------------------------
 
@@ -113,6 +161,7 @@ class LMEngine:
         temperature: float = 0.85,
         top_k: int = 0,
         top_p: float = 1.0,
+        repetition_penalty: float = 1.0,
         max_new_tokens: int = 512,
         stop_strings: Sequence[str] = (),
         fsms: Optional[Sequence] = None,
@@ -163,6 +212,9 @@ class LMEngine:
         vocab = self.cfg.vocab_size
         row_lens_dev = jnp.asarray(lens)
         have_fsm = fsms is not None and any(f is not None for f in fsms)
+        # completion-token presence per conditional row, device-resident;
+        # only consulted when repetition_penalty != 1.0
+        seen_dev = jnp.zeros((B, vocab), bool)
 
         if not have_fsm:
             # Unconstrained path (understand / create / format modes): decode
@@ -177,10 +229,11 @@ class LMEngine:
                 # decode can never write past the KV cache budget
                 size = min(CHUNK, steps_left)
                 chunk_fn = self._chunk_steps(do_cfg, cfg_scale, temperature,
-                                             top_k, top_p, size)
+                                             top_k, top_p, repetition_penalty,
+                                             size)
                 key, sub = jax.random.split(key)
-                toks_dev, logits, cache, row_lens_dev = chunk_fn(
-                    self.params, logits, cache, row_lens_dev, sub)
+                toks_dev, logits, cache, row_lens_dev, seen_dev = chunk_fn(
+                    self.params, logits, cache, row_lens_dev, seen_dev, sub)
                 toks = np.asarray(toks_dev)          # (B, size)
                 for i in range(B):
                     if done[i]:
@@ -194,7 +247,7 @@ class LMEngine:
             # FSM mask + sample + KV decode in a single dispatch — one mask
             # upload and one token readback per step).
             step_fn = self._masked_step(do_cfg, cfg_scale, temperature,
-                                        top_k, top_p)
+                                        top_k, top_p, repetition_penalty)
             for step in range(max_new_tokens):
                 allow = np.ones((B, vocab), bool)
                 for i, fsm in enumerate(fsms):
@@ -210,9 +263,9 @@ class LMEngine:
                         allow[i, :n] = m[:n]
 
                 key, sub = jax.random.split(key)
-                toks_dev, logits, cache = step_fn(
+                toks_dev, logits, cache, seen_dev = step_fn(
                     self.params, logits, jnp.asarray(allow), cache,
-                    row_lens_dev, sub)
+                    row_lens_dev, seen_dev, sub)
                 row_lens_dev = row_lens_dev + 1
                 toks = np.asarray(toks_dev)
                 for i in range(B):
@@ -236,94 +289,133 @@ class LMEngine:
                          stop_reasons=stop_reasons)
 
     def _chunk_steps(self, do_cfg: bool, cfg_scale: float, temperature: float,
-                     top_k: int, top_p: float, chunk: int):
+                     top_k: int, top_p: float, penalty: float, chunk: int):
         """Cached jitted scan decoding `chunk` unconstrained tokens."""
         if not hasattr(self, "_chunk_fns"):
             self._chunk_fns = {}
         cache_key = (do_cfg, round(cfg_scale, 4), round(temperature, 4),
-                     top_k, round(top_p, 4), chunk)
+                     top_k, round(top_p, 4), round(penalty, 4), chunk)
         if cache_key in self._chunk_fns:
             return self._chunk_fns[cache_key]
 
         cfg_ = self.cfg
 
         @jax.jit
-        def run(params, logits, cache, row_lens, key):
-            mix = _mix_fn(do_cfg, cfg_scale)
+        def run(params, logits, cache, row_lens, seen, key):
+            mix = _pen_mix_fn(do_cfg, cfg_scale, penalty)
 
             def step(carry, _):
-                logits, cache, row_lens, key = carry
+                logits, cache, row_lens, seen, key = carry
                 key, sub = jax.random.split(key)
-                toks = sample_tokens(sub, mix(logits), temperature=temperature,
+                toks = sample_tokens(sub, mix(logits, seen),
+                                     temperature=temperature,
                                      top_k=top_k, top_p=top_p)
+                seen = _mark_seen(seen, toks)
                 feed = jnp.concatenate([toks, toks]) if do_cfg else toks
                 hidden, cache = lm_forward(params, cfg_, feed[:, None], cache,
                                            start_pos=row_lens)
                 logits = lm_logits(params, cfg_, hidden)[:, 0]
-                return (logits, cache, row_lens + 1, key), toks
+                return (logits, cache, row_lens + 1, seen, key), toks
 
-            (logits, cache, row_lens, _), toks = jax.lax.scan(
-                step, (logits, cache, row_lens, key), None, length=chunk)
-            return toks.T, logits, cache, row_lens   # (B, chunk)
+            (logits, cache, row_lens, seen, _), toks = jax.lax.scan(
+                step, (logits, cache, row_lens, seen, key), None, length=chunk)
+            return toks.T, logits, cache, row_lens, seen   # (B, chunk)
 
         self._chunk_fns[cache_key] = run
         return run
 
     def _prefill_prompts(self, all_prompts: Sequence[str],
-                         new_tokens_budget: int):
+                         new_tokens_budget: int,
+                         prefix: Optional[PrefixState] = None):
         """Tokenize + bucket-pad + prefill. Returns (logits, cache, lens,
         clamped_budget). The KV cache is sized for prompt + budget; the
         budget is clamped so decode can never write past the cache (the
-        write would silently alias the last slot otherwise)."""
-        rows = [self.tok.encode(p) for p in all_prompts]
-        lens = np.asarray([len(r) for r in rows], np.int32)
-        L = _bucket(int(lens.max()))
-        pad_id = getattr(self.tok, "pad_token_id", 0) or 0
-        ids = np.full((len(rows), L), pad_id, np.int32)
-        for i, r in enumerate(rows):
-            ids[i, : min(len(r), L)] = r[:L]
-        lens = np.minimum(lens, L)
+        write would silently alias the last slot otherwise).
 
-        # budget against the REAL prompt length, not the bucket: a 2100-
-        # token prompt buckets to 4096 and would otherwise see zero budget
-        # at max_len=4096 despite ~2000 tokens of true headroom (the cache
-        # is sized L+budget below, so bucket padding costs memory, not
-        # generation room)
+        With `prefix` (phase-1 state whose prompts this call extends), the
+        per-row longest common token prefix is served from the cached K/V —
+        grafted into the new cache — and only the delta tokens run through
+        the model (nano-vllm prefix-caching semantics). The write-frontier
+        invariant (slots at/after a row's length are overwritten before any
+        query can see them) makes stale phase-1 K/V beyond the reuse point
+        harmless."""
+        rows = [self.tok.encode(p)[: self.max_len] for p in all_prompts]
+        lens = np.asarray([len(r) for r in rows], np.int32)
+
         budget = min(new_tokens_budget, self.max_len - int(lens.max()))
         if budget <= 0:
             raise ValueError(
                 f"prompt length {int(lens.max())} leaves no room for "
                 f"generation within max_len {self.max_len}; raise "
                 f"LMEngine(max_len=...)")
-        cache = KVCache.create(self.cfg, len(rows), L + budget,
+
+        pad_id = getattr(self.tok, "pad_token_id", 0) or 0
+        if prefix is not None and len(prefix.tokens) == len(rows):
+            # per-row reuse point; at least one token must be re-processed
+            # to produce next-token logits
+            P = np.asarray(
+                [min(_common_prefix_len(rows[i], prefix.tokens[i]),
+                     int(prefix.row_lens[i]), len(rows[i]) - 1)
+                 for i in range(len(rows))], np.int32)
+        else:
+            P = np.zeros(len(rows), np.int32)
+
+        dlens = lens - P                              # per-row delta lengths
+        D = _bucket(int(dlens.max()))
+        ids = np.full((len(rows), D), pad_id, np.int32)
+        for i, r in enumerate(rows):
+            d = r[P[i]:][:D]
+            ids[i, : len(d)] = d
+        dlens = np.minimum(dlens, D)
+        lens = P + dlens
+
+        # cover the furthest PADDED write (P_i + D can pass lens.max() +
+        # budget when rows are ragged and the budget small; an out-of-range
+        # dynamic_update_slice would clamp and silently corrupt valid K/V)
+        cache_len = max(int(lens.max()) + budget, int(P.max()) + D)
+        cache = KVCache.create(self.cfg, len(rows), cache_len,
                                dtype=self.dtype)
-        logits, cache = self._prefill(self.params, jnp.asarray(ids),
-                                      jnp.asarray(lens), cache)
+        if prefix is not None and int(P.max()) > 0:
+            copy = min(int(P.max()), prefix.cache.k.shape[2], cache_len)
+            cache = KVCache(
+                cache.k.at[:, :, :copy].set(prefix.cache.k[:, :, :copy]),
+                cache.v.at[:, :, :copy].set(prefix.cache.v[:, :, :copy]),
+                cache.length)
+        self.last_prefill_stats = {
+            "rows": len(rows),
+            "prompt_tokens": int(np.sum(lens)),
+            "reused_tokens": int(np.sum(P)),
+            "delta_tokens": int(np.sum(dlens)),
+        }
+        logits, cache = self._prefill_at(
+            self.params, jnp.asarray(ids), jnp.asarray(P),
+            jnp.asarray(dlens), cache)
         return logits, cache, lens, budget
 
     def _masked_step(self, do_cfg: bool, cfg_scale: float, temperature: float,
-                     top_k: int, top_p: float):
-        """Cached jitted fused step: mix -> mask -> sample -> decode."""
+                     top_k: int, top_p: float, penalty: float):
+        """Cached jitted fused step: penalize -> mix -> mask -> sample ->
+        decode."""
         if not hasattr(self, "_step_fns"):
             self._step_fns = {}
         cache_key = (do_cfg, round(cfg_scale, 4), round(temperature, 4),
-                     top_k, round(top_p, 4))
+                     top_k, round(top_p, 4), round(penalty, 4))
         if cache_key in self._step_fns:
             return self._step_fns[cache_key]
 
         cfg_ = self.cfg
 
         @jax.jit
-        def step(params, logits, allow, cache, row_lens, key):
-            B = logits.shape[0] // 2 if do_cfg else logits.shape[0]
-            mixed = _mix_fn(do_cfg, cfg_scale)(logits)
+        def step(params, logits, allow, cache, row_lens, seen, key):
+            mixed = _pen_mix_fn(do_cfg, cfg_scale, penalty)(logits, seen)
             toks = sample_tokens(key, mixed, temperature=temperature,
                                  top_k=top_k, top_p=top_p, allow_mask=allow)
+            seen = _mark_seen(seen, toks)
             feed = jnp.concatenate([toks, toks]) if do_cfg else toks
             hidden, cache = lm_forward(params, cfg_, feed[:, None], cache,
                                        start_pos=row_lens)
             logits = lm_logits(params, cfg_, hidden)[:, 0]
-            return toks, logits, cache
+            return toks, logits, cache, seen
 
         self._step_fns[cache_key] = step
         return step
@@ -333,8 +425,8 @@ class LMEngine:
     # --------------------------------------------------------------
 
     def _cot_loop_fn(self, do_cfg: bool, cfg_scale: float, temperature: float,
-                     top_k: int, top_p: float, max_tokens: int,
-                     done_state: int):
+                     top_k: int, top_p: float, penalty: float,
+                     max_tokens: int, done_state: int):
         """One compiled lax.while_loop decoding the whole CoT phase against
         device-resident FSM tables (llm/fsm_device.py) — zero per-token host
         round-trips (the host loop costs ~1 RTT/token over a TPU tunnel)."""
@@ -343,23 +435,24 @@ class LMEngine:
         def loop(params, logits0, cache, row_lens, key, tbl):
             V = logits0.shape[-1]
 
-            mix = _mix_fn(do_cfg, cfg_scale)
+            mix = _pen_mix_fn(do_cfg, cfg_scale, penalty)
 
             def cond(carry):
-                _, _, _, _, state, _, i = carry
+                _, _, _, _, state, _, _, i = carry
                 return (state != done_state) & (i < max_tokens)
 
             def body(carry):
-                logits, cache, row_lens, key, state, toks, i = carry
+                logits, cache, row_lens, key, state, toks, seen, i = carry
                 key, sub = jax.random.split(key)
                 allowed = jnp.zeros((V,), bool).at[tbl["alphabet"]].set(
                     tbl["mask"][state])
                 allowed = allowed | (tbl["use_caption"][state]
                                      & tbl["caption_mask"])
-                tok = sample_tokens(sub, mix(logits),
+                tok = sample_tokens(sub, mix(logits, seen),
                                     temperature=temperature, top_k=top_k,
                                     top_p=top_p,
                                     allow_mask=allowed[None])[0]
+                seen = _mark_seen(seen, tok[None])
                 a = tbl["token_to_alpha"][tok]
                 state = jnp.where(a >= 0, tbl["trans"][state, a],
                                   tbl["other_next"][state])
@@ -368,14 +461,17 @@ class LMEngine:
                 hidden, cache = lm_forward(params, cfg_, feed[:, None], cache,
                                            start_pos=row_lens)
                 logits = lm_logits(params, cfg_, hidden)[:, 0]
-                return (logits, cache, row_lens + 1, key, state, toks, i + 1)
+                return (logits, cache, row_lens + 1, key, state, toks, seen,
+                        i + 1)
 
             toks0 = jnp.full((max_tokens,), -1, jnp.int32)
+            seen0 = jnp.zeros((1, V), bool)
             state0 = tbl["start"]
-            carry = (logits0, cache, row_lens, key, state0, toks0,
+            carry = (logits0, cache, row_lens, key, state0, toks0, seen0,
                      jnp.zeros((), jnp.int32))
             carry = jax.lax.while_loop(cond, body, carry)
-            return carry[5], carry[6]          # tokens, count
+            # tokens, count, final cache + row_lens (for prefix reuse)
+            return carry[5], carry[7], carry[1], carry[2]
 
         return jax.jit(loop)
 
@@ -406,33 +502,47 @@ class LMEngine:
                             unconditional_prompt: Optional[str] = None,
                             cfg_scale: float = 1.0, temperature: float = 0.85,
                             top_k: int = 0, top_p: float = 1.0,
+                            repetition_penalty: float = 1.0,
                             fsm_tables=None, max_tokens: int = 256,
-                            seed: int = 0) -> List[int]:
-        """Decode one CoT sequence fully on device. Returns token ids."""
+                            seed: int = 0, return_state: bool = False):
+        """Decode one CoT sequence fully on device. Returns token ids, or
+        (token ids, PrefixState) when return_state — the state carries the
+        phase-1 KV cache for phase-2 prefix reuse."""
         do_cfg = cfg_scale != 1.0 and unconditional_prompt is not None
         all_prompts = [prompt] + ([unconditional_prompt] if do_cfg else [])
+        prompt_rows = [self.tok.encode(p)[: self.max_len] for p in all_prompts]
         logits, cache, lens, max_tokens = self._prefill_prompts(
             all_prompts, max_tokens)
 
         key = ("cot", do_cfg, round(cfg_scale, 4), round(temperature, 4),
-               top_k, round(top_p, 4), max_tokens, fsm_tables.done,
+               top_k, round(top_p, 4), round(repetition_penalty, 4),
+               max_tokens, fsm_tables.done,
                fsm_tables.num_states, len(fsm_tables.alphabet))
         if not hasattr(self, "_cot_fns"):
             self._cot_fns = {}
         if key not in self._cot_fns:
             self._cot_fns[key] = self._cot_loop_fn(
-                do_cfg, cfg_scale, temperature, top_k, top_p, max_tokens,
-                fsm_tables.done)
+                do_cfg, cfg_scale, temperature, top_k, top_p,
+                repetition_penalty, max_tokens, fsm_tables.done)
         tbl = self._device_tables(fsm_tables)
-        toks, count = self._cot_fns[key](
+        toks, count, cache, row_lens = self._cot_fns[key](
             self.params, logits, cache, jnp.asarray(lens),
             jax.random.PRNGKey(seed), tbl)
         count = int(count)
-        return np.asarray(toks)[:count].tolist()
+        out = np.asarray(toks)[:count].tolist()
+        if not return_state:
+            return out
+        # every fed token (the generated stream) went into BOTH halves'
+        # caches — CFG shares sampled tokens — so each row's stream is its
+        # own prompt + the generated ids
+        streams = [r + out for r in prompt_rows]
+        return out, PrefixState(cache=cache, tokens=streams,
+                                row_lens=np.asarray(row_lens))
 
     def _cot_batch_loop_fn(self, do_cfg: bool, cfg_scale: float,
                            temperature: float, top_k: int, top_p: float,
-                           max_tokens: int, done_state: int, pad_id: int):
+                           penalty: float, max_tokens: int, done_state: int,
+                           pad_id: int):
         """Batched device CoT: one lax.while_loop decodes B constrained
         sequences against SHARED FSM tables (same request metadata), with
         per-row states. Rows that reach the done state keep feeding a fixed
@@ -445,14 +555,15 @@ class LMEngine:
             B = logits0.shape[0] // 2 if do_cfg else logits0.shape[0]
             V = logits0.shape[-1]
 
-            mix = _mix_fn(do_cfg, cfg_scale)
+            mix = _pen_mix_fn(do_cfg, cfg_scale, penalty)
 
             def cond(carry):
-                _, _, _, _, states, _, _, i = carry
+                _, _, _, _, states, _, _, _, i = carry
                 return jnp.any(states != done_state) & (i < max_tokens)
 
             def body(carry):
-                logits, cache, row_lens, key, states, counts, toks, i = carry
+                (logits, cache, row_lens, key, states, counts, toks, seen,
+                 i) = carry
                 key, sub = jax.random.split(key)
                 alive = states != done_state                      # (B,)
                 allowed = jnp.zeros((B, V), bool)
@@ -463,9 +574,11 @@ class LMEngine:
                 # finished rows decode a deterministic pad token
                 pad_only = jnp.zeros((V,), bool).at[pad_id].set(True)
                 allowed = jnp.where(alive[:, None], allowed, pad_only[None])
-                tok = sample_tokens(sub, mix(logits),
+                tok = sample_tokens(sub, mix(logits, seen),
                                     temperature=temperature, top_k=top_k,
                                     top_p=top_p, allow_mask=allowed)   # (B,)
+                # pad feeds of finished rows never count as completions
+                seen = jnp.where(alive[:, None], _mark_seen(seen, tok), seen)
                 a = tbl["token_to_alpha"][tok]
                 nxt = jnp.where(a >= 0,
                                 tbl["trans"][states, jnp.maximum(a, 0)],
@@ -479,15 +592,17 @@ class LMEngine:
                                            start_pos=row_lens)
                 logits = lm_logits(params, cfg_, hidden)[:, 0]
                 return (logits, cache, row_lens + 1, key, states, counts,
-                        toks, i + 1)
+                        toks, seen, i + 1)
 
             toks0 = jnp.full((B, max_tokens), -1, jnp.int32)
             states0 = jnp.full((B,), tbl["start"], jnp.int32)
             counts0 = jnp.zeros((B,), jnp.int32)
+            seen0 = jnp.zeros((B, V), bool)
             carry = (logits0, cache, row_lens, key, states0, counts0, toks0,
-                     jnp.zeros((), jnp.int32))
+                     seen0, jnp.zeros((), jnp.int32))
             carry = jax.lax.while_loop(cond, body, carry)
-            return carry[6], carry[5]          # tokens (B, max), counts (B,)
+            # tokens (B, max), counts (B,), iterations, cache, row_lens
+            return carry[6], carry[5], carry[8], carry[1], carry[2]
 
         return jax.jit(loop)
 
@@ -496,38 +611,54 @@ class LMEngine:
         unconditional_prompts: Optional[Sequence[str]] = None,
         cfg_scale: float = 1.0, temperature: float = 0.85,
         top_k: int = 0, top_p: float = 1.0,
+        repetition_penalty: float = 1.0,
         fsm_tables=None, max_tokens: int = 256,
-        seed: int = 0,
-    ) -> List[List[int]]:
+        seed: int = 0, return_state: bool = False,
+    ):
         """Decode B CoT sequences fully on device (shared FSM tables).
 
         Rows draw independent samples (categorical noise is IID per row), so
-        identical prompts still yield diverse per-item plans."""
+        identical prompts still yield diverse per-item plans. With
+        `return_state`, returns (lists, PrefixState) for phase-2 reuse."""
         B = len(prompts)
         do_cfg = cfg_scale != 1.0 and unconditional_prompts is not None
         all_prompts = list(prompts) + (list(unconditional_prompts)
                                        if do_cfg else [])
+        prompt_rows = [self.tok.encode(p)[: self.max_len] for p in all_prompts]
         logits, cache, lens, max_tokens = self._prefill_prompts(
             all_prompts, max_tokens)
         pad_id = getattr(self.tok, "eos_token_id", None)
         pad_id = int(pad_id) if pad_id is not None else 0
 
         key = ("cotb", B, do_cfg, round(cfg_scale, 4), round(temperature, 4),
-               top_k, round(top_p, 4), max_tokens, fsm_tables.done,
+               top_k, round(top_p, 4), round(repetition_penalty, 4),
+               max_tokens, fsm_tables.done,
                fsm_tables.num_states, len(fsm_tables.alphabet))
         if not hasattr(self, "_cot_fns"):
             self._cot_fns = {}
         if key not in self._cot_fns:
             self._cot_fns[key] = self._cot_batch_loop_fn(
-                do_cfg, cfg_scale, temperature, top_k, top_p, max_tokens,
-                fsm_tables.done, pad_id)
+                do_cfg, cfg_scale, temperature, top_k, top_p,
+                repetition_penalty, max_tokens, fsm_tables.done, pad_id)
         tbl = self._device_tables(fsm_tables)
-        toks, counts = self._cot_fns[key](
+        toks, counts, iters, cache, row_lens = self._cot_fns[key](
             self.params, logits, cache, jnp.asarray(lens),
             jax.random.PRNGKey(seed), tbl)
         toks = np.asarray(toks)
         counts = np.asarray(counts)
-        return [toks[i, : counts[i]].tolist() for i in range(B)]
+        outs = [toks[i, : counts[i]].tolist() for i in range(B)]
+        if not return_state:
+            return outs
+        # rows that finished early kept feeding pad_id up to `iters` — those
+        # pads are IN the cache, so the stream must record them (any LCP
+        # with a phase-2 prompt naturally stops before them)
+        iters = int(iters)
+        gen_cond = [outs[i] + [pad_id] * (iters - int(counts[i]))
+                    for i in range(B)]
+        gen_all = gen_cond + gen_cond if do_cfg else gen_cond
+        streams = [r + g for r, g in zip(prompt_rows, gen_all)]
+        return outs, PrefixState(cache=cache, tokens=streams,
+                                 row_lens=np.asarray(row_lens))
 
     # --------------------------------------------------------------
     # On-device codes decoding (phase 2 fast path)
@@ -555,7 +686,8 @@ class LMEngine:
         return start, end
 
     def _codes_scan_fn(self, n_codes: int, do_cfg: bool, cfg_scale: float,
-                       temperature: float, top_k: int, top_p: float):
+                       temperature: float, top_k: int, top_p: float,
+                       penalty: float):
         """One compiled program decoding all n_codes tokens on device.
 
         The reference streams every token through the host FSM
@@ -570,25 +702,29 @@ class LMEngine:
 
         def scan_fn(params, logits0, cache, row_lens, key):
             vocab = logits0.shape[-1]
+            B = logits0.shape[0] // 2 if do_cfg else logits0.shape[0]
             iota = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)
             allow = (iota >= code_start) & (iota < code_end)
 
-            mix = _mix_fn(do_cfg, cfg_scale)
+            mix = _pen_mix_fn(do_cfg, cfg_scale, penalty)
 
             def step(carry, _):
-                logits, cache, row_lens, key = carry
+                logits, cache, row_lens, seen, key = carry
                 key, sub = jax.random.split(key)
-                mixed = jnp.where(allow, mix(logits), -jnp.inf)
+                mixed = jnp.where(allow, mix(logits, seen), -jnp.inf)
                 toks = sample_tokens(sub, mixed, temperature=temperature,
                                      top_k=top_k, top_p=top_p)
+                seen = _mark_seen(seen, toks)
                 feed = jnp.concatenate([toks, toks]) if do_cfg else toks
                 hidden, cache = lm_forward(params, cfg_, feed[:, None], cache,
                                            start_pos=row_lens)
                 logits = lm_logits(params, cfg_, hidden)[:, 0]
-                return (logits, cache, row_lens + 1, key), toks
+                return (logits, cache, row_lens + 1, seen, key), toks
 
-            (_, _, _, _), codes = jax.lax.scan(
-                step, (logits0, cache, row_lens, key), None, length=n_codes)
+            seen0 = jnp.zeros((B, vocab), bool)
+            (_, _, _, _, _), codes = jax.lax.scan(
+                step, (logits0, cache, row_lens, seen0, key), None,
+                length=n_codes)
             return codes.T - code_start        # (B, n_codes) 0-based
 
         return jax.jit(scan_fn)
@@ -602,18 +738,22 @@ class LMEngine:
         temperature: float = 0.85,
         top_k: int = 0,
         top_p: float = 1.0,
+        repetition_penalty: float = 1.0,
         n_codes: int = 150,
         seed: int = 0,
+        prefix: Optional[PrefixState] = None,
     ) -> List[List[int]]:
         """Decode exactly n_codes audio codes per prompt, fully on device.
 
-        Returns 0-based code indices (B, n_codes)."""
+        Returns 0-based code indices (B, n_codes). `prefix` (the phase-1
+        state) lets the prefill reuse cached K/V for the shared prompt
+        prefix and process only the delta tokens."""
         B = len(prompts)
         do_cfg = cfg_scale != 1.0 and unconditional_prompts is not None
         all_prompts = list(prompts) + (list(unconditional_prompts)
                                        if do_cfg else [])
         logits, cache, lens, budget = self._prefill_prompts(
-            all_prompts, n_codes)
+            all_prompts, n_codes, prefix=prefix)
         if budget < n_codes:
             # codes count is a hard semantic (duration * 5) — refuse rather
             # than silently truncate the song
@@ -622,12 +762,14 @@ class LMEngine:
                 f"{self.max_len} allows after the prompt; raise max_len")
 
         cache_key = ("codes", n_codes, do_cfg, round(cfg_scale, 4),
-                     round(temperature, 4), top_k, round(top_p, 4))
+                     round(temperature, 4), top_k, round(top_p, 4),
+                     round(repetition_penalty, 4))
         if not hasattr(self, "_codes_fns"):
             self._codes_fns = {}
         if cache_key not in self._codes_fns:
             self._codes_fns[cache_key] = self._codes_scan_fn(
-                n_codes, do_cfg, cfg_scale, temperature, top_k, top_p)
+                n_codes, do_cfg, cfg_scale, temperature, top_k, top_p,
+                repetition_penalty)
         codes = self._codes_fns[cache_key](
             self.params, logits, cache, jnp.asarray(lens),
             jax.random.PRNGKey(seed))

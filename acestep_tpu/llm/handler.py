@@ -245,6 +245,9 @@ class LLMHandler:
         infer_type: str = "llm_dit",       # 'dit' stops after phase 1
         temperature: float = 0.85, cfg_scale: float = 2.0,
         top_k: int = 0, top_p: float = 0.9,
+        repetition_penalty: float = 1.0,
+        metadata_temperature: Optional[float] = None,
+        codes_temperature: Optional[float] = None,
         negative_prompt: str = "NO USER INPUT",
         user_metadata: Optional[dict] = None,
         constrained: bool = True,
@@ -253,9 +256,22 @@ class LLMHandler:
         max_cot_tokens: int = 256,
         max_code_tokens: Optional[int] = None,
     ) -> Dict[str, Any]:
-        """Returns {"metadata", "audio_codes", "cot_text", "raw"}."""
+        """Returns {"metadata", "audio_codes", "cot_text", "raw"}.
+
+        Per-phase temperatures (reference
+        constrained_logits_processor.py:149-152,1666-1695: the processor
+        divides logits by metadata_temperature in CoT states and by
+        codes_temperature in codes states): each phase here is its own
+        compiled program, so the phase temperature simply replaces the base
+        `temperature` for that program. `repetition_penalty` matches
+        nanovllm/sampling_params.py:13 (completion tokens only, conditional
+        logits, before the CFG mix)."""
         if not self.initialized:
             raise RuntimeError("call initialize() first")
+        t_meta = metadata_temperature if metadata_temperature is not None \
+            else temperature
+        t_codes = codes_temperature if codes_temperature is not None \
+            else temperature
 
         # --- phase 1: CoT
         prompt = self.build_formatted_prompt(caption, lyrics)
@@ -274,20 +290,24 @@ class LLMHandler:
             # while_loop (fsm_device.py); replay tokens through the host FSM
             # afterwards to extract metadata.
             tables = self._cot_tables(user_metadata, genres, caption)
-            token_ids = self.engine.generate_cot_device(
+            token_ids, prefix_state = self.engine.generate_cot_device(
                 prompt, unconditional_prompt=neg, cfg_scale=cfg_scale,
-                temperature=temperature, top_k=top_k, top_p=top_p,
-                fsm_tables=tables, max_tokens=max_cot_tokens, seed=seed)
+                temperature=t_meta, top_k=top_k, top_p=top_p,
+                repetition_penalty=repetition_penalty,
+                fsm_tables=tables, max_tokens=max_cot_tokens, seed=seed,
+                return_state=True)
             for t in token_ids:
                 fsm.advance(t)
             cot_raw = self.tokenizer.decode(token_ids)
         else:
             out = self.engine.generate(
                 [prompt], unconditional_prompts=[neg], cfg_scale=cfg_scale,
-                temperature=temperature, top_k=top_k, top_p=top_p,
+                temperature=t_meta, top_k=top_k, top_p=top_p,
+                repetition_penalty=repetition_penalty,
                 max_new_tokens=max_cot_tokens, stop_strings=("</think>",),
                 fsms=None, seed=seed)
             cot_raw = out.texts[0]
+            prefix_state = None
         metadata, _ = parse_lm_output(cot_raw)
         for k, v in (fsm.metadata() or {}).items():
             metadata.setdefault(k, v)
@@ -313,10 +333,13 @@ class LLMHandler:
             # rule, so the whole phase runs as ONE on-device scan with zero
             # per-token host round-trips.
             n_codes = max(1, int(dur * 5))
+            # phase-2 prompt extends phase 1's: reuse the phase-1 KV cache
+            # for the shared prefix (nano-vllm prefix-caching role)
             codes_idx = self.engine.generate_codes(
                 [p2], unconditional_prompts=[n2], cfg_scale=cfg_scale,
-                temperature=temperature, top_k=top_k, top_p=top_p,
-                n_codes=n_codes, seed=seed + 1)[0]
+                temperature=t_codes, top_k=top_k, top_p=top_p,
+                repetition_penalty=repetition_penalty,
+                n_codes=n_codes, seed=seed + 1, prefix=prefix_state)[0]
             codes = "".join(f"<|audio_code_{c}|>" for c in codes_idx)
             result["audio_codes"] = codes
             result["raw"] = cot_raw + "\n" + codes
@@ -327,7 +350,8 @@ class LLMHandler:
         max_codes = max_code_tokens or (int(dur) * 5 + 8)
         out2 = self.engine.generate(
             [p2], unconditional_prompts=[n2], cfg_scale=cfg_scale,
-            temperature=temperature, top_k=top_k, top_p=top_p,
+            temperature=t_codes, top_k=top_k, top_p=top_p,
+            repetition_penalty=repetition_penalty,
             max_new_tokens=max_codes, fsms=[fsm2], seed=seed + 1)
         _, codes = parse_lm_output(out2.texts[0])
         result["audio_codes"] = codes
@@ -339,6 +363,9 @@ class LLMHandler:
         infer_type: str = "llm_dit",
         temperature: float = 0.85, cfg_scale: float = 2.0,
         top_k: int = 0, top_p: float = 0.9,
+        repetition_penalty: float = 1.0,
+        metadata_temperature: Optional[float] = None,
+        codes_temperature: Optional[float] = None,
         negative_prompt: str = "NO USER INPUT",
         user_metadata: Optional[dict] = None,
         constrained: bool = True,
@@ -356,11 +383,18 @@ class LLMHandler:
         Replaces n sequential plan() calls (VERDICT r1 item 3)."""
         if not self.initialized:
             raise RuntimeError("call initialize() first")
+        t_meta = metadata_temperature if metadata_temperature is not None \
+            else temperature
+        t_codes = codes_temperature if codes_temperature is not None \
+            else temperature
         if n <= 1 or not constrained:
             return [self.generate_with_stop_condition(
                 caption, lyrics, infer_type=infer_type,
                 temperature=temperature, cfg_scale=cfg_scale, top_k=top_k,
-                top_p=top_p, negative_prompt=negative_prompt,
+                top_p=top_p, repetition_penalty=repetition_penalty,
+                metadata_temperature=metadata_temperature,
+                codes_temperature=codes_temperature,
+                negative_prompt=negative_prompt,
                 user_metadata=user_metadata, constrained=constrained,
                 target_duration=target_duration, seed=seed + i,
                 max_cot_tokens=max_cot_tokens,
@@ -373,11 +407,12 @@ class LLMHandler:
                                           negative_prompt=negative_prompt)
         genres = self.genres_vocab.get() if self.genres_vocab else None
         tables = self._cot_tables(user_metadata, genres, caption)
-        token_lists = self.engine.generate_cot_device_batch(
+        token_lists, prefix_state = self.engine.generate_cot_device_batch(
             [prompt] * n, unconditional_prompts=[neg] * n,
-            cfg_scale=cfg_scale, temperature=temperature, top_k=top_k,
-            top_p=top_p, fsm_tables=tables, max_tokens=max_cot_tokens,
-            seed=seed)
+            cfg_scale=cfg_scale, temperature=t_meta, top_k=top_k,
+            top_p=top_p, repetition_penalty=repetition_penalty,
+            fsm_tables=tables, max_tokens=max_cot_tokens,
+            seed=seed, return_state=True)
 
         results: List[Dict[str, Any]] = []
         durations: List[float] = []
@@ -415,8 +450,9 @@ class LLMHandler:
             n_codes.append(max(1, int(dur * 5)))
         codes_rows = self.engine.generate_codes(
             p2s, unconditional_prompts=n2s, cfg_scale=cfg_scale,
-            temperature=temperature, top_k=top_k, top_p=top_p,
-            n_codes=max(n_codes), seed=seed + 1)
+            temperature=t_codes, top_k=top_k, top_p=top_p,
+            repetition_penalty=repetition_penalty,
+            n_codes=max(n_codes), seed=seed + 1, prefix=prefix_state)
         for r, row, k in zip(results, codes_rows, n_codes):
             codes = "".join(f"<|audio_code_{c}|>" for c in row[:k])
             r["audio_codes"] = codes
@@ -431,8 +467,17 @@ class LLMHandler:
         return self.generate_with_stop_condition(caption, lyrics, **kw)
 
     def understand(self, audio_codes: str, temperature: float = 0.85,
+                   top_k: int = 0, top_p: float = 1.0,
+                   repetition_penalty: float = 1.0,
+                   use_constrained_decoding: bool = True,
                    seed: int = 0) -> Dict[str, Any]:
         """Understanding mode: audio codes -> metadata.
+
+        Knob surface mirrors the reference understand_audio_from_codes
+        (llm_inference.py:1645-1653). `use_constrained_decoding` applies the
+        host-side metadata FSM to the output (the understand output follows
+        the same <think> metadata schema as phase 1); cfg_scale/negative
+        prompts are unsupported in understand mode (reference :1662).
 
         Codes are truncated to fit the engine context (the reference caps
         LM context at 4096 and samples the head of long songs)."""
@@ -449,13 +494,37 @@ class LLMHandler:
                 {"role": "user", "content": audio_codes},
             ],
             tokenize=False, add_generation_prompt=True)
+        fsms = None
+        if use_constrained_decoding:
+            # the FSM constrains the <think> metadata block and goes
+            # unconstrained once it closes — free-form lyrics follow, as in
+            # the reference's "understand" phase (llm_inference.py:1702-1724)
+            fsm = MetadataFSM(self.tables, max_duration=self.max_duration,
+                              skip_genres=True)
+            fsms = [fsm]
         out = self.engine.generate([prompt], temperature=temperature,
-                                   max_new_tokens=512,
-                                   stop_strings=("</think>",), seed=seed)
-        metadata, _ = parse_lm_output(out.texts[0])
+                                   top_k=top_k, top_p=top_p,
+                                   repetition_penalty=repetition_penalty,
+                                   max_new_tokens=1024, fsms=fsms, seed=seed)
+        text = out.texts[0]
+        metadata, _ = parse_lm_output(text)
+        if fsms is not None:
+            for k, v in (fsms[0].metadata() or {}).items():
+                metadata.setdefault(k, v)
+        # lyrics = free-form text after </think> (reference
+        # _extract_lyrics_from_output, llm_inference.py:1745-1782)
+        m = re.search(r"</think>", text)
+        if m and "lyrics" not in metadata:
+            after = text[m.end():].strip()
+            after = re.sub(r"^#\s*Lyrics?\s*\n", "", after, flags=re.IGNORECASE)
+            after = re.sub(r"<\|im_end\|>\s*$", "", after).strip()
+            if after:
+                metadata["lyrics"] = after
         return metadata
 
     def create_sample(self, query: str = "", temperature: float = 0.85,
+                      top_k: int = 0, top_p: float = 1.0,
+                      repetition_penalty: float = 1.0,
                       seed: int = 0) -> Dict[str, Any]:
         """Inspiration mode: free-form query -> blueprint."""
         prompt = self.tokenizer.apply_chat_template(
@@ -468,13 +537,18 @@ class LLMHandler:
             ],
             tokenize=False, add_generation_prompt=True)
         out = self.engine.generate([prompt], temperature=temperature,
+                                   top_k=top_k, top_p=top_p,
+                                   repetition_penalty=repetition_penalty,
                                    max_new_tokens=512,
                                    stop_strings=("</think>",), seed=seed)
         metadata, _ = parse_lm_output(out.texts[0])
         return metadata
 
     def format_sample(self, caption: str = "", lyrics: str = "",
-                      temperature: float = 0.3, seed: int = 0) -> Dict[str, Any]:
+                      temperature: float = 0.3,
+                      top_k: int = 0, top_p: float = 1.0,
+                      repetition_penalty: float = 1.0,
+                      seed: int = 0) -> Dict[str, Any]:
         """Format mode: normalize user inputs into the SFT schema."""
         prompt = self.tokenizer.apply_chat_template(
             [
@@ -487,6 +561,8 @@ class LLMHandler:
             ],
             tokenize=False, add_generation_prompt=True)
         out = self.engine.generate([prompt], temperature=temperature,
+                                   top_k=top_k, top_p=top_p,
+                                   repetition_penalty=repetition_penalty,
                                    max_new_tokens=512,
                                    stop_strings=("</think>",), seed=seed)
         metadata, _ = parse_lm_output(out.texts[0])

@@ -232,6 +232,19 @@ def sample_tokens(key, logits: jnp.ndarray, *, temperature: float = 1.0,
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
+def apply_repetition_penalty(logits: jnp.ndarray, seen_mask: jnp.ndarray,
+                             penalty: float) -> jnp.ndarray:
+    """Standard (transformers) repetition penalty on (B, V) logits.
+
+    `seen_mask` (B, V) bool marks tokens that appeared in the COMPLETION
+    (prompt tokens are never penalized). Formula per the reference
+    (nanovllm/engine/model_runner.py:540-548): score<0 -> score*penalty,
+    else score/penalty; applied to the CONDITIONAL logits before the CFG
+    mix."""
+    pen = jnp.where(logits < 0, logits * penalty, logits / penalty)
+    return jnp.where(seen_mask, pen, logits)
+
+
 def cfg_mix_logits(logits: jnp.ndarray, guidance_scale: float) -> jnp.ndarray:
     """Paired-CFG logit mix: rows [cond; uncond] (2B, V) -> (B, V)
     u + s*(c - u) (reference llm_inference.py:2480-2512)."""

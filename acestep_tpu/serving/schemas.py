@@ -97,6 +97,10 @@ class GenerateMusicRequest:
     track_classes: Optional[List[str]] = None
 
     lm_temperature: float = 0.85
+    # per-phase temperature overrides (reference metadata_temperature /
+    # codes_temperature, llm_inference.py:282-304); None = lm_temperature
+    lm_metadata_temperature: Optional[float] = None
+    lm_codes_temperature: Optional[float] = None
     lm_cfg_scale: float = 2.5
     lm_top_k: Optional[int] = None
     lm_top_p: Optional[float] = 0.9

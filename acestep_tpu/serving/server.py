@@ -116,6 +116,9 @@ def request_to_params(req: GenerateMusicRequest) -> GenerationParams:
         audio_cover_strength=req.audio_cover_strength,
         thinking=req.thinking,
         lm_temperature=req.lm_temperature,
+        lm_metadata_temperature=req.lm_metadata_temperature,
+        lm_codes_temperature=req.lm_codes_temperature,
+        lm_repetition_penalty=req.lm_repetition_penalty,
         lm_cfg_scale=req.lm_cfg_scale,
         lm_top_k=req.lm_top_k or 0,
         lm_top_p=req.lm_top_p if req.lm_top_p is not None else 0.9,
