@@ -205,6 +205,30 @@ class LMConfig:
         kw = {k: v for k, v in raw.items() if k in fields}
         return cls(**kw)
 
+    # Public Qwen3 geometries for the acestep-5Hz-lm family
+    # (reference llm_inference.py:448-661 serves 0.6B/1.7B/4B). The planner
+    # checkpoints extend the Qwen3 vocab (151936) with the 64000
+    # <|audio_code_N|> tokens; `audio_vocab` adds that block.
+
+    @classmethod
+    def qwen3_0_6b(cls, audio_vocab: int = 64_000) -> "LMConfig":
+        return cls(vocab_size=151_936 + audio_vocab, hidden_size=1024,
+                   intermediate_size=3072, num_hidden_layers=28,
+                   num_attention_heads=16, num_key_value_heads=8)
+
+    @classmethod
+    def qwen3_1_7b(cls, audio_vocab: int = 64_000) -> "LMConfig":
+        return cls(vocab_size=151_936 + audio_vocab, hidden_size=2048,
+                   intermediate_size=6144, num_hidden_layers=28,
+                   num_attention_heads=16, num_key_value_heads=8)
+
+    @classmethod
+    def qwen3_4b(cls, audio_vocab: int = 64_000) -> "LMConfig":
+        return cls(vocab_size=151_936 + audio_vocab, hidden_size=2560,
+                   intermediate_size=9728, num_hidden_layers=36,
+                   num_attention_heads=32, num_key_value_heads=8,
+                   tie_word_embeddings=False)
+
     @classmethod
     def tiny(cls, **overrides) -> "LMConfig":
         kw = dict(

@@ -31,7 +31,7 @@ import numpy as np
 from acestep_tpu.config import LMConfig
 from acestep_tpu.models.lm import (
     KVCache, apply_repetition_penalty, cfg_mix_logits, lm_forward, lm_logits,
-    sample_tokens,
+    lm_logits_slice, sample_tokens,
 )
 
 
@@ -701,31 +701,37 @@ class LMEngine:
         code_start, code_end = self._audio_code_range()
 
         def scan_fn(params, logits0, cache, row_lens, key):
-            vocab = logits0.shape[-1]
             B = logits0.shape[0] // 2 if do_cfg else logits0.shape[0]
-            iota = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)
-            allow = (iota >= code_start) & (iota < code_end)
+            W = code_end - code_start
 
             mix = _pen_mix_fn(do_cfg, cfg_scale, penalty)
 
+            # the whole phase samples ONLY the contiguous audio-code window:
+            # slice logits/head to it — no allow mask needed, and each decode
+            # step reads just the window's lm_head rows (lm_logits_slice)
+            logits0w = jax.lax.slice_in_dim(logits0, code_start, code_end,
+                                            axis=-1)
+
             def step(carry, _):
-                logits, cache, row_lens, seen, key = carry
+                logits, cache, row_lens, seen, key = carry   # logits (·, W)
                 key, sub = jax.random.split(key)
-                mixed = jnp.where(allow, mix(logits, seen), -jnp.inf)
-                toks = sample_tokens(sub, mixed, temperature=temperature,
-                                     top_k=top_k, top_p=top_p)
-                seen = _mark_seen(seen, toks)
+                rel = sample_tokens(sub, mix(logits, seen),
+                                    temperature=temperature,
+                                    top_k=top_k, top_p=top_p)   # 0-based
+                seen = _mark_seen(seen, rel)
+                toks = rel + code_start
                 feed = jnp.concatenate([toks, toks]) if do_cfg else toks
                 hidden, cache = lm_forward(params, cfg_, feed[:, None], cache,
                                            start_pos=row_lens)
-                logits = lm_logits(params, cfg_, hidden)[:, 0]
-                return (logits, cache, row_lens + 1, seen, key), toks
+                logits = lm_logits_slice(params, cfg_, hidden,
+                                         code_start, code_end)[:, 0]
+                return (logits, cache, row_lens + 1, seen, key), rel
 
-            seen0 = jnp.zeros((B, vocab), bool)
+            seen0 = jnp.zeros((B, W), bool)
             (_, _, _, _, _), codes = jax.lax.scan(
-                step, (logits0, cache, row_lens, seen0, key), None,
+                step, (logits0w, cache, row_lens, seen0, key), None,
                 length=n_codes)
-            return codes.T - code_start        # (B, n_codes) 0-based
+            return codes.T                     # (B, n_codes) 0-based
 
         return jax.jit(scan_fn)
 

@@ -176,6 +176,21 @@ def lm_logits(params: dict, cfg: LMConfig, hidden: jnp.ndarray) -> jnp.ndarray:
     return linear(params["lm_head"], hidden).astype(jnp.float32)
 
 
+def lm_logits_slice(params: dict, cfg: LMConfig, hidden: jnp.ndarray,
+                    start: int, end: int) -> jnp.ndarray:
+    """Logits restricted to the token-id window [start, end).
+
+    The codes phase only ever samples <|audio_code_N|> tokens (a contiguous
+    64k block); computing the other ~152k vocab rows wastes ~70% of the
+    lm_head HBM reads per decode step at 1.7B geometry. Static slice -> XLA
+    reads only the window's weights."""
+    if cfg.tie_word_embeddings:
+        w = jax.lax.slice_in_dim(params["embed_tokens"], start, end, axis=0)
+        return (hidden @ w.T.astype(hidden.dtype)).astype(jnp.float32)
+    w = jax.lax.slice_in_dim(params["lm_head"]["w"], start, end, axis=1)
+    return (hidden @ w.astype(hidden.dtype)).astype(jnp.float32)
+
+
 def lm_encode(params: dict, cfg: LMConfig, input_ids: jnp.ndarray,
               attention_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """Text-encoder mode (Qwen3-Embedding): full bidirectionally-valid causal
@@ -199,15 +214,30 @@ def apply_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.where(logits < cutoff, -jnp.inf, logits)
 
 
-def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
-    sort_idx = jnp.argsort(-logits, axis=-1)
-    sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    keep_sorted = cum - probs < p          # keep tokens until mass >= p
-    keep = jnp.zeros_like(keep_sorted).at[
-        jnp.arange(logits.shape[0])[:, None], sort_idx].set(keep_sorted)
-    return jnp.where(keep, logits, -jnp.inf)
+def apply_top_p(logits: jnp.ndarray, p: float, iters: int = 24) -> jnp.ndarray:
+    """Nucleus filter WITHOUT a vocab sort.
+
+    A full argsort over the 216k-token planner vocab costs tens of ms per
+    decode step on TPU (it dominated 1.7B decode); the nucleus set
+    {i : p_i >= tau} for the right tau equals the sorted-prefix definition
+    (up to float ties), and tau is found by bisection — `iters` O(V)
+    masked reductions that XLA fuses, ~100x cheaper than the sort. tau
+    starts at [0, max_p]; mass(0)=1 >= p keeps the loop invariant
+    'mass(lo) >= p', so the kept set always covers the target mass."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    hi = jnp.max(probs, axis=-1, keepdims=True)
+    lo = jnp.zeros_like(hi)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) * 0.5
+        mass = jnp.sum(jnp.where(probs >= mid, probs, 0.0), axis=-1,
+                       keepdims=True)
+        ok = mass >= p
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return jnp.where(probs >= lo, logits, -jnp.inf)
 
 
 def sample_tokens(key, logits: jnp.ndarray, *, temperature: float = 1.0,
