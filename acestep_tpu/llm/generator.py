@@ -123,6 +123,17 @@ class LMEngine:
         self.tok = tokenizer
         self.dtype = dtype
         self.max_len = max_len
+        # Decode programs emit logits over [0, vocab_use) only: ids beyond
+        # the tokenizer are undecodable padding (FSM tables deny them
+        # anyway), and slicing the head skips their lm_head rows — at 1.7B
+        # geometry with the fallback tokenizer that's ~70% of head HBM
+        # reads per step. Rounded up to the 128-lane tile.
+        try:
+            tok_len = len(tokenizer)
+        except TypeError:
+            tok_len = cfg.vocab_size
+        self.vocab_use = min(cfg.vocab_size, -(-tok_len // 128) * 128)
+        vocab_use = self.vocab_use
 
         cfg_ = cfg
 
@@ -130,7 +141,8 @@ class LMEngine:
         def decode(params, tokens, row_lens, cache):
             hidden, cache = lm_forward(params, cfg_, tokens[:, None], cache,
                                        start_pos=row_lens)
-            return lm_logits(params, cfg_, hidden)[:, 0], cache
+            return lm_logits_slice(params, cfg_, hidden,
+                                   0, vocab_use)[:, 0], cache
 
         @jax.jit
         def prefill_at(params, ids, starts, dlens, cache):
@@ -142,7 +154,8 @@ class LMEngine:
                                        start_pos=starts)
             idx = jnp.clip(dlens - 1, 0, L - 1)
             last = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0]
-            return lm_logits(params, cfg_, last[:, None, :])[:, 0], cache
+            return lm_logits_slice(params, cfg_, last[:, None, :],
+                                   0, vocab_use)[:, 0], cache
 
         self._decode = decode
         self._prefill_at = prefill_at
@@ -209,7 +222,7 @@ class LMEngine:
                 on_token(i, generated[i])
             return False
 
-        vocab = self.cfg.vocab_size
+        vocab = self.vocab_use
         row_lens_dev = jnp.asarray(lens)
         have_fsm = fsms is not None and any(f is not None for f in fsms)
         # completion-token presence per conditional row, device-resident;
@@ -299,6 +312,7 @@ class LMEngine:
             return self._chunk_fns[cache_key]
 
         cfg_ = self.cfg
+        V_use = self.vocab_use
 
         @jax.jit
         def run(params, logits, cache, row_lens, seen, key):
@@ -314,7 +328,8 @@ class LMEngine:
                 feed = jnp.concatenate([toks, toks]) if do_cfg else toks
                 hidden, cache = lm_forward(params, cfg_, feed[:, None], cache,
                                            start_pos=row_lens)
-                logits = lm_logits(params, cfg_, hidden)[:, 0]
+                logits = lm_logits_slice(params, cfg_, hidden,
+                                          0, V_use)[:, 0]
                 return (logits, cache, row_lens + 1, seen, key), toks
 
             (logits, cache, row_lens, seen, _), toks = jax.lax.scan(
@@ -404,6 +419,7 @@ class LMEngine:
             return self._step_fns[cache_key]
 
         cfg_ = self.cfg
+        V_use = self.vocab_use
 
         @jax.jit
         def step(params, logits, allow, cache, row_lens, seen, key):
@@ -414,7 +430,8 @@ class LMEngine:
             feed = jnp.concatenate([toks, toks]) if do_cfg else toks
             hidden, cache = lm_forward(params, cfg_, feed[:, None], cache,
                                        start_pos=row_lens)
-            logits = lm_logits(params, cfg_, hidden)[:, 0]
+            logits = lm_logits_slice(params, cfg_, hidden,
+                                          0, V_use)[:, 0]
             return toks, logits, cache, seen
 
         self._step_fns[cache_key] = step
@@ -431,6 +448,7 @@ class LMEngine:
         device-resident FSM tables (llm/fsm_device.py) — zero per-token host
         round-trips (the host loop costs ~1 RTT/token over a TPU tunnel)."""
         cfg_ = self.cfg
+        V_use = self.vocab_use
 
         def loop(params, logits0, cache, row_lens, key, tbl):
             V = logits0.shape[-1]
@@ -460,7 +478,8 @@ class LMEngine:
                 feed = jnp.full((2 if do_cfg else 1,), tok, jnp.int32)
                 hidden, cache = lm_forward(params, cfg_, feed[:, None], cache,
                                            start_pos=row_lens)
-                logits = lm_logits(params, cfg_, hidden)[:, 0]
+                logits = lm_logits_slice(params, cfg_, hidden,
+                                          0, V_use)[:, 0]
                 return (logits, cache, row_lens + 1, key, state, toks, seen,
                         i + 1)
 
@@ -476,12 +495,12 @@ class LMEngine:
         return jax.jit(loop)
 
     def _device_tables(self, fsm_tables) -> dict:
-        """DeviceFSMTables -> device arrays, padded to the model vocab.
+        """DeviceFSMTables -> device arrays, sized to vocab_use.
 
-        Tables are tokenizer-vocab-sized; the model vocab may be padded
-        larger — pad with deny (False) / not-in-alphabet (-1) so padded
-        ids can never be sampled or transition."""
-        V = self.cfg.vocab_size
+        Tables are tokenizer-vocab-sized; decode programs emit logits over
+        [0, vocab_use) — pad with deny (False) / not-in-alphabet (-1) so
+        tile-padding ids can never be sampled or transition."""
+        V = self.vocab_use
         t2a = fsm_tables.token_to_alpha
         cap = fsm_tables.caption_mask
         if len(t2a) < V:
@@ -550,6 +569,7 @@ class LMEngine:
         frozen at the transition step. Zero per-token host round-trips for
         batch thinking mode (VERDICT r1 weak #1)."""
         cfg_ = self.cfg
+        V_use = self.vocab_use
 
         def loop(params, logits0, cache, row_lens, key, tbl):
             B = logits0.shape[0] // 2 if do_cfg else logits0.shape[0]
@@ -590,7 +610,8 @@ class LMEngine:
                 feed = jnp.concatenate([tok, tok]) if do_cfg else tok
                 hidden, cache = lm_forward(params, cfg_, feed[:, None], cache,
                                            start_pos=row_lens)
-                logits = lm_logits(params, cfg_, hidden)[:, 0]
+                logits = lm_logits_slice(params, cfg_, hidden,
+                                          0, V_use)[:, 0]
                 return (logits, cache, row_lens + 1, key, states, counts,
                         toks, seen, i + 1)
 

