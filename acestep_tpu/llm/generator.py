@@ -128,11 +128,22 @@ class LMEngine:
         # anyway), and slicing the head skips their lm_head rows — at 1.7B
         # geometry with the fallback tokenizer that's ~70% of head HBM
         # reads per step. Rounded up to the 128-lane tile.
+        #
+        # The bound is the MAX ASSIGNED TOKEN ID + 1, not len(tokenizer):
+        # HF vocabs can have holes (added <|audio_code_N|> ids may start at
+        # a padded boundary above the entry count), and clipping below a
+        # real id would both crash the codes-scan slice and make those ids
+        # unsampleable.
         try:
-            tok_len = len(tokenizer)
+            hi = len(tokenizer)
         except TypeError:
-            tok_len = cfg.vocab_size
-        self.vocab_use = min(cfg.vocab_size, -(-tok_len // 128) * 128)
+            hi = cfg.vocab_size
+        if hasattr(tokenizer, "get_vocab"):
+            try:
+                hi = max(hi, max(tokenizer.get_vocab().values()) + 1)
+            except (ValueError, TypeError):
+                pass
+        self.vocab_use = min(cfg.vocab_size, -(-hi // 128) * 128)
         vocab_use = self.vocab_use
 
         cfg_ = cfg
@@ -180,13 +191,17 @@ class LMEngine:
         fsms: Optional[Sequence] = None,
         seed: int = 0,
         on_token: Optional[Callable[[int, List[int]], None]] = None,
+        prefix: Optional[PrefixState] = None,
     ) -> GenOutput:
-        """Generate for a batch of prompts (optionally CFG-paired)."""
+        """Generate for a batch of prompts (optionally CFG-paired).
+
+        `prefix` enables KV prefix reuse when the prompts extend a prior
+        phase's streams (see PrefixState)."""
         B = len(prompts)
         do_cfg = cfg_scale != 1.0 and unconditional_prompts is not None
         all_prompts = list(prompts) + (list(unconditional_prompts) if do_cfg else [])
         logits, cache, lens, max_new_tokens = self._prefill_prompts(
-            all_prompts, max_new_tokens)
+            all_prompts, max_new_tokens, prefix=prefix)
 
         key = jax.random.PRNGKey(seed)
         generated: List[List[int]] = [[] for _ in range(B)]
@@ -341,7 +356,8 @@ class LMEngine:
 
     def _prefill_prompts(self, all_prompts: Sequence[str],
                          new_tokens_budget: int,
-                         prefix: Optional[PrefixState] = None):
+                         prefix: Optional[PrefixState] = None,
+                         rows: Optional[List[List[int]]] = None):
         """Tokenize + bucket-pad + prefill. Returns (logits, cache, lens,
         clamped_budget). The KV cache is sized for prompt + budget; the
         budget is clamped so decode can never write past the cache (the
@@ -354,7 +370,15 @@ class LMEngine:
         invariant (slots at/after a row's length are overwritten before any
         query can see them) makes stale phase-1 K/V beyond the reuse point
         harmless."""
-        rows = [self.tok.encode(p)[: self.max_len] for p in all_prompts]
+        if rows is None:
+            # encode each UNIQUE prompt once (batched plans repeat the same
+            # cond/uncond strings n times)
+            memo: Dict[str, List[int]] = {}
+            rows = []
+            for p in all_prompts:
+                if p not in memo:
+                    memo[p] = self.tok.encode(p)[: self.max_len]
+                rows.append(memo[p])
         lens = np.asarray([len(r) for r in rows], np.int32)
 
         budget = min(new_tokens_budget, self.max_len - int(lens.max()))
@@ -369,8 +393,8 @@ class LMEngine:
             # per-row reuse point; at least one token must be re-processed
             # to produce next-token logits
             P = np.asarray(
-                [min(_common_prefix_len(rows[i], prefix.tokens[i]),
-                     int(prefix.row_lens[i]), len(rows[i]) - 1)
+                [max(0, min(_common_prefix_len(rows[i], prefix.tokens[i]),
+                            int(prefix.row_lens[i]), len(rows[i]) - 1))
                  for i in range(len(rows))], np.int32)
         else:
             P = np.zeros(len(rows), np.int32)
@@ -531,7 +555,7 @@ class LMEngine:
         all_prompts = [prompt] + ([unconditional_prompt] if do_cfg else [])
         prompt_rows = [self.tok.encode(p)[: self.max_len] for p in all_prompts]
         logits, cache, lens, max_tokens = self._prefill_prompts(
-            all_prompts, max_tokens)
+            all_prompts, max_tokens, rows=prompt_rows)
 
         key = ("cot", do_cfg, round(cfg_scale, 4), round(temperature, 4),
                top_k, round(top_p, 4), round(repetition_penalty, 4),
@@ -647,7 +671,7 @@ class LMEngine:
                                        if do_cfg else [])
         prompt_rows = [self.tok.encode(p)[: self.max_len] for p in all_prompts]
         logits, cache, lens, max_tokens = self._prefill_prompts(
-            all_prompts, max_tokens)
+            all_prompts, max_tokens, rows=prompt_rows)
         pad_id = getattr(self.tok, "eos_token_id", None)
         pad_id = int(pad_id) if pad_id is not None else 0
 

@@ -494,23 +494,40 @@ class LLMHandler:
                 {"role": "user", "content": audio_codes},
             ],
             tokenize=False, add_generation_prompt=True)
-        fsms = None
         if use_constrained_decoding:
-            # the FSM constrains the <think> metadata block and goes
-            # unconstrained once it closes — free-form lyrics follow, as in
-            # the reference's "understand" phase (llm_inference.py:1702-1724)
+            # Constrained metadata, then free-form lyrics — the reference's
+            # "understand" phase (llm_inference.py:1702-1724) — as TWO
+            # device programs: the <think> block decodes in ONE compiled
+            # while_loop against device FSM tables (zero per-token host
+            # round-trips), and the lyrics continuation reuses its KV cache
+            # via the prefix machinery, decoding chunked + unconstrained.
+            genres = self.genres_vocab.get() if self.genres_vocab else None
+            tables = self._cot_tables(None, genres, None)
+            ids, state = self.engine.generate_cot_device(
+                prompt, temperature=temperature, top_k=top_k, top_p=top_p,
+                repetition_penalty=repetition_penalty, fsm_tables=tables,
+                max_tokens=512, seed=seed, return_state=True)
+            cot_raw = self.tokenizer.decode(ids)
             fsm = MetadataFSM(self.tables, max_duration=self.max_duration,
-                              skip_genres=True)
-            fsms = [fsm]
-        out = self.engine.generate([prompt], temperature=temperature,
-                                   top_k=top_k, top_p=top_p,
-                                   repetition_penalty=repetition_penalty,
-                                   max_new_tokens=1024, fsms=fsms, seed=seed)
-        text = out.texts[0]
-        metadata, _ = parse_lm_output(text)
-        if fsms is not None:
-            for k, v in (fsms[0].metadata() or {}).items():
+                              genres_vocab=genres, skip_genres=not genres)
+            for t in ids:
+                fsm.advance(t)
+            out = self.engine.generate(
+                [prompt + cot_raw], temperature=temperature,
+                top_k=top_k, top_p=top_p,
+                repetition_penalty=repetition_penalty,
+                max_new_tokens=768, seed=seed + 1, prefix=state)
+            text = cot_raw + out.texts[0]
+            metadata, _ = parse_lm_output(text)
+            for k, v in (fsm.metadata() or {}).items():
                 metadata.setdefault(k, v)
+        else:
+            out = self.engine.generate(
+                [prompt], temperature=temperature, top_k=top_k, top_p=top_p,
+                repetition_penalty=repetition_penalty,
+                max_new_tokens=1024, seed=seed)
+            text = out.texts[0]
+            metadata, _ = parse_lm_output(text)
         # lyrics = free-form text after </think> (reference
         # _extract_lyrics_from_output, llm_inference.py:1745-1782)
         m = re.search(r"</think>", text)

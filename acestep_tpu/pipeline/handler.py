@@ -111,8 +111,11 @@ class AceStepHandler:
         self._exact_transfer = os.environ.get(
             "ACESTEP_EXACT_AUDIO_TRANSFER", "0") == "1"
         # latent frames per decode segment before splitting the decode into
-        # overlapped dispatch+transfer segments (long songs)
-        self._seg_frames = 4096
+        # overlapped dispatch+transfer segments (long songs). Smaller
+        # segments = more concurrent readback streams (the tunnel's
+        # device->host bandwidth is per-stream limited); the 16-frame
+        # receptive-field margins cost <2% extra compute at 8 segments
+        self._seg_frames = 2048
         self.initialized = False
         from acestep_tpu.runtime_config import get_global_config
         self.tier = get_global_config()
@@ -328,8 +331,13 @@ class AceStepHandler:
                         fn = self._decode_fn((g, T, z.shape[2]), chunk, gw)
                         outs = [fn(self.vae_params, z[i * g:(i + 1) * g])
                                 for i in range(groups)]
-                        return np.concatenate(
-                            [self._audio_to_host(o) for o in outs], axis=0)
+                        # concurrent per-group readback (see
+                        # _decode_segmented: per-stream bandwidth limit)
+                        import concurrent.futures as _cf
+
+                        with _cf.ThreadPoolExecutor(min(4, groups)) as ex:
+                            hosts = list(ex.map(self._audio_to_host, outs))
+                        return np.concatenate(hosts, axis=0)
                     except Exception as e:  # noqa: BLE001 — OOM ladder
                         chunk, gw = _degrade_plan(e, chunk, gw)
         chunk, groups = self._decode_plan(z.shape[1])
@@ -371,8 +379,18 @@ class AceStepHandler:
                 outs = [fn(self.vae_params,
                            zp[:, i * core: i * core + seg_len])
                         for i in range(segs)]
-                parts = [self._audio_to_host(out)[
-                    :, margin * hop: (margin + core) * hop] for out in outs]
+                # fetch segments CONCURRENTLY: the tunnel's device->host
+                # bandwidth is per-stream limited (~+33% aggregate with 3
+                # parallel readbacks, measured), and all segments were
+                # dispatched above so device compute already overlaps
+                import concurrent.futures as _cf
+
+                def fetch(out):
+                    return self._audio_to_host(out)[
+                        :, margin * hop: (margin + core) * hop]
+
+                with _cf.ThreadPoolExecutor(min(4, segs)) as ex:
+                    parts = list(ex.map(fetch, outs))
                 return np.concatenate(parts, axis=1)[:, : T * hop]
             except Exception as e:  # noqa: BLE001 — ladder filters below
                 chunk, groups = _degrade_plan(e, chunk, groups)

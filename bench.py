@@ -59,6 +59,16 @@ def _stats(walls):
             [round(min(walls), 3), round(max(walls), 3)])
 
 
+def _median_run(walls):
+    """(wall, spread, idx) where idx is the run whose wall IS the reported
+    median (lower median for even counts) — stage costs must come from the
+    SAME run as the reported wall, or the columns can sum past it."""
+    order = sorted(range(len(walls)), key=walls.__getitem__)
+    idx = order[(len(walls) - 1) // 2]
+    return (round(walls[idx], 3),
+            [round(min(walls), 3), round(max(walls), 3)], idx)
+
+
 def probe_bandwidth() -> dict:
     """Device->host transfer probe (32 MiB int16): contextualizes the
     transfer-bound rows — a 600 s song's audio is ~115 MB on the int16
@@ -173,8 +183,8 @@ def matrix() -> list:
             np.asarray(r.audios[0][:8])
             walls.append(time.perf_counter() - t0)
             runs.append(r.time_costs)
-        wall, spread = _stats(walls)
-        costs = runs[walls.index(sorted(walls)[len(walls) // 2])]
+        wall, spread, mid = _median_run(walls)
+        costs = runs[mid]
         rows.append({
             "config": tag, "duration_s": duration, "batch": batch,
             "thinking": False, "wall_s": wall, "wall_spread": spread,
@@ -205,8 +215,8 @@ def matrix() -> list:
             walls.append(time.perf_counter() - t0)
             assert result.success, result.error
             runs.append(result.extra_outputs.get("time_costs", {}))
-        wall, spread = _stats(walls)
-        costs = runs[walls.index(sorted(walls)[len(walls) // 2])]
+        wall, spread, mid = _median_run(walls)
+        costs = runs[mid]
         row = {
             "config": tag, "duration_s": duration, "batch": batch,
             "thinking": True, "wall_s": wall, "wall_spread": spread,
@@ -225,7 +235,7 @@ def matrix() -> list:
     # parts is noisy and these rows are transfer-sensitive
     run_dit("60s_b1", 60, 1, repeats=3)
     run_dit("30s_b8", 30, 8, repeats=3)
-    run_dit("600s_b1", 600, 1, repeats=2)
+    run_dit("600s_b1", 600, 1, repeats=3)
     run_think("10s_b1_think", 10, 1, repeats=3)
     run_think("30s_b8_think", 30, 8, repeats=3)
 
@@ -265,8 +275,8 @@ def matrix() -> list:
                                for r in rs)
             walls.append(time.perf_counter() - t0)
             toks_runs.append(cot_toks + n_codes)
-        wall, spread = _stats(walls)
-        toks = toks_runs[walls.index(sorted(walls)[len(walls) // 2])]
+        wall, spread, mid = _median_run(walls)
+        toks = toks_runs[mid]
         rows.append({
             "config": tag, "lm_geom": "1.7B", "batch": batch,
             "thinking": True, "duration_s": target_duration,
@@ -298,7 +308,7 @@ def matrix() -> list:
     # the reference's own thinking example: 30 s / b1 / 8 steps with think
     # = 5.67 s wall (LM 2.91), /root/reference/docs/en/BENCHMARK.md:121 —
     # the full pipeline with the REAL-geometry LM must beat it
-    run_think("30s_b1_think_lm1.7B", 30, 1, repeats=2, llm_handler=llm17,
+    run_think("30s_b1_think_lm1.7B", 30, 1, repeats=3, llm_handler=llm17,
               lm_geom="1.7B")
     del llm17
 
@@ -318,8 +328,8 @@ def matrix() -> list:
         np.asarray(r.audios[0][:8])
         walls.append(time.perf_counter() - t0)
         runs.append(r.time_costs)
-    wall, spread = _stats(walls)
-    costs = runs[walls.index(sorted(walls)[len(walls) // 2])]
+    wall, spread, mid = _median_run(walls)
+    costs = runs[mid]
     rows.append({
         "config": "60s_b1_w8a8", "duration_s": 60, "batch": 1,
         "thinking": False, "wall_s": wall, "wall_spread": spread,
@@ -351,8 +361,8 @@ def write_docs(payload: dict) -> None:
         f"**Headline**: {payload['value']} s per 60 s song, spread {hs} "
         f"({payload['vs_baseline']}x the reference baseline).",
         "",
-        "| config | duration | batch | think | wall s | spread | s/song | RTF | LM s | DiT s | VAE s |",
-        "|---|---|---|---|---|---|---|---|---|---|---|",
+        "| config | duration | batch | think | wall s | spread | s/song | RTF | LM s | LM tok/s | DiT s | VAE s |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for row in payload["extra"]["matrix"]:
         lines.append(
@@ -361,7 +371,8 @@ def write_docs(payload: dict) -> None:
             f"{'on' if row['thinking'] else 'off'} | {row['wall_s']} | "
             f"{row.get('wall_spread', '—')} | "
             f"{row.get('seconds_per_song', '—')} | {row.get('rtf', '—')} | "
-            f"{row.get('lm_s', row.get('decode_tok_s', '—'))} | "
+            f"{row.get('lm_s', '—')} | "
+            f"{row.get('decode_tok_s', row.get('prefill_tok_s', '—'))} | "
             f"{row.get('diffusion_s', '—')} | "
             f"{row.get('vae_s', '—')} |")
     lines += [

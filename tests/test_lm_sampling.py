@@ -173,3 +173,94 @@ def test_understand_knob_surface(handler):
                            top_p=0.95, repetition_penalty=1.1,
                            use_constrained_decoding=True)
     assert res.error is None or res.success
+
+
+# ------------------------------------------------------------------
+# review regressions (round-3 code-review findings)
+# ------------------------------------------------------------------
+
+
+def test_vocab_use_covers_sparse_token_ids():
+    """vocab_use must bound the MAX ASSIGNED id, not len(tokenizer): HF
+    vocabs can place added <|audio_code_N|> ids above a padded boundary,
+    leaving holes (review finding: the codes-scan slice crashed there)."""
+    from acestep_tpu.config import LMConfig
+    from acestep_tpu.llm.generator import LMEngine
+    from acestep_tpu.llm.tokenizer import SimpleTokenizer
+    from acestep_tpu.models.lm import init_lm_params
+
+    class SparseTok(SimpleTokenizer):
+        """Audio-code ids relocated above a gap (base ids + 64 offset)."""
+
+        def __init__(self):
+            super().__init__(num_audio_codes=8)
+            self._gap = 64
+
+        def get_vocab(self):
+            base = {t: i for i, t in enumerate(self._id_to_text)}
+            out = {}
+            for t, i in base.items():
+                out[t] = i + self._gap if "audio_code" in t else i
+            return out
+
+        def audio_code_id(self, n):
+            return super().audio_code_id(n) + self._gap
+
+        def encode(self, text):
+            return [i + self._gap
+                    if self._id_to_text[i].startswith("<|audio_code_")
+                    else i for i in super().encode(text)]
+
+        def decode(self, ids):
+            return super().decode(
+                [i - self._gap if i - self._gap >= 0
+                 and self._id_to_text[i - self._gap].startswith("<|audio_code_")
+                 else i for i in ids])
+
+    tok = SparseTok()
+    cfg = LMConfig.tiny(vocab_size=512)
+    params = jax.jit(lambda k: init_lm_params(k, cfg))(jax.random.PRNGKey(0))
+    eng = LMEngine(params, cfg, tok, dtype=jnp.float32)
+    start, end = eng._audio_code_range()
+    assert eng.vocab_use >= end, (eng.vocab_use, end)
+    codes = eng.generate_codes(["hello"], n_codes=4, seed=0)[0]
+    assert all(0 <= c < 8 for c in codes)
+
+
+def test_prefix_with_empty_prompt_row_is_safe(handler):
+    """An empty prompt with a prefix must not produce a negative start
+    position (review finding: P could go to -1)."""
+    eng = handler.engine
+    tables = handler._cot_tables(None, None, None)
+    _, state = eng.generate_cot_device(
+        handler.build_formatted_prompt("a", ""), fsm_tables=tables,
+        max_tokens=16, seed=0, return_state=True)
+    out = eng.generate([""], max_new_tokens=4, seed=0, prefix=state)
+    assert len(out.token_ids[0]) > 0
+    assert eng.last_prefill_stats["reused_tokens"] == 0
+
+
+def test_understand_constrained_is_device_looped(handler, monkeypatch):
+    """Constrained understand must use the device CoT loop + prefix-reused
+    lyrics continuation, not a per-token host-FSM loop (review finding:
+    up to 1024 host round-trips per call)."""
+    calls = {"cot": 0, "gen_fsms": []}
+    orig_cot = handler.engine.generate_cot_device
+    orig_gen = handler.engine.generate
+
+    def spy_cot(*a, **kw):
+        calls["cot"] += 1
+        return orig_cot(*a, **kw)
+
+    def spy_gen(*a, **kw):
+        calls["gen_fsms"].append(kw.get("fsms"))
+        return orig_gen(*a, **kw)
+
+    monkeypatch.setattr(handler.engine, "generate_cot_device", spy_cot)
+    monkeypatch.setattr(handler.engine, "generate", spy_gen)
+    meta = handler.understand("<|audio_code_1|><|audio_code_2|>", seed=0)
+    assert calls["cot"] == 1
+    assert all(f is None for f in calls["gen_fsms"])  # lyrics: unconstrained
+    assert isinstance(meta, dict)
+    # the lyrics continuation reused the CoT phase's KV prefix
+    assert handler.engine.last_prefill_stats["reused_tokens"] > 0
