@@ -364,6 +364,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--vae-dir", default=None)
     parser.add_argument("--lm-checkpoint-dir", default=None)
+    parser.add_argument("--lm-quantization", default=None,
+                        choices=["int8", "fp8", "w8a8"])
     parser.add_argument("--caption", default=None)
     parser.add_argument("--lyrics", default=None)
     parser.add_argument("--duration", type=float, default=-1.0)
@@ -418,7 +420,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         from acestep_tpu.llm.handler import LLMHandler
 
         llm = LLMHandler()
-        llm.initialize(checkpoint_dir=args.lm_checkpoint_dir)
+        llm.initialize(checkpoint_dir=args.lm_checkpoint_dir,
+                       quantization=args.lm_quantization)
 
     if args.lora:
         info = handler.lora.load(args.lora, scale=args.lora_scale)

@@ -33,6 +33,7 @@ from acestep_tpu.models.lm import (
     KVCache, apply_repetition_penalty, cfg_mix_logits, lm_forward, lm_logits,
     lm_logits_slice, sample_tokens,
 )
+from acestep_tpu.ops.quant import dequantize_params
 
 
 def _mix_fn(do_cfg: bool, cfg_scale: float):
@@ -150,6 +151,7 @@ class LMEngine:
 
         @jax.jit
         def decode(params, tokens, row_lens, cache):
+            params = dequantize_params(params, dtype)
             hidden, cache = lm_forward(params, cfg_, tokens[:, None], cache,
                                        start_pos=row_lens)
             return lm_logits_slice(params, cfg_, hidden,
@@ -160,6 +162,7 @@ class LMEngine:
             """Delta prefill at per-row offsets (prefix-reuse path): writes
             K/V at [starts, starts+L) per row; logits at each row's last
             REAL delta token (index dlens-1 inside the padded block)."""
+            params = dequantize_params(params, dtype)
             B, L = ids.shape
             hidden, cache = lm_forward(params, cfg_, ids, cache,
                                        start_pos=starts)
@@ -331,6 +334,7 @@ class LMEngine:
 
         @jax.jit
         def run(params, logits, cache, row_lens, seen, key):
+            params = dequantize_params(params, self.dtype)
             mix = _pen_mix_fn(do_cfg, cfg_scale, penalty)
 
             def step(carry, _):
@@ -447,6 +451,7 @@ class LMEngine:
 
         @jax.jit
         def step(params, logits, allow, cache, row_lens, seen, key):
+            params = dequantize_params(params, self.dtype)
             mixed = _pen_mix_fn(do_cfg, cfg_scale, penalty)(logits, seen)
             toks = sample_tokens(key, mixed, temperature=temperature,
                                  top_k=top_k, top_p=top_p, allow_mask=allow)
@@ -475,6 +480,7 @@ class LMEngine:
         V_use = self.vocab_use
 
         def loop(params, logits0, cache, row_lens, key, tbl):
+            params = dequantize_params(params, self.dtype)
             V = logits0.shape[-1]
 
             mix = _pen_mix_fn(do_cfg, cfg_scale, penalty)
@@ -596,6 +602,7 @@ class LMEngine:
         V_use = self.vocab_use
 
         def loop(params, logits0, cache, row_lens, key, tbl):
+            params = dequantize_params(params, self.dtype)
             B = logits0.shape[0] // 2 if do_cfg else logits0.shape[0]
             V = logits0.shape[-1]
 
@@ -746,6 +753,7 @@ class LMEngine:
         code_start, code_end = self._audio_code_range()
 
         def scan_fn(params, logits0, cache, row_lens, key):
+            params = dequantize_params(params, self.dtype)
             B = logits0.shape[0] // 2 if do_cfg else logits0.shape[0]
             W = code_end - code_start
 

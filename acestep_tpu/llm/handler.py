@@ -113,9 +113,16 @@ class LLMHandler:
                    params: Optional[dict] = None, seed: int = 0,
                    max_duration: int = 600,
                    num_fallback_codes: int = 64,
-                   tensor_parallel: int = 1) -> None:
+                   tensor_parallel: int = 1,
+                   quantization: Optional[str] = None) -> None:
         """Load a checkpoint dir (HF layout) or build the self-contained
-        fallback stack (SimpleTokenizer + random-init tiny LM)."""
+        fallback stack (SimpleTokenizer + random-init tiny LM).
+
+        quantization: None | 'int8' | 'fp8' (weight-only: halves LM HBM
+        footprint — a 4B planner fits a 16 GB chip) | 'w8a8' (weights stay
+        int8 in the decode loops: per-step weight reads halve, so decode
+        itself speeds up). Embeddings/norms stay full precision
+        (ops/quant._is_quantizable)."""
         self.max_duration = max_duration
         # device-FSM tables are keyed by metadata only — they encode token
         # ids of THIS tokenizer, so a re-initialize must drop them
@@ -142,6 +149,14 @@ class LLMHandler:
                 lm_init = jax.jit(lambda k: jax.tree.map(
                     lambda x: x.astype(self.dtype), init_lm_params(k, cfg_)))
                 params = lm_init(jax.random.PRNGKey(seed))
+        if quantization:
+            from acestep_tpu.ops.quant import quantize_tree
+            # lm_head stays full precision: the sliced-head matmuls
+            # (lm_logits_slice) address it as a raw tensor, and it is only
+            # ~12% of per-step reads at 1.7B — the 28-layer trunk is the win
+            quant = jax.jit(lambda p: quantize_tree(
+                p, quantization, exclude_prefixes=("lm_head",)))
+            params = quant(params)
         mesh = None
         if tensor_parallel > 1:
             from acestep_tpu.parallel import make_mesh

@@ -1030,6 +1030,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     parser.add_argument("--checkpoint-dir3",
                         default=os.environ.get("ACESTEP_CONFIG_PATH3"))
     parser.add_argument("--lm-checkpoint-dir", default=None)
+    parser.add_argument("--lm-quantization", default=None,
+                        choices=["int8", "fp8", "w8a8"],
+                        help="quantize LM trunk weights (w8a8 also halves "
+                             "per-step decode weight reads)")
     parser.add_argument("--output-dir", default="outputs")
     parser.add_argument("--persist-dir", default=".cache/acestep_tpu/api")
     parser.add_argument("--examples-dir", default="examples")
@@ -1095,7 +1099,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     llm = None
     if args.lm_checkpoint_dir:
         llm = LLMHandler()
-        llm.initialize(checkpoint_dir=args.lm_checkpoint_dir)
+        llm.initialize(checkpoint_dir=args.lm_checkpoint_dir,
+                       quantization=args.lm_quantization)
 
     state = AppState(handlers, llm,
                      output_dir=args.output_dir,

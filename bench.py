@@ -312,6 +312,33 @@ def matrix() -> list:
               lm_geom="1.7B")
     del llm17
 
+    # w8a8-quantized 1.7B planner: trunk weights stay int8 inside the
+    # decode loops -> per-step weight reads halve (~1.5x decode measured)
+    llm17q = LLMHandler(dtype=jnp.bfloat16)
+    llm17q.initialize(cfg=LMConfig.qwen3_1_7b(), tokenizer=tok17,
+                      max_duration=600, seed=0, quantization="w8a8")
+    p2 = llm17q.build_formatted_prompt_with_cot(
+        "bench", "", "<think>\nduration: 60\n</think>")
+    n2 = llm17q.build_formatted_prompt_with_cot(
+        "bench", "", "<think>\nduration: 60\n</think>",
+        is_negative_prompt=True)
+    qkw = dict(unconditional_prompts=[n2], cfg_scale=2.0, temperature=0.85,
+               top_p=0.9, n_codes=300)
+    llm17q.engine.generate_codes([p2], seed=0, **qkw)        # warm
+    qwalls = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        llm17q.engine.generate_codes([p2], seed=1 + i, **qkw)
+        qwalls.append(time.perf_counter() - t0)
+    qwall, qspread, _ = _median_run(qwalls)
+    rows.append({
+        "config": "lm1.7B_codes300_w8a8", "lm_geom": "1.7B", "batch": 1,
+        "thinking": True, "wall_s": qwall, "wall_spread": qspread,
+        "decode_tok_s": round(300 / qwall, 1),
+    })
+    log(f"matrix lm1.7B_codes300_w8a8: {rows[-1]}")
+    del llm17q
+
     # quantized row (w8a8: int8 x int8 MXU matmuls). Drop the bf16 handler
     # and LM first: keeping two full DiT+VAE param sets resident would
     # squeeze HBM on exactly the parts w8a8 targets

@@ -264,3 +264,51 @@ def test_understand_constrained_is_device_looped(handler, monkeypatch):
     assert isinstance(meta, dict)
     # the lyrics continuation reused the CoT phase's KV prefix
     assert handler.engine.last_prefill_stats["reused_tokens"] > 0
+
+
+# ------------------------------------------------------------------
+# quantized LM decode
+# ------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", ["int8", "fp8", "w8a8"])
+def test_quantized_lm_two_phase(mode):
+    """LLMHandler(quantization=...) runs the full two-phase protocol; the
+    trunk weights are stored quantized (w8a8 keeps them int8 inside the
+    decode loops — halved per-step weight reads at real geometry)."""
+    from acestep_tpu.ops.quant import QUANT_KEY, FP8_KEY, W8A8_KEY
+
+    h = LLMHandler(dtype=jnp.float32)
+    h.initialize(num_fallback_codes=32, max_duration=600, seed=0,
+                 quantization=mode)
+    node = h.engine.params["layers"]["self_attn"]["q_proj"]["w"]
+    key = {"int8": QUANT_KEY, "fp8": FP8_KEY, "w8a8": W8A8_KEY}[mode]
+    assert isinstance(node, dict) and key in node
+    # embeddings stay full precision
+    assert not isinstance(h.engine.params["embed_tokens"], dict)
+    out = h.generate_with_stop_condition(
+        "quant bench", target_duration=2, seed=0, cfg_scale=2.0)
+    assert out["audio_codes"].count("<|audio_code_") == 10
+
+
+def test_quantized_lm_close_to_fp(monkeypatch):
+    """int8 weight-only logits stay close to full precision on a tiny LM."""
+    import numpy as np
+
+    from acestep_tpu.config import LMConfig
+    from acestep_tpu.llm.generator import LMEngine
+    from acestep_tpu.llm.tokenizer import SimpleTokenizer
+    from acestep_tpu.models.lm import init_lm_params
+    from acestep_tpu.ops.quant import quantize_tree
+
+    tok = SimpleTokenizer(num_audio_codes=16)
+    cfg = LMConfig.tiny(vocab_size=256)
+    params = jax.jit(lambda k: init_lm_params(k, cfg))(jax.random.PRNGKey(0))
+    a = LMEngine(params, cfg, tok, dtype=jnp.float32)
+    qparams = quantize_tree(params, "int8", exclude_prefixes=("lm_head",))
+    b = LMEngine(qparams, cfg, tok, dtype=jnp.float32)
+    la, _, _, _ = a._prefill_prompts(["hello world"], 8)
+    lb, _, _, _ = b._prefill_prompts(["hello world"], 8)
+    la, lb = np.asarray(la), np.asarray(lb)
+    denom = max(1e-6, float(np.abs(la).max()))
+    assert float(np.abs(la - lb).max()) / denom < 0.15
