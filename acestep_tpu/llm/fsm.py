@@ -64,11 +64,20 @@ class TokenTables:
         # len(tokenizer), NOT tokenizer.vocab_size: HF vocab_size excludes
         # added tokens, and the ids that matter most here (<think>,
         # <|audio_code_N|>, <|im_end|>) ARE added tokens on the real
-        # checkpoints (Qwen3 base vocab + ACE-Step additions above it)
+        # checkpoints (Qwen3 base vocab + ACE-Step additions above it).
+        # The bound must also cover the MAX ASSIGNED id: HF vocabs can have
+        # holes (added ids may start at a padded boundary above the entry
+        # count — same rule as llm/generator.LMEngine.vocab_use); sizing by
+        # len() alone would leave relocated ids invisible to every mask.
         try:
             V = len(tokenizer)
         except TypeError:
             V = tokenizer.vocab_size
+        if hasattr(tokenizer, "get_vocab"):
+            try:
+                V = max(V, max(tokenizer.get_vocab().values()) + 1)
+            except (ValueError, TypeError):
+                pass
         self.vocab_size = V
         # one batch_decode call instead of V decode() calls (HF fast
         # tokenizers: ~150k singleton decodes cost tens of seconds at init)

@@ -150,14 +150,6 @@ class LMEngine:
         cfg_ = cfg
 
         @jax.jit
-        def decode(params, tokens, row_lens, cache):
-            params = dequantize_params(params, dtype)
-            hidden, cache = lm_forward(params, cfg_, tokens[:, None], cache,
-                                       start_pos=row_lens)
-            return lm_logits_slice(params, cfg_, hidden,
-                                   0, vocab_use)[:, 0], cache
-
-        @jax.jit
         def prefill_at(params, ids, starts, dlens, cache):
             """Delta prefill at per-row offsets (prefix-reuse path): writes
             K/V at [starts, starts+L) per row; logits at each row's last
@@ -171,7 +163,6 @@ class LMEngine:
             return lm_logits_slice(params, cfg_, last[:, None, :],
                                    0, vocab_use)[:, 0], cache
 
-        self._decode = decode
         self._prefill_at = prefill_at
         # per-call prefill accounting (tested by the prefix-reuse tests;
         # also surfaced by bench rows): reused vs freshly processed tokens
@@ -195,11 +186,15 @@ class LMEngine:
         seed: int = 0,
         on_token: Optional[Callable[[int, List[int]], None]] = None,
         prefix: Optional[PrefixState] = None,
+        seen_tokens: Optional[Sequence[Sequence[int]]] = None,
     ) -> GenOutput:
         """Generate for a batch of prompts (optionally CFG-paired).
 
         `prefix` enables KV prefix reuse when the prompts extend a prior
-        phase's streams (see PrefixState)."""
+        phase's streams (see PrefixState). `seen_tokens` seeds the
+        repetition-penalty completion set per conditional row — a caller
+        continuing a prior phase (understand's lyrics after its CoT) keeps
+        penalty semantics identical to one uninterrupted generation."""
         B = len(prompts)
         do_cfg = cfg_scale != 1.0 and unconditional_prompts is not None
         all_prompts = list(prompts) + (list(unconditional_prompts) if do_cfg else [])
@@ -245,7 +240,13 @@ class LMEngine:
         have_fsm = fsms is not None and any(f is not None for f in fsms)
         # completion-token presence per conditional row, device-resident;
         # only consulted when repetition_penalty != 1.0
-        seen_dev = jnp.zeros((B, vocab), bool)
+        seen0 = np.zeros((B, vocab), bool)
+        if seen_tokens is not None:
+            for i, ts in enumerate(seen_tokens[:B]):
+                for t in ts:
+                    if 0 <= t < vocab:
+                        seen0[i, t] = True
+        seen_dev = jnp.asarray(seen0)
 
         if not have_fsm:
             # Unconstrained path (understand / create / format modes): decode

@@ -531,7 +531,8 @@ class LLMHandler:
                 [prompt + cot_raw], temperature=temperature,
                 top_k=top_k, top_p=top_p,
                 repetition_penalty=repetition_penalty,
-                max_new_tokens=768, seed=seed + 1, prefix=state)
+                max_new_tokens=768, seed=seed + 1, prefix=state,
+                seen_tokens=[ids])   # penalty continuity across the phases
             text = cot_raw + out.texts[0]
             metadata, _ = parse_lm_output(text)
             for k, v in (fsm.metadata() or {}).items():

@@ -231,8 +231,8 @@ def matrix() -> list:
         rows.append(row)
         log(f"matrix {tag}: {rows[-1]}")
 
-    # best-of-3 on the cheap rows: device<->host bandwidth on tunneled
-    # parts is noisy and these rows are transfer-sensitive
+    # median-of-3 everywhere: device<->host bandwidth on tunneled parts
+    # swings 2-4x and these rows are transfer-sensitive
     run_dit("60s_b1", 60, 1, repeats=3)
     run_dit("30s_b8", 30, 8, repeats=3)
     run_dit("600s_b1", 600, 1, repeats=3)
@@ -408,9 +408,10 @@ def write_docs(payload: dict) -> None:
         "random weights) to time the two-phase constrained-decoding",
         "machinery. `lm1.7B_*` rows instantiate the real Qwen3-1.7B",
         "geometry (random weights — throughput is weight-independent):",
-        "LM-only CFG-paired two-phase walls (the LM s column shows decode",
-        "tokens/s of the conditional stream; CFG doubles the model batch),",
-        "plus the reference's 30 s thinking example end-to-end.",
+        "LM-only CFG-paired two-phase walls; the LM tok/s column is",
+        "decode (or prefill) tokens/s of the conditional stream (CFG",
+        "doubles the model batch), plus the reference's 30 s thinking",
+        "example end-to-end.",
         "",
     ]
     with open("docs/BENCHMARK.md", "w", encoding="utf-8") as f:

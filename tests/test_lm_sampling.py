@@ -254,6 +254,7 @@ def test_understand_constrained_is_device_looped(handler, monkeypatch):
 
     def spy_gen(*a, **kw):
         calls["gen_fsms"].append(kw.get("fsms"))
+        calls["seen"] = kw.get("seen_tokens")
         return orig_gen(*a, **kw)
 
     monkeypatch.setattr(handler.engine, "generate_cot_device", spy_cot)
@@ -261,6 +262,9 @@ def test_understand_constrained_is_device_looped(handler, monkeypatch):
     meta = handler.understand("<|audio_code_1|><|audio_code_2|>", seed=0)
     assert calls["cot"] == 1
     assert all(f is None for f in calls["gen_fsms"])  # lyrics: unconstrained
+    # repetition-penalty continuity: the CoT tokens seed the lyrics phase's
+    # completion set (one-generation semantics, as in the reference)
+    assert calls["seen"] and len(calls["seen"][0]) > 0
     assert isinstance(meta, dict)
     # the lyrics continuation reused the CoT phase's KV prefix
     assert handler.engine.last_prefill_stats["reused_tokens"] > 0
