@@ -30,7 +30,7 @@ import numpy as np
 
 from acestep_tpu.config import LMConfig
 from acestep_tpu.models.lm import (
-    KVCache, apply_repetition_penalty, cfg_mix_logits, lm_forward, lm_logits,
+    KVCache, apply_repetition_penalty, cfg_mix_logits, lm_forward,
     lm_logits_slice, sample_tokens,
 )
 from acestep_tpu.ops.quant import dequantize_params

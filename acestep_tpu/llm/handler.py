@@ -150,13 +150,19 @@ class LLMHandler:
                     lambda x: x.astype(self.dtype), init_lm_params(k, cfg_)))
                 params = lm_init(jax.random.PRNGKey(seed))
         if quantization:
-            from acestep_tpu.ops.quant import quantize_tree
-            # lm_head stays full precision: the sliced-head matmuls
-            # (lm_logits_slice) address it as a raw tensor, and it is only
-            # ~12% of per-step reads at 1.7B — the 28-layer trunk is the win
+            from acestep_tpu.ops.quant import MODE_ALIASES, quantize_tree
+            # weight-only modes keep the head full precision (their
+            # programs materialize bf16 anyway); w8a8 adds an int8 head
+            # copy for the decode-loop logits (models/lm.build_head_q) —
+            # the bf16 embed stays for gathers/encoding/scoring
             quant = jax.jit(lambda p: quantize_tree(
                 p, quantization, exclude_prefixes=("lm_head",)))
             params = quant(params)
+            if MODE_ALIASES.get(quantization) == "w8a8":
+                from acestep_tpu.models.lm import build_head_q
+                cfg_ = self.cfg
+                params["head_q"] = jax.jit(
+                    lambda p: build_head_q(p, cfg_))(params)
         mesh = None
         if tensor_parallel > 1:
             from acestep_tpu.parallel import make_mesh

@@ -176,6 +176,20 @@ def lm_logits(params: dict, cfg: LMConfig, hidden: jnp.ndarray) -> jnp.ndarray:
     return linear(params["lm_head"], hidden).astype(jnp.float32)
 
 
+def build_head_q(params: dict, cfg: LMConfig) -> dict:
+    """Int8 copy of the output head, rows-along-vocab (V, H) with per-row
+    scales (V, 1), for w8a8 decode: the head is the largest single
+    per-step HBM read once the trunk is int8 (884 MB bf16 at 1.7B full
+    vocab). The bf16 embed table stays for gathers/encoding/scoring."""
+    w = params["embed_tokens"] if cfg.tie_word_embeddings \
+        else params["lm_head"]["w"].T                     # (V, H)
+    w = jnp.asarray(w, jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=-1, keepdims=True) / 127.0,
+                        1e-12)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale.astype(jnp.float32)}
+
+
 def lm_logits_slice(params: dict, cfg: LMConfig, hidden: jnp.ndarray,
                     start: int, end: int) -> jnp.ndarray:
     """Logits restricted to the token-id window [start, end).
@@ -183,7 +197,23 @@ def lm_logits_slice(params: dict, cfg: LMConfig, hidden: jnp.ndarray,
     The codes phase only ever samples <|audio_code_N|> tokens (a contiguous
     64k block); computing the other ~152k vocab rows wastes ~70% of the
     lm_head HBM reads per decode step at 1.7B geometry. Static slice -> XLA
-    reads only the window's weights."""
+    reads only the window's weights.
+
+    When a `head_q` node is present (w8a8 LM, build_head_q), the window
+    multiplies as int8 x int8 on the MXU with per-token activation scales —
+    a further 4x fewer head bytes per step."""
+    hq = params.get("head_q")
+    if hq is not None:
+        q = jax.lax.slice_in_dim(hq["q"], start, end, axis=0)        # (Vw, H)
+        sc = jax.lax.slice_in_dim(hq["scale"], start, end, axis=0)   # (Vw, 1)
+        xf = hidden.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        xs = jnp.maximum(amax / 127.0, 1e-12)
+        xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            xq, q, dimension_numbers=(((xq.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return y.astype(jnp.float32) * xs * sc[:, 0]
     if cfg.tie_word_embeddings:
         w = jax.lax.slice_in_dim(params["embed_tokens"], start, end, axis=0)
         return (hidden @ w.T.astype(hidden.dtype)).astype(jnp.float32)
