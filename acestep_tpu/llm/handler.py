@@ -163,6 +163,10 @@ class LLMHandler:
                 cfg_ = self.cfg
                 params["head_q"] = jax.jit(
                     lambda p: build_head_q(p, cfg_))(params)
+                if not self.cfg.tie_word_embeddings:
+                    # the int8 copy fully replaces the untied head (~1.1 GB
+                    # bf16 at 4B geometry would otherwise sit unread)
+                    params.pop("lm_head", None)
         mesh = None
         if tensor_parallel > 1:
             from acestep_tpu.parallel import make_mesh

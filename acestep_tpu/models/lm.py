@@ -173,6 +173,12 @@ def lm_logits(params: dict, cfg: LMConfig, hidden: jnp.ndarray) -> jnp.ndarray:
     if cfg.tie_word_embeddings:
         w = params["embed_tokens"].astype(hidden.dtype)
         return (hidden @ w.T).astype(jnp.float32)
+    if "lm_head" not in params:
+        # untied w8a8 drops the redundant bf16 head (build_head_q holds the
+        # int8 copy); dequantize it for this non-hot full-vocab path
+        hq = params["head_q"]
+        w = (hq["q"].astype(jnp.float32) * hq["scale"]).astype(hidden.dtype)
+        return (hidden @ w.T).astype(jnp.float32)
     return linear(params["lm_head"], hidden).astype(jnp.float32)
 
 

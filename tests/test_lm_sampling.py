@@ -316,3 +316,33 @@ def test_quantized_lm_close_to_fp(monkeypatch):
     la, lb = np.asarray(la), np.asarray(lb)
     denom = max(1e-6, float(np.abs(la).max()))
     assert float(np.abs(la - lb).max()) / denom < 0.15
+
+
+@pytest.mark.parametrize("tied", [True, False])
+def test_head_q_logits_close_to_dense(tied):
+    """The int8 output head (build_head_q) matches the dense sliced head
+    within quantization tolerance, for BOTH tied and untied layouts."""
+    import numpy as np
+
+    from acestep_tpu.config import LMConfig
+    from acestep_tpu.models.lm import (
+        build_head_q, init_lm_params, lm_logits, lm_logits_slice,
+    )
+
+    cfg = LMConfig.tiny(vocab_size=384, tie_word_embeddings=tied)
+    params = jax.jit(lambda k: init_lm_params(k, cfg))(jax.random.PRNGKey(0))
+    hidden = jax.random.normal(jax.random.PRNGKey(1), (2, 3, cfg.hidden_size))
+
+    dense = np.asarray(lm_logits_slice(params, cfg, hidden, 64, 320))
+    qparams = dict(params)
+    qparams["head_q"] = build_head_q(params, cfg)
+    if not tied:
+        qparams.pop("lm_head")          # untied w8a8 drops the bf16 head
+    quant = np.asarray(lm_logits_slice(qparams, cfg, hidden, 64, 320))
+    rel = np.abs(dense - quant).max() / max(np.abs(dense).max(), 1e-6)
+    assert rel < 0.03, rel
+    # full-vocab fallback also works without lm_head
+    full = np.asarray(lm_logits(qparams, cfg, hidden))
+    ref = np.asarray(lm_logits(params, cfg, hidden))
+    relf = np.abs(full - ref).max() / max(np.abs(ref).max(), 1e-6)
+    assert relf < 0.03, relf
