@@ -403,6 +403,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="print (or save with --codes-out) 5 Hz codes "
                              "for an audio file and exit")
     parser.add_argument("--codes-out", default=None)
+    parser.add_argument("--mesh", default=os.environ.get("ACESTEP_MESH"),
+                        help="multi-chip DiT mesh 'DPxTP' (e.g. '4x2') or "
+                             "device count (env: ACESTEP_MESH)")
+    parser.add_argument("--lm-tensor-parallel", type=int,
+                        default=int(os.environ.get("ACESTEP_LM_TP", "1")))
     return parser
 
 
@@ -415,13 +420,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     print("Initializing service (first TPU compile may take a minute)...")
     handler.initialize_service(checkpoint_dir=args.checkpoint_dir,
                                vae_dir=args.vae_dir)
+    from acestep_tpu.parallel import parse_mesh_spec
+
+    mesh_spec = parse_mesh_spec(args.mesh)
+    if mesh_spec:
+        handler.enable_mesh(dp=mesh_spec[0], tp=mesh_spec[1])
+        print(f"mesh enabled: dp={mesh_spec[0]} x tp={mesh_spec[1]}")
     llm = None
     if args.lm_checkpoint_dir:
         from acestep_tpu.llm.handler import LLMHandler
 
         llm = LLMHandler()
         llm.initialize(checkpoint_dir=args.lm_checkpoint_dir,
-                       quantization=args.lm_quantization)
+                       quantization=args.lm_quantization,
+                       tensor_parallel=args.lm_tensor_parallel)
 
     if args.lora:
         info = handler.lora.load(args.lora, scale=args.lora_scale)

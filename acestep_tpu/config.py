@@ -230,6 +230,15 @@ class LMConfig:
                    tie_word_embeddings=False)
 
     @classmethod
+    def for_size(cls, size: str, audio_vocab: int = 64_000) -> "LMConfig":
+        """Planner geometry by tier size string ('0.6B'|'1.7B'|'4B')."""
+        table = {"0.6B": cls.qwen3_0_6b, "1.7B": cls.qwen3_1_7b,
+                 "4B": cls.qwen3_4b}
+        if size not in table:
+            raise ValueError(f"unknown LM size {size!r}; one of {sorted(table)}")
+        return table[size](audio_vocab=audio_vocab)
+
+    @classmethod
     def tiny(cls, **overrides) -> "LMConfig":
         kw = dict(
             vocab_size=512,

@@ -183,6 +183,72 @@ class LLMHandler:
             self.genres_vocab = GenresVocab(genres_path)
         self.initialized = True
 
+    def initialize_auto(self, size: str = "auto",
+                        checkpoint_root: Optional[str] = None,
+                        quantization: Optional[str] = None,
+                        tensor_parallel: int = 1, seed: int = 0,
+                        max_duration: int = 600) -> Dict[str, Any]:
+        """Tier-driven planner init with the reference's downgrade ladder.
+
+        The reference's >=16 GB tiers select the 4B LM and downgrade to
+        1.7B when memory is short (gpu_config.py:268-311,
+        acestep_v15_pipeline.py:221-232). Here: walk
+        runtime_config.lm_fallback_plan (tier size + quantization, then
+        w8a8, then smaller sizes) until one geometry initializes without
+        exhausting HBM. `size`/'quantization' override the tier's first
+        choice; `checkpoint_root` points at a directory holding
+        `acestep-5Hz-lm-{size}` checkpoints (random-weight geometry is
+        used when absent — this image has no released checkpoints).
+        Returns {"size", "quantization", "downgraded"}."""
+        from acestep_tpu.runtime_config import (
+            get_global_config, lm_fallback_plan)
+
+        tier = get_global_config()
+        if size and size != "auto":
+            import dataclasses as _dc
+            tier = _dc.replace(tier, lm_size=size,
+                               lm_quantization=quantization)
+        plan = lm_fallback_plan(tier)
+        if not plan:
+            raise RuntimeError(
+                f"tier {tier.name} has no LM planner budget; pass an "
+                "explicit size")
+        max_duration = min(max_duration, tier.max_duration_s)
+        last_err: Optional[Exception] = None
+        for i, (try_size, try_quant) in enumerate(plan):
+            ckpt = None
+            if checkpoint_root:
+                cand = os.path.join(checkpoint_root,
+                                    f"acestep-5Hz-lm-{try_size}")
+                if os.path.isdir(cand):
+                    ckpt = cand
+            try:
+                if ckpt:
+                    self.initialize(checkpoint_dir=ckpt, seed=seed,
+                                    max_duration=max_duration,
+                                    tensor_parallel=tensor_parallel,
+                                    quantization=try_quant)
+                else:
+                    self.initialize(cfg=LMConfig.for_size(try_size),
+                                    tokenizer=SimpleTokenizer(
+                                        num_audio_codes=64_000),
+                                    seed=seed, max_duration=max_duration,
+                                    tensor_parallel=tensor_parallel,
+                                    quantization=try_quant)
+                return {"size": try_size, "quantization": try_quant,
+                        "downgraded": i > 0}
+            except Exception as e:  # noqa: BLE001 — OOM ladder below
+                msg = str(e)
+                oom = ("RESOURCE_EXHAUSTED" in msg or "OOM" in msg
+                       or "out of memory" in msg.lower())
+                if not oom or i == len(plan) - 1:
+                    raise
+                last_err = e
+                self.initialized = False
+                self.engine = None
+        raise RuntimeError("LM init exhausted the downgrade ladder") \
+            from last_err
+
     # --------------------------------------------------------------
     # Prompt building (reference build_formatted_prompt*)
     # --------------------------------------------------------------

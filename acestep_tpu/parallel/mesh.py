@@ -33,6 +33,37 @@ _COL_KEYS = ("q_proj", "k_proj", "v_proj", "gate", "up")
 _ROW_KEYS = ("o_proj", "down")
 
 
+def parse_mesh_spec(spec) -> Optional[tuple]:
+    """Operator mesh spec -> (dp, tp) or None.
+
+    Accepts 'DPxTP' ('4x2'), a bare integer ('8' = pure data parallel),
+    or ''/None/'1'/'1x1' (no mesh). This is the product surface for
+    multi-chip serving: `--mesh` on the API server / CLI / profiler and
+    the ACESTEP_MESH env var (the reference exposes its TP degree in
+    nano-vllm config, nanovllm/config.py:17,25; here the whole dp x tp
+    mesh is one flag)."""
+    if spec is None:
+        return None
+    s = str(spec).strip().lower().replace("*", "x")
+    if not s:
+        return None
+    try:
+        if "x" in s:
+            dp_s, tp_s = s.split("x", 1)
+            dp, tp = int(dp_s), int(tp_s)
+        else:
+            dp, tp = int(s), 1
+    except ValueError:
+        raise ValueError(
+            f"bad mesh spec {spec!r}: expected 'DPxTP' (e.g. '4x2') or a "
+            "device count (e.g. '8')") from None
+    if dp < 1 or tp < 1:
+        raise ValueError(f"bad mesh spec {spec!r}: dp/tp must be >= 1")
+    if dp * tp == 1:
+        return None
+    return dp, tp
+
+
 def make_mesh(dp: int = 1, tp: int = 1,
               devices: Optional[list] = None) -> Mesh:
     devices = devices if devices is not None else jax.devices()

@@ -589,6 +589,13 @@ class AceStepHandler:
             captions = [captions]
         B = batch_size or len(captions)
         B = effective_batch(B, self.tier)    # tier guard (ref memory_utils)
+        B_req = B
+        if self.mesh is not None:
+            # SPMD programs need the batch divisible by dp; pad with repeats
+            # of the request rows (trimmed from every output below) so an
+            # operator-facing mesh serves ANY batch size, batch 1 included
+            dp = self.mesh.shape["dp"]
+            B = -(-B // dp) * dp
         if audio_duration and audio_duration > 0:
             audio_duration = effective_duration(audio_duration, self.tier)
         captions = (list(captions) * B)[:B]
@@ -839,12 +846,16 @@ class AceStepHandler:
         if latent_shift != 0.0 or latent_rescale != 1.0:
             pred = pred * latent_rescale + latent_shift
 
+        if B_req < B:
+            pred = pred[:B_req]          # drop mesh padding rows pre-decode
+            seeds_list = seeds_list[:B_req]
+
         t0 = time.time()
         audio = self.decode_latents(pred)[:, : T_req * VAE_HOP]
         time_costs["vae_decode_time_cost"] = time.time() - t0
 
         audios = []
-        for i in range(B):
+        for i in range(B_req):
             a = audio[i]
             if normalize:
                 a = peak_normalize(a)

@@ -28,23 +28,55 @@ class DeviceTierConfig:
     decode_chunk: int            # tiled VAE decode chunk (latent frames)
     encode_chunk: int
     lm_max_len: int              # planner context budget
+    lm_quantization: Optional[str] = None   # None | int8 | fp8 | w8a8
     notes: str = ""
 
 
 # Tier table (ascending HBM). Mirrors the *policy shape* of
 # GPU_TIER_CONFIGS — thresholds re-derived for TPU memory profiles.
+# The reference's >=16 GB tiers run the 4B planner
+# (gpu_config.py:268-311); on a 16 GB v5e that takes the w8a8 int8
+# trunk + int8 head (measured round 4: 4B-w8a8 + DiT + VAE coexist;
+# bf16 4B + CFG KV does not), so the 16 GB tier pins lm_quantization.
 _TIERS = (
     DeviceTierConfig("tier_cpu", 0.0, 600, 8, None, 128, 512, 2048,
-                     "CPU/testing: host RAM is not the constraint; no LM "
-                     "planner by default"),
-    DeviceTierConfig("tier_8g", 8.0, 240, 2, "0.6B", 128, 512, 2048),
-    DeviceTierConfig("tier_16g", 16.0, 600, 8, "1.7B", 256, 1024, 4096,
-                     "TPU v5e single chip"),
+                     notes="CPU/testing: host RAM is not the constraint; "
+                           "no LM planner by default"),
+    DeviceTierConfig("tier_8g", 8.0, 240, 2, "0.6B", 128, 512, 2048,
+                     lm_quantization="w8a8"),
+    DeviceTierConfig("tier_16g", 16.0, 600, 8, "4B", 256, 1024, 4096,
+                     lm_quantization="w8a8",
+                     notes="TPU v5e single chip: 4B planner fits at w8a8 "
+                           "(int8 trunk + int8 output head)"),
     DeviceTierConfig("tier_32g", 32.0, 600, 8, "4B", 512, 2048, 4096,
-                     "TPU v4/v5p class"),
+                     notes="TPU v4/v5p class: 4B at bf16"),
     DeviceTierConfig("tier_96g", 96.0, 600, 8, "4B", 512, 2048, 8192,
-                     "TPU v6e class / multi-chip budget"),
+                     notes="TPU v6e class / multi-chip budget"),
 )
+
+# Planner downgrade ladder (reference acestep_v15_pipeline.py:221-232
+# downgrades the 4B planner to 1.7B when VRAM is short; here the ladder
+# also tightens quantization before shrinking the model).
+_LM_SMALLER = {"4B": "1.7B", "1.7B": "0.6B", "0.6B": None}
+
+
+def lm_fallback_plan(tier: Optional[DeviceTierConfig] = None) -> list:
+    """Ordered (size, quantization) attempts for the tier's LM planner.
+
+    First the tier's own choice, then w8a8 at the same size (if not
+    already), then each smaller size at w8a8 — callers try each until one
+    initializes without exhausting device memory."""
+    tier = tier or get_global_config()
+    if tier.lm_size is None:
+        return []
+    plan = [(tier.lm_size, tier.lm_quantization)]
+    if tier.lm_quantization != "w8a8":
+        plan.append((tier.lm_size, "w8a8"))
+    size = _LM_SMALLER.get(tier.lm_size)
+    while size is not None:
+        plan.append((size, "w8a8"))
+        size = _LM_SMALLER.get(size)
+    return plan
 
 _GLOBAL: Optional[DeviceTierConfig] = None
 

@@ -1030,6 +1030,16 @@ def main(argv: Optional[List[str]] = None) -> None:
     parser.add_argument("--checkpoint-dir3",
                         default=os.environ.get("ACESTEP_CONFIG_PATH3"))
     parser.add_argument("--lm-checkpoint-dir", default=None)
+    parser.add_argument("--lm-size", default=None,
+                        choices=["auto", "0.6B", "1.7B", "4B"],
+                        help="start the LM planner by tier policy: 'auto' "
+                             "picks the tier's size (16 GB -> 4B-w8a8) and "
+                             "downgrades on OOM (reference "
+                             "acestep_v15_pipeline.py:221-232); checkpoints "
+                             "are looked up under --lm-checkpoint-root")
+    parser.add_argument("--lm-checkpoint-root", default=None,
+                        help="directory holding acestep-5Hz-lm-{size} dirs "
+                             "for --lm-size")
     parser.add_argument("--lm-quantization", default=None,
                         choices=["int8", "fp8", "w8a8"],
                         help="quantize LM trunk weights (w8a8 also halves "
@@ -1044,7 +1054,20 @@ def main(argv: Optional[List[str]] = None) -> None:
                              "('' disables)")
     parser.add_argument("--quantization", default=None,
                         choices=[None, "int8"])
+    parser.add_argument("--mesh", default=os.environ.get("ACESTEP_MESH"),
+                        help="multi-chip DiT mesh as 'DPxTP' (e.g. '4x2') "
+                             "or a device count for pure data parallel; "
+                             "default single-chip (env: ACESTEP_MESH)")
+    parser.add_argument("--lm-tensor-parallel", type=int,
+                        default=int(os.environ.get("ACESTEP_LM_TP", "1")),
+                        help="tensor-parallel degree for the LM planner "
+                             "(reference nano-vllm tensor_parallel_size, "
+                             "nanovllm/config.py:17)")
     args = parser.parse_args(argv)
+
+    from acestep_tpu.parallel import parse_mesh_spec
+
+    mesh_spec = parse_mesh_spec(args.mesh)
 
     from acestep_tpu.config import DiTConfig
 
@@ -1090,7 +1113,13 @@ def main(argv: Optional[List[str]] = None) -> None:
                                text_embedder=shared_embedder)
         shared_vae = dit.vae_params          # one VAE across variants
         shared_embedder = dit.text_embedder
+        if mesh_spec:
+            dit.enable_mesh(dp=mesh_spec[0], tp=mesh_spec[1])
         handlers[name] = dit
+    if mesh_spec:
+        print(f"[acestep_tpu] mesh enabled: dp={mesh_spec[0]} "
+              f"x tp={mesh_spec[1]} over {mesh_spec[0] * mesh_spec[1]} "
+              "devices")
     if args.warmup:
         durations = [float(d) for d in args.warmup.split(",") if d]
         print(f"[acestep_tpu] warming {durations} x {list(handlers)}...")
@@ -1100,7 +1129,17 @@ def main(argv: Optional[List[str]] = None) -> None:
     if args.lm_checkpoint_dir:
         llm = LLMHandler()
         llm.initialize(checkpoint_dir=args.lm_checkpoint_dir,
-                       quantization=args.lm_quantization)
+                       quantization=args.lm_quantization,
+                       tensor_parallel=args.lm_tensor_parallel)
+    elif args.lm_size:
+        llm = LLMHandler()
+        info = llm.initialize_auto(size=args.lm_size,
+                                   checkpoint_root=args.lm_checkpoint_root,
+                                   quantization=args.lm_quantization,
+                                   tensor_parallel=args.lm_tensor_parallel)
+        print(f"[acestep_tpu] LM planner: {info['size']}"
+              f" quant={info['quantization']}"
+              f"{' (downgraded)' if info['downgraded'] else ''}")
 
     state = AppState(handlers, llm,
                      output_dir=args.output_dir,

@@ -41,6 +41,11 @@ def _init_handler(args, hbm_override: Optional[float] = None,
     handler.initialize_service(checkpoint_dir=args.checkpoint_dir,
                                vae_dir=args.vae_dir,
                                quantization=quantization)
+    from acestep_tpu.parallel import parse_mesh_spec
+
+    mesh_spec = parse_mesh_spec(getattr(args, "mesh", None))
+    if mesh_spec:
+        handler.enable_mesh(dp=mesh_spec[0], tp=mesh_spec[1])
     return handler, time.time() - t0
 
 
@@ -291,6 +296,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--vae-dir", default=None)
     parser.add_argument("--lm-checkpoint-dir", default=None)
+    parser.add_argument("--mesh", default=os.environ.get("ACESTEP_MESH"),
+                        help="multi-chip DiT mesh 'DPxTP' or device count "
+                             "(env: ACESTEP_MESH)")
     parser.add_argument("--duration", type=float, default=30.0)
     parser.add_argument("--durations", default="10,30,60")
     parser.add_argument("--batch", type=int, default=1)

@@ -30,11 +30,21 @@ def test_mesh_matches_single_device():
                                rtol=2e-4, atol=2e-4)
 
 
-def test_mesh_batch_divisibility_guard():
+def test_mesh_pads_indivisible_batch():
+    """A served mesh accepts ANY batch size: requests not divisible by dp
+    are padded with repeat rows on device and trimmed from the outputs
+    (operators with --mesh must be able to serve batch-1 requests)."""
+    kw = dict(audio_duration=0.8, normalize=False)
+    ref = _handler().generate_music(["a", "b", "c"], ["x"] * 3,
+                                    seeds=[1, 2, 3], **kw)
     h = _handler(mesh_dp=4)
-    with pytest.raises(ValueError, match="multiple of mesh dp"):
-        h.generate_music(["a"], ["x"], audio_duration=0.8, batch_size=3,
-                         seeds=[1, 2, 3])
+    out = h.generate_music(["a", "b", "c"], ["x"] * 3, batch_size=3,
+                           seeds=[1, 2, 3], **kw)
+    assert len(out.audios) == 3
+    assert out.pred_latents.shape[0] == 3
+    assert out.seeds == [1, 2, 3]
+    np.testing.assert_allclose(out.pred_latents, ref.pred_latents,
+                               rtol=2e-4, atol=2e-4)
 
 
 def test_enable_mesh_too_many_devices():

@@ -28,6 +28,91 @@ def test_tier_selection_by_hbm():
     assert get_tier_config(40.0).lm_size == "4B"
 
 
+def test_tier16_selects_4b_w8a8():
+    """16 GB tier auto-selects the 4B planner at w8a8 (reference >=16 GB
+    tiers run 4B, gpu_config.py:268-311), with a downgrade ladder ending
+    at 0.6B (acestep_v15_pipeline.py:221-232)."""
+    from acestep_tpu.runtime_config import lm_fallback_plan
+
+    tier = get_tier_config(16.0)
+    assert tier.lm_size == "4B"
+    assert tier.lm_quantization == "w8a8"
+    plan = lm_fallback_plan(tier)
+    assert plan[0] == ("4B", "w8a8")
+    assert plan[-1] == ("0.6B", "w8a8")
+    assert ("1.7B", "w8a8") in plan
+    # bf16 tiers first try unquantized, then w8a8, then shrink
+    plan32 = lm_fallback_plan(get_tier_config(32.0))
+    assert plan32[0] == ("4B", None) and plan32[1] == ("4B", "w8a8")
+    assert lm_fallback_plan(get_tier_config(0.0)) == []
+
+
+def test_lm_initialize_auto_downgrades(monkeypatch):
+    """initialize_auto walks the ladder past OOM failures and reports the
+    geometry that stuck."""
+    import jax.numpy as jnp
+
+    from acestep_tpu.config import LMConfig
+    from acestep_tpu.llm.handler import LLMHandler
+    from acestep_tpu.runtime_config import set_global_config
+
+    set_global_config(get_tier_config(16.0))
+    try:
+        attempts = []
+        real_init = LLMHandler.initialize
+
+        def fake_init(self, *a, cfg=None, tokenizer=None, seed=0, **kw):
+            attempts.append((cfg.hidden_size, kw.get("quantization")))
+            if len(attempts) < 3:
+                raise RuntimeError("RESOURCE_EXHAUSTED: out of memory "
+                                   "allocating 4000000000 bytes")
+            # succeed on the third (0.6B) attempt with a tiny real engine
+            return real_init(self, cfg=LMConfig.tiny(), seed=0, **kw)
+
+        monkeypatch.setattr(LLMHandler, "initialize", fake_init)
+        h = LLMHandler(dtype=jnp.float32)
+        info = h.initialize_auto()
+        assert info == {"size": "0.6B", "quantization": "w8a8",
+                        "downgraded": True}
+        assert [a[0] for a in attempts] == [2560, 2048, 1024]  # 4B->1.7B->0.6B
+        assert h.initialized
+    finally:
+        set_global_config(get_tier_config(0.0))
+
+
+def test_lm_initialize_auto_nonoom_raises(monkeypatch):
+    from acestep_tpu.llm.handler import LLMHandler
+    from acestep_tpu.runtime_config import set_global_config
+
+    set_global_config(get_tier_config(16.0))
+    try:
+        def fake_init(self, *a, **kw):
+            raise ValueError("bad checkpoint")
+
+        monkeypatch.setattr(LLMHandler, "initialize", fake_init)
+        with pytest.raises(ValueError, match="bad checkpoint"):
+            LLMHandler().initialize_auto()
+    finally:
+        set_global_config(get_tier_config(0.0))
+
+
+def test_parse_mesh_spec():
+    from acestep_tpu.parallel import parse_mesh_spec
+
+    assert parse_mesh_spec(None) is None
+    assert parse_mesh_spec("") is None
+    assert parse_mesh_spec("1") is None
+    assert parse_mesh_spec("1x1") is None
+    assert parse_mesh_spec("8") == (8, 1)
+    assert parse_mesh_spec("4x2") == (4, 2)
+    assert parse_mesh_spec("4X2") == (4, 2)
+    assert parse_mesh_spec("2*4") == (2, 4)
+    with pytest.raises(ValueError):
+        parse_mesh_spec("abc")
+    with pytest.raises(ValueError):
+        parse_mesh_spec("0x2")
+
+
 def test_env_override(monkeypatch):
     monkeypatch.setenv("ACESTEP_MAX_HBM_GB", "32")
     assert detect_hbm_gb() == 32.0
