@@ -107,7 +107,8 @@ class LMEngine:
     """Holds params + compiled prefill/decode programs."""
 
     def __init__(self, params: dict, cfg: LMConfig, tokenizer,
-                 dtype=jnp.bfloat16, max_len: int = 4096, mesh=None):
+                 dtype=jnp.bfloat16, max_len: int = 4096, mesh=None,
+                 kv_quant: bool = False):
         if mesh is not None:
             # Tensor parallelism nano-vllm-style (its column/row-partitioned
             # linears + NCCL all-reduce, nanovllm/layers/linear.py) — here:
@@ -124,6 +125,9 @@ class LMEngine:
         self.tok = tokenizer
         self.dtype = dtype
         self.max_len = max_len
+        # int8 KV cache (models/lm.KVCache quantized mode): halves the
+        # per-step cache reads that dominate long-context decode
+        self.kv_quant = kv_quant
         # Decode programs emit logits over [0, vocab_use) only: ids beyond
         # the tokenizer are undecodable padding (FSM tables deny them
         # anyway), and slicing the head skips their lm_head rows — at 1.7B
@@ -418,13 +422,10 @@ class LMEngine:
         # dynamic_update_slice would clamp and silently corrupt valid K/V)
         cache_len = max(int(lens.max()) + budget, int(P.max()) + D)
         cache = KVCache.create(self.cfg, len(rows), cache_len,
-                               dtype=self.dtype)
+                               dtype=self.dtype, quantized=self.kv_quant)
         if prefix is not None and int(P.max()) > 0:
             copy = min(int(P.max()), prefix.cache.k.shape[2], cache_len)
-            cache = KVCache(
-                cache.k.at[:, :, :copy].set(prefix.cache.k[:, :, :copy]),
-                cache.v.at[:, :, :copy].set(prefix.cache.v[:, :, :copy]),
-                cache.length)
+            cache = cache.graft_prefix(prefix.cache, copy)
         self.last_prefill_stats = {
             "rows": len(rows),
             "prompt_tokens": int(np.sum(lens)),

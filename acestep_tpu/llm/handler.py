@@ -114,7 +114,8 @@ class LLMHandler:
                    max_duration: int = 600,
                    num_fallback_codes: int = 64,
                    tensor_parallel: int = 1,
-                   quantization: Optional[str] = None) -> None:
+                   quantization: Optional[str] = None,
+                   kv_quant: Optional[bool] = None) -> None:
         """Load a checkpoint dir (HF layout) or build the self-contained
         fallback stack (SimpleTokenizer + random-init tiny LM).
 
@@ -122,7 +123,11 @@ class LLMHandler:
         footprint — a 4B planner fits a 16 GB chip) | 'w8a8' (weights stay
         int8 in the decode loops: per-step weight reads halve, so decode
         itself speeds up). Embeddings/norms stay full precision
-        (ops/quant._is_quantizable)."""
+        (ops/quant._is_quantizable).
+
+        kv_quant: int8 KV cache (per-vector scales, models/lm.KVCache) —
+        halves the per-step cache reads that dominate long-context decode.
+        Default follows the weight mode: on for w8a8, off otherwise."""
         self.max_duration = max_duration
         # device-FSM tables are keyed by metadata only — they encode token
         # ids of THIS tokenizer, so a re-initialize must drop them
@@ -171,8 +176,12 @@ class LLMHandler:
         if tensor_parallel > 1:
             from acestep_tpu.parallel import make_mesh
             mesh = make_mesh(dp=1, tp=tensor_parallel)
+        if kv_quant is None:
+            from acestep_tpu.ops.quant import MODE_ALIASES as _MA
+            kv_quant = _MA.get(quantization) == "w8a8"
         self.engine = LMEngine(params, self.cfg, self.tokenizer,
-                               dtype=self.dtype, mesh=mesh)
+                               dtype=self.dtype, mesh=mesh,
+                               kv_quant=kv_quant)
         self.tables = TokenTables(self.tokenizer)
         self.genres_vocab = None
         genres_path = os.environ.get("ACESTEP_GENRES_VOCAB") or (

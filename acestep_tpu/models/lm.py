@@ -72,17 +72,49 @@ def init_lm_params(key, cfg: LMConfig) -> dict:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
-    """Fixed-shape per-layer cache: k/v (n_layers, B, max_len, Hkv, D)."""
+    """Fixed-shape per-layer cache: k/v (n_layers, B, max_len, Hkv, D).
+
+    With `quantized=True` at create time, k/v store int8 with per
+    head-vector f32 scales (k_scale/v_scale, (..., Hkv, 1)): long-context
+    decode reads ~half the cache bytes per step — at 3k-token context the
+    bf16 KV reads rival the (already int8) weight reads, so this is the
+    lever that keeps long-song planning decode-bound on weights (VERDICT
+    r3 item 3). Quantization happens at WRITE time (each k/v vector is
+    quantized exactly once); attention dequantizes on read and XLA fuses
+    the int8->bf16 multiply into the attention matmul's operand load."""
     k: jnp.ndarray
     v: jnp.ndarray
     length: jnp.ndarray  # () int32 — tokens written so far (same for all rows)
+    k_scale: Optional[jnp.ndarray] = None   # f32 (L, B, max_len, Hkv, 1)
+    v_scale: Optional[jnp.ndarray] = None
 
     @classmethod
-    def create(cls, cfg: LMConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    def create(cls, cfg: LMConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16, quantized: bool = False):
         shape = (cfg.num_hidden_layers, batch, max_len,
                  cfg.num_key_value_heads, cfg.head_dim)
+        if quantized:
+            sshape = shape[:-1] + (1,)
+            return cls(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                       jnp.zeros((), jnp.int32),
+                       jnp.zeros(sshape, jnp.float32),
+                       jnp.zeros(sshape, jnp.float32))
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
                    jnp.zeros((), jnp.int32))
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+    def graft_prefix(self, src: "KVCache", copy: int) -> "KVCache":
+        """Copy the first `copy` cache slots from `src` (prefix reuse)."""
+        def g(dst, s):
+            return dst.at[:, :, :copy].set(s[:, :, :copy])
+
+        return KVCache(
+            g(self.k, src.k), g(self.v, src.v), self.length,
+            None if self.k_scale is None else g(self.k_scale, src.k_scale),
+            None if self.v_scale is None else g(self.v_scale, src.v_scale))
 
 
 # ------------------------------------------------------------------
@@ -113,7 +145,10 @@ def lm_forward(params: dict, cfg: LMConfig, input_ids: jnp.ndarray,
     """
     B, L = input_ids.shape
     max_len = cache.k.shape[2]
-    x = params["embed_tokens"][input_ids].astype(cache.k.dtype)
+    quantized = cache.quantized
+    # int8 caches don't define the compute dtype; the embed table does
+    cdtype = params["embed_tokens"].dtype if quantized else cache.k.dtype
+    x = params["embed_tokens"][input_ids].astype(cdtype)
 
     start = jnp.broadcast_to(jnp.asarray(start_pos, jnp.int32), (B,))
     positions = start[:, None] + jnp.arange(L)[None, :]         # (B, L)
@@ -137,9 +172,22 @@ def lm_forward(params: dict, cfg: LMConfig, input_ids: jnp.ndarray,
             return jax.lax.dynamic_update_slice_in_dim(c_row, new_row, s, axis=0)
         return jax.vmap(row)(c, new.astype(c.dtype), start)
 
+    def write_q(c, sc, new):
+        """Quantize the fresh (B, L, H, D) block per head-vector and write
+        int8 values + f32 scales at the row offsets."""
+        amax = jnp.max(jnp.abs(new.astype(jnp.float32)), axis=-1,
+                       keepdims=True)
+        scale = jnp.maximum(amax / 127.0, 1e-12)
+        q = jnp.clip(jnp.round(new.astype(jnp.float32) / scale),
+                     -127, 127).astype(jnp.int8)
+        return write(c, q), write(sc, scale)
+
     def body(carry, xs):
         h = carry
-        lp, ck, cv = xs
+        if quantized:
+            lp, ck, cv, cks, cvs = xs
+        else:
+            lp, ck, cv = xs
         a_in = rms_norm(lp["input_layernorm"], h, eps)
         q = linear(lp["self_attn"]["q_proj"], a_in).reshape(B, L, cfg.num_attention_heads, cfg.head_dim)
         k = linear(lp["self_attn"]["k_proj"], a_in).reshape(B, L, cfg.num_key_value_heads, cfg.head_dim)
@@ -148,17 +196,31 @@ def lm_forward(params: dict, cfg: LMConfig, input_ids: jnp.ndarray,
         k = rms_norm(lp["self_attn"]["k_norm"], k, eps)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        ck = write(ck, k)
-        cv = write(cv, v)
-        att = _attend(q, ck, cv, mask)
+        if quantized:
+            ck, cks = write_q(ck, cks, k)
+            cv, cvs = write_q(cv, cvs, v)
+            k_eff = ck.astype(cdtype) * cks.astype(cdtype)
+            v_eff = cv.astype(cdtype) * cvs.astype(cdtype)
+        else:
+            ck = write(ck, k)
+            cv = write(cv, v)
+            k_eff, v_eff = ck, cv
+        att = _attend(q, k_eff, v_eff, mask)
         o = linear(lp["self_attn"]["o_proj"], att.reshape(B, L, -1))
         h = h + o
         h = h + mlp(lp["mlp"], rms_norm(lp["post_attention_layernorm"], h, eps))
-        return h, (ck, cv)
+        return h, (ck, cv, cks, cvs) if quantized else (ck, cv)
 
-    x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    if quantized:
+        x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
+            body, x, (params["layers"], cache.k, cache.v,
+                      cache.k_scale, cache.v_scale))
+        new_cache = KVCache(new_k, new_v, jnp.max(start) + L, new_ks, new_vs)
+    else:
+        x, (new_k, new_v) = jax.lax.scan(
+            body, x, (params["layers"], cache.k, cache.v))
+        new_cache = KVCache(new_k, new_v, jnp.max(start) + L)
     x = rms_norm(params["norm"], x, eps)
-    new_cache = KVCache(new_k, new_v, jnp.max(start) + L)
     return x, new_cache
 
 

@@ -177,6 +177,22 @@ def test_unconstrained_still_runs(handler):
     assert "metadata" in res
 
 
+def test_two_phase_with_int8_kv_cache():
+    """kv_quant=True must run the full two-phase protocol (prefill graft,
+    FSM-constrained CoT, codes decode) and emit a valid schema."""
+    h = LLMHandler(dtype=jnp.float32)
+    h.initialize(num_fallback_codes=32, max_duration=600, seed=0,
+                 kv_quant=True)
+    assert h.engine.kv_quant
+    res = h.generate_with_stop_condition(
+        "a quiet waltz", "hum hum", user_metadata={"duration": 2},
+        temperature=1.0, cfg_scale=2.0, seed=0, max_cot_tokens=300)
+    md = res["metadata"]
+    assert md["duration"] == 10
+    assert 30 <= int(md["bpm"]) <= 300
+    assert res["audio_codes"].count("<|audio_code_") >= 50
+
+
 def test_match_caption_genres():
     from acestep_tpu.llm.fsm import match_caption_genres
 

@@ -94,6 +94,75 @@ def test_lm_encode_shape(lm):
     assert h.shape == (2, 5, cfg.hidden_size)
 
 
+def test_quantized_cache_matches_exact(lm):
+    """int8 KV cache logits must track the f32-cache logits closely.
+
+    Per-head-vector scales (KVCache quantized mode) bound the relative
+    write error at ~1/254; over a tiny 2-layer model the end-to-end logit
+    drift stays well under typical sampling noise."""
+    params, cfg = lm
+    ids = jax.random.randint(jax.random.PRNGKey(7), (2, 6), 0, cfg.vocab_size)
+
+    exact = KVCache.create(cfg, 2, 8, dtype=jnp.float32)
+    h_ref, _ = lm_forward(params, cfg, ids, exact,
+                          start_pos=jnp.zeros((), jnp.int32))
+    l_ref = np.asarray(lm_logits(params, cfg, h_ref))
+
+    quant = KVCache.create(cfg, 2, 8, dtype=jnp.float32, quantized=True)
+    assert quant.quantized and quant.k.dtype == jnp.int8
+    h_q, cache_q = lm_forward(params, cfg, ids, quant,
+                              start_pos=jnp.zeros((), jnp.int32))
+    l_q = np.asarray(lm_logits(params, cfg, h_q))
+
+    assert cache_q.k.dtype == jnp.int8 and cache_q.k_scale is not None
+    scale = max(np.abs(l_ref).max(), 1.0)
+    assert np.max(np.abs(l_q - l_ref)) / scale < 0.02
+
+
+def test_quantized_prefill_then_decode(lm):
+    """Incremental decode through the int8 cache equals its own full
+    forward (cache round-trip correctness, independent of quant error)."""
+    params, cfg = lm
+    ids = jax.random.randint(jax.random.PRNGKey(8), (2, 6), 0, cfg.vocab_size)
+
+    cache = KVCache.create(cfg, 2, 8, dtype=jnp.float32, quantized=True)
+    h_full, _ = lm_forward(params, cfg, ids, cache,
+                           start_pos=jnp.zeros((), jnp.int32))
+    l_full = np.asarray(lm_logits(params, cfg, h_full))
+
+    cache = KVCache.create(cfg, 2, 8, dtype=jnp.float32, quantized=True)
+    h, cache = lm_forward(params, cfg, ids[:, :4], cache,
+                          start_pos=jnp.zeros((), jnp.int32))
+    outs = [np.asarray(lm_logits(params, cfg, h))[:, -1]]
+    for i in range(4, 6):
+        h, cache = lm_forward(params, cfg, ids[:, i:i + 1], cache,
+                              start_pos=jnp.asarray(i, jnp.int32))
+        outs.append(np.asarray(lm_logits(params, cfg, h))[:, -1])
+
+    np.testing.assert_allclose(outs[0], l_full[:, 3], atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(outs[2], l_full[:, 5], atol=2e-3, rtol=2e-3)
+
+
+def test_quantized_graft_prefix(lm):
+    """graft_prefix must copy int8 values AND their scales."""
+    params, cfg = lm
+    ids = jax.random.randint(jax.random.PRNGKey(9), (1, 4), 0, cfg.vocab_size)
+    src = KVCache.create(cfg, 1, 8, dtype=jnp.float32, quantized=True)
+    _, src = lm_forward(params, cfg, ids, src,
+                        start_pos=jnp.zeros((), jnp.int32))
+
+    dst = KVCache.create(cfg, 1, 12, dtype=jnp.float32, quantized=True)
+    dst = dst.graft_prefix(src, 4)
+    np.testing.assert_array_equal(np.asarray(dst.k[:, :, :4]),
+                                  np.asarray(src.k[:, :, :4]))
+    np.testing.assert_array_equal(np.asarray(dst.k_scale[:, :, :4]),
+                                  np.asarray(src.k_scale[:, :, :4]))
+    np.testing.assert_array_equal(np.asarray(dst.v_scale[:, :, :4]),
+                                  np.asarray(src.v_scale[:, :, :4]))
+    # untouched tail stays zero
+    assert np.all(np.asarray(dst.k[:, :, 4:]) == 0)
+
+
 def test_top_k():
     logits = jnp.asarray([[1.0, 5.0, 3.0, 2.0]])
     out = np.asarray(apply_top_k(logits, 2))
