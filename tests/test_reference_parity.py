@@ -936,3 +936,203 @@ def test_base_sde_trajectory_matches_reference(monkeypatch):
     ours_np = np.asarray(ours)
     assert ours_np.shape == ref_np.shape
     np.testing.assert_allclose(ours_np, ref_np, rtol=5e-3, atol=5e-3)
+
+
+# ------------------------------------------------------------------
+# Full-module Oobleck VAE cross-check (VERDICT r3 item 4)
+# ------------------------------------------------------------------
+
+
+def _build_torch_oobleck(cfg, seed=0):
+    """Hand-built torch AutoencoderOobleck per the in-repo spec
+    (/root/reference/acestep/models/mlx/vae_model.py:24-336, which mirrors
+    diffusers' torch module graph and state-dict naming exactly).
+
+    Encoder convs use the legacy ``torch.nn.utils.weight_norm``
+    (weight_g/weight_v keys); decoder convs use the parametrize-style API
+    (parametrizations.weight.original0/1) — so one state dict exercises
+    BOTH naming schemes handled by ``_fuse_weight_norm``."""
+    import math as _math
+
+    import torch
+    from torch import nn
+
+    wn_legacy = torch.nn.utils.weight_norm
+    wn_param = torch.nn.utils.parametrizations.weight_norm
+
+    class Snake1d(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            # diffusers stores (1, C, 1), logscale=True
+            self.alpha = nn.Parameter(torch.randn(1, dim, 1) * 0.3)
+            self.beta = nn.Parameter(torch.randn(1, dim, 1) * 0.3)
+
+        def forward(self, x):                       # (B, C, L)
+            alpha = torch.exp(self.alpha)
+            beta = torch.exp(self.beta)
+            return x + (beta + 1e-9).reciprocal() * torch.sin(alpha * x).pow(2)
+
+    class ResUnit(nn.Module):
+        def __init__(self, dim, dilation, wn):
+            super().__init__()
+            pad = ((7 - 1) * dilation) // 2
+            self.snake1 = Snake1d(dim)
+            self.conv1 = wn(nn.Conv1d(dim, dim, 7, dilation=dilation,
+                                      padding=pad))
+            self.snake2 = Snake1d(dim)
+            self.conv2 = wn(nn.Conv1d(dim, dim, 1))
+
+        def forward(self, x):
+            y = self.conv1(self.snake1(x))
+            y = self.conv2(self.snake2(y))
+            pad = (x.shape[-1] - y.shape[-1]) // 2
+            if pad > 0:
+                x = x[..., pad:-pad]
+            return x + y
+
+    class EncBlock(nn.Module):
+        def __init__(self, in_dim, out_dim, stride, wn):
+            super().__init__()
+            self.res_unit1 = ResUnit(in_dim, 1, wn)
+            self.res_unit2 = ResUnit(in_dim, 3, wn)
+            self.res_unit3 = ResUnit(in_dim, 9, wn)
+            self.snake1 = Snake1d(in_dim)
+            self.conv1 = wn(nn.Conv1d(in_dim, out_dim, 2 * stride,
+                                      stride=stride,
+                                      padding=_math.ceil(stride / 2)))
+
+        def forward(self, x):
+            x = self.res_unit1(x)
+            x = self.res_unit2(x)
+            x = self.snake1(self.res_unit3(x))
+            return self.conv1(x)
+
+    class DecBlock(nn.Module):
+        def __init__(self, in_dim, out_dim, stride, wn):
+            super().__init__()
+            self.snake1 = Snake1d(in_dim)
+            self.conv_t1 = wn(nn.ConvTranspose1d(
+                in_dim, out_dim, 2 * stride, stride=stride,
+                padding=_math.ceil(stride / 2)))
+            self.res_unit1 = ResUnit(out_dim, 1, wn)
+            self.res_unit2 = ResUnit(out_dim, 3, wn)
+            self.res_unit3 = ResUnit(out_dim, 9, wn)
+
+        def forward(self, x):
+            x = self.conv_t1(self.snake1(x))
+            return self.res_unit3(self.res_unit2(self.res_unit1(x)))
+
+    class Encoder(nn.Module):
+        def __init__(self, wn):
+            super().__init__()
+            cm = [1] + list(cfg.channel_multiples)
+            h = cfg.encoder_hidden_size
+            self.conv1 = wn(nn.Conv1d(cfg.audio_channels, h, 7, padding=3))
+            self.block = nn.ModuleList([
+                EncBlock(h * cm[i], h * cm[i + 1], s, wn)
+                for i, s in enumerate(cfg.downsampling_ratios)])
+            self.snake1 = Snake1d(h * cm[-1])
+            self.conv2 = wn(nn.Conv1d(h * cm[-1],
+                                      2 * cfg.decoder_input_channels, 3,
+                                      padding=1))
+
+        def forward(self, x):
+            x = self.conv1(x)
+            for b in self.block:
+                x = b(x)
+            return self.conv2(self.snake1(x))
+
+    class Decoder(nn.Module):
+        def __init__(self, wn):
+            super().__init__()
+            cm = [1] + list(cfg.channel_multiples)
+            ch = cfg.decoder_channels
+            n = len(cfg.downsampling_ratios)
+            self.conv1 = wn(nn.Conv1d(cfg.decoder_input_channels,
+                                      ch * cm[-1], 7, padding=3))
+            self.block = nn.ModuleList([
+                DecBlock(ch * cm[n - i], ch * cm[n - i - 1], s, wn)
+                for i, s in enumerate(list(cfg.downsampling_ratios)[::-1])])
+            self.snake1 = Snake1d(ch)
+            self.conv2 = wn(nn.Conv1d(ch, cfg.audio_channels, 7, padding=3,
+                                      bias=False))
+
+        def forward(self, x):
+            x = self.conv1(x)
+            for b in self.block:
+                x = b(x)
+            return self.conv2(self.snake1(x))
+
+    class VAE(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = Encoder(wn_legacy)
+            self.decoder = Decoder(wn_param)
+
+    torch.manual_seed(seed)
+    return VAE().eval()
+
+
+def test_oobleck_vae_full_module_matches_torch():
+    """Encoder moments + decoder audio + tiled decode vs the hand-built
+    torch Oobleck graph through ``convert_vae_state`` (closes the last
+    cross-implementation hole on the audio path — the conv/weight-norm
+    primitives were already torch-verified in test_checkpoint.py)."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from acestep_tpu.config import VAEConfig
+    from acestep_tpu.models.vae import vae_decode, vae_encode_moments
+    from acestep_tpu.models.vae_tiled import tiled_decode
+    from acestep_tpu.utils.checkpoint import convert_vae_state
+
+    cfg = VAEConfig(encoder_hidden_size=8, downsampling_ratios=(2, 4),
+                    channel_multiples=(1, 2), decoder_channels=8,
+                    decoder_input_channels=4, audio_channels=2)
+    model = _build_torch_oobleck(cfg, seed=3)
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_vae_state(state, cfg, dtype=jnp.float32)
+
+    torch.manual_seed(1)
+    hop = cfg.hop_length                      # 8
+    audio = torch.randn(2, cfg.audio_channels, 48 * hop)
+    latents = torch.randn(2, cfg.decoder_input_channels, 128)
+
+    with torch.no_grad():
+        enc = model.encoder(audio)            # (B, 2*latent, T)
+        mean_t, scale_t = enc.chunk(2, dim=1)
+        std_t = torch.nn.functional.softplus(scale_t) + 1e-4
+        dec_t = model.decoder(latents)        # (B, 2, L)
+
+    with jax.default_matmul_precision("float32"):
+        mean_j, std_j = vae_encode_moments(
+            params, cfg, jnp.asarray(audio.numpy().transpose(0, 2, 1)))
+        dec_j = np.asarray(vae_decode(
+            params, cfg, jnp.asarray(latents.numpy().transpose(0, 2, 1))))
+        # overlap 24 covers this decoder's receptive field (measured ±19
+        # latent frames), so interior window seams are exact — torch
+        # default init AMPLIFIES through the conv stack, so an overlap
+        # short of the receptive field shows O(1) truncation error with
+        # random weights (trained weights decay; production: 16 @ 256)
+        tiled_j = np.asarray(tiled_decode(
+            params, cfg, jnp.asarray(latents.numpy().transpose(0, 2, 1)),
+            chunk_size=64, overlap=24))
+
+    np.testing.assert_allclose(np.asarray(mean_j),
+                               mean_t.numpy().transpose(0, 2, 1),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(std_j),
+                               std_t.numpy().transpose(0, 2, 1),
+                               atol=1e-4, rtol=1e-3)
+    ref_dec = dec_t.numpy().transpose(0, 2, 1)
+    np.testing.assert_allclose(dec_j, ref_dec, atol=1e-4, rtol=1e-3)
+    # tiled vs torch away from the SIGNAL edges: the first/last window is
+    # zero-padded where direct decode has per-layer conv padding instead,
+    # so the outermost receptive-field reach of frames differs by
+    # construction (every tiled decoder shares this edge semantic)
+    lo, hi = 20 * hop, (128 - 20) * hop
+    np.testing.assert_allclose(tiled_j[:, lo:hi], ref_dec[:, lo:hi],
+                               atol=1e-4, rtol=1e-3)
+    assert np.max(np.abs(dec_j - ref_dec)) < 1e-3
