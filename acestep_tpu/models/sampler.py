@@ -261,11 +261,19 @@ def sample_guided(params, cfg: DiTConfig, *,
         ctx = jnp.concatenate([ctx_c, ctx_u], axis=0)
         return kv, ctx
 
+    # without a cover switch the [cond; null] cross-KV concat is loop-
+    # invariant — build the doubled trees ONCE outside the scan instead of
+    # copying the full per-layer K/V stacks on all `n` steps
+    static_kv_ctx = None
+    if cond_non_cover is None and null_cond_non_cover is None:
+        static_kv_ctx = batched_condition(jnp.zeros((), jnp.int32))
+
     def step(carry, i):
         xt, momentum, k = carry
         t = ts[i]
         t_next = ts[i + 1]
-        kv, ctx = batched_condition(i)
+        kv, ctx = static_kv_ctx if static_kv_ctx is not None \
+            else batched_condition(i)
         if do_cfg:
             x_in = jnp.concatenate([xt, xt], axis=0)
             t_vec = jnp.full((2 * bsz,), t, x_init.dtype)
