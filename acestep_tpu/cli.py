@@ -366,6 +366,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--lm-checkpoint-dir", default=None)
     parser.add_argument("--lm-quantization", default=None,
                         choices=["int8", "fp8", "w8a8"])
+    parser.add_argument("--lm-kv-quant", default="auto",
+                        choices=["auto", "on", "off"],
+                        help="int8 KV cache for the LM planner ('auto' = "
+                             "on when the weight mode is w8a8)")
     parser.add_argument("--caption", default=None)
     parser.add_argument("--lyrics", default=None)
     parser.add_argument("--duration", type=float, default=-1.0)
@@ -433,7 +437,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         llm = LLMHandler()
         llm.initialize(checkpoint_dir=args.lm_checkpoint_dir,
                        quantization=args.lm_quantization,
-                       tensor_parallel=args.lm_tensor_parallel)
+                       tensor_parallel=args.lm_tensor_parallel,
+                       kv_quant={"auto": None, "on": True,
+                                 "off": False}[args.lm_kv_quant])
 
     if args.lora:
         info = handler.lora.load(args.lora, scale=args.lora_scale)

@@ -196,7 +196,8 @@ class LLMHandler:
                         checkpoint_root: Optional[str] = None,
                         quantization: Optional[str] = None,
                         tensor_parallel: int = 1, seed: int = 0,
-                        max_duration: int = 600) -> Dict[str, Any]:
+                        max_duration: int = 600,
+                        kv_quant: Optional[bool] = None) -> Dict[str, Any]:
         """Tier-driven planner init with the reference's downgrade ladder.
 
         The reference's >=16 GB tiers select the 4B LM and downgrade to
@@ -236,14 +237,16 @@ class LLMHandler:
                     self.initialize(checkpoint_dir=ckpt, seed=seed,
                                     max_duration=max_duration,
                                     tensor_parallel=tensor_parallel,
-                                    quantization=try_quant)
+                                    quantization=try_quant,
+                                    kv_quant=kv_quant)
                 else:
                     self.initialize(cfg=LMConfig.for_size(try_size),
                                     tokenizer=SimpleTokenizer(
                                         num_audio_codes=64_000),
                                     seed=seed, max_duration=max_duration,
                                     tensor_parallel=tensor_parallel,
-                                    quantization=try_quant)
+                                    quantization=try_quant,
+                                    kv_quant=kv_quant)
                 return {"size": try_size, "quantization": try_quant,
                         "downgraded": i > 0}
             except Exception as e:  # noqa: BLE001 — OOM ladder below

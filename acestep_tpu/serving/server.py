@@ -1044,6 +1044,12 @@ def main(argv: Optional[List[str]] = None) -> None:
                         choices=["int8", "fp8", "w8a8"],
                         help="quantize LM trunk weights (w8a8 also halves "
                              "per-step decode weight reads)")
+    parser.add_argument("--lm-kv-quant", default="auto",
+                        choices=["auto", "on", "off"],
+                        help="int8 KV cache for the LM planner — halves "
+                             "the cache reads that dominate long-context "
+                             "decode; 'auto' = on when the weight mode is "
+                             "w8a8")
     parser.add_argument("--output-dir", default="outputs")
     parser.add_argument("--persist-dir", default=".cache/acestep_tpu/api")
     parser.add_argument("--examples-dir", default="examples")
@@ -1126,17 +1132,20 @@ def main(argv: Optional[List[str]] = None) -> None:
         for name, dit in handlers.items():
             print(f"[acestep_tpu] warmup {name}: {dit.warmup(durations)}")
     llm = None
+    kvq = {"auto": None, "on": True, "off": False}[args.lm_kv_quant]
     if args.lm_checkpoint_dir:
         llm = LLMHandler()
         llm.initialize(checkpoint_dir=args.lm_checkpoint_dir,
                        quantization=args.lm_quantization,
-                       tensor_parallel=args.lm_tensor_parallel)
+                       tensor_parallel=args.lm_tensor_parallel,
+                       kv_quant=kvq)
     elif args.lm_size:
         llm = LLMHandler()
         info = llm.initialize_auto(size=args.lm_size,
                                    checkpoint_root=args.lm_checkpoint_root,
                                    quantization=args.lm_quantization,
-                                   tensor_parallel=args.lm_tensor_parallel)
+                                   tensor_parallel=args.lm_tensor_parallel,
+                                   kv_quant=kvq)
         print(f"[acestep_tpu] LM planner: {info['size']}"
               f" quant={info['quantization']}"
               f"{' (downgraded)' if info['downgraded'] else ''}")

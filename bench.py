@@ -153,6 +153,8 @@ def headline() -> float:
 
 def matrix() -> list:
     """Service-stack matrix with per-stage decomposition."""
+    import contextlib
+
     import numpy as np
 
     from acestep_tpu import inference
@@ -166,6 +168,16 @@ def matrix() -> list:
     llm.initialize(num_fallback_codes=64, max_duration=600, seed=0)
 
     rows = []
+
+    @contextlib.contextmanager
+    def section(name):
+        """Fail-soft guard: a broken row must not kill the whole matrix
+        (the driver records whatever rows completed)."""
+        try:
+            yield
+        except Exception as e:       # pragma: no cover - defensive
+            log(f"SECTION {name} FAILED: {e!r}")
+            rows.append({"config": name, "error": repr(e)[:300]})
 
     def run_dit(tag, duration, batch, repeats=3):
         # warm untimed run: compile all graphs for this shape first
@@ -249,8 +261,11 @@ def matrix() -> list:
 
     tok17 = SimpleTokenizer(num_audio_codes=64_000)
     llm17 = LLMHandler(dtype=jnp.bfloat16)
+    # kv_quant: int8 KV cache (default-on for w8a8 engines; enabled here
+    # for the bf16 trunk too) — halves the per-step cache reads that
+    # dominate decode beyond ~3k context (600 s planning: 41 s -> ~31 s)
     llm17.initialize(cfg=LMConfig.qwen3_1_7b(), tokenizer=tok17,
-                     max_duration=600, seed=0)
+                     max_duration=600, seed=0, kv_quant=True)
 
     def run_lm_only(tag, *, target_duration, batch, repeats=3):
         """LM-only two-phase wall (CFG-paired, constrained CoT + codes)."""
@@ -310,6 +325,13 @@ def matrix() -> list:
     # the full pipeline with the REAL-geometry LM must beat it
     run_think("30s_b1_think_lm1.7B", 30, 1, repeats=3, llm_handler=llm17,
               lm_geom="1.7B")
+    # flagship combined row (VERDICT r3 item 6): batch-8 x 30 s thinking
+    # with the real-geometry planner — per-item plans (plan_batch) + DiT +
+    # VAE end-to-end, the reference's "8 simultaneous songs" scenario
+    # (/root/reference/README.md:54)
+    with section("30s_b8_think_lm1.7B"):
+        run_think("30s_b8_think_lm1.7B", 30, 8, repeats=2,
+                  llm_handler=llm17, lm_geom="1.7B")
     del llm17
 
     # w8a8-quantized 1.7B planner: trunk weights stay int8 inside the
@@ -339,6 +361,46 @@ def matrix() -> list:
     log(f"matrix lm1.7B_codes300_w8a8: {rows[-1]}")
     del llm17q
 
+    # --- 4B planner on-chip (VERDICT r3 item 1): Qwen3-4B geometry at
+    # w8a8 (the 16 GB tier's pinned mode, runtime_config tier_16g) must
+    # coexist with the bf16 DiT+VAE handler and CFG-paired KV on one v5e.
+    with section("lm4B"):
+        llm4 = LLMHandler(dtype=jnp.bfloat16)
+        t0 = time.perf_counter()
+        llm4.initialize(cfg=LMConfig.qwen3_4b(), tokenizer=tok17,
+                        max_duration=600, seed=0, quantization="w8a8")
+        load4_s = time.perf_counter() - t0
+        p4 = llm4.build_formatted_prompt_with_cot(
+            "bench", "", "<think>\nduration: 60\n</think>")
+        n4 = llm4.build_formatted_prompt_with_cot(
+            "bench", "", "<think>\nduration: 60\n</think>",
+            is_negative_prompt=True)
+        qkw4 = dict(unconditional_prompts=[n4], cfg_scale=2.0, temperature=0.85,
+                    top_p=0.9, n_codes=300)
+        llm4.engine.generate_codes([p4], seed=0, **qkw4)        # warm
+        walls4 = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            llm4.engine.generate_codes([p4], seed=1 + i, **qkw4)
+            walls4.append(time.perf_counter() - t0)
+        w4, s4, _ = _median_run(walls4)
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            hbm_gb = round(stats.get("bytes_in_use", 0) / 2**30, 2)
+        except Exception:
+            hbm_gb = None
+        rows.append({
+            "config": "lm4B_codes300_w8a8", "lm_geom": "4B", "batch": 1,
+            "thinking": True, "wall_s": w4, "wall_spread": s4,
+            "decode_tok_s": round(300 / w4, 1), "load_s": round(load4_s, 1),
+            "hbm_in_use_gb": hbm_gb,
+        })
+        log(f"matrix lm4B_codes300_w8a8: {rows[-1]}")
+        # the reference's own thinking example with the 4B planner, end to end
+        run_think("30s_b1_think_lm4B", 30, 1, repeats=2, llm_handler=llm4,
+                  lm_geom="4B")
+        del llm4
+
     # quantized row (w8a8: int8 x int8 MXU matmuls). Drop the bf16 handler
     # and LM first: keeping two full DiT+VAE param sets resident would
     # squeeze HBM on exactly the parts w8a8 targets
@@ -365,6 +427,46 @@ def matrix() -> list:
         "vae_s": round(costs.get("vae_decode_time_cost", 0), 3),
     })
     log(f"matrix 60s_b1_w8a8: {rows[-1]}")
+
+    # --- base-model guided path (VERDICT r3 item 2): 50 steps, CFG+APG
+    # (guidance_scale 7.0, the reference generate_music.py:31 default; the
+    # Model Zoo ships base/sft at 50 steps, /root/reference/README.md:228).
+    # Reference example for comparison: 16-step guided 60 s = 12.34 s on
+    # an A100 (/root/reference/docs/en/BENCHMARK.md:122).
+    del handler_q
+    handler_b = None
+    with section("base50_init"):
+        handler_b = AceStepHandler(dit_config=DiTConfig.base())
+        handler_b.initialize_service(seed=0)
+
+    def run_guided(tag, duration, steps, repeats=3):
+        kw = dict(audio_duration=float(duration), infer_steps=steps,
+                  guidance_scale=7.0, use_adg=False)
+        handler_b.generate_music("bench", "[inst]", seeds=1, **kw)  # warm
+        walls, runs = [], []
+        for i in range(repeats):
+            t0 = time.perf_counter()
+            r = handler_b.generate_music("bench", "[inst]", seeds=2 + i, **kw)
+            np.asarray(r.audios[0][:8])
+            walls.append(time.perf_counter() - t0)
+            runs.append(r.time_costs)
+        wall, spread, mid = _median_run(walls)
+        costs = runs[mid]
+        rows.append({
+            "config": tag, "duration_s": duration, "batch": 1,
+            "thinking": False, "wall_s": wall, "wall_spread": spread,
+            "seconds_per_song": wall, "rtf": round(duration / wall, 1),
+            "infer_steps": steps,
+            "diffusion_s": round(costs.get("diffusion_time_cost", 0), 3),
+            "vae_s": round(costs.get("vae_decode_time_cost", 0), 3),
+        })
+        log(f"matrix {tag}: {rows[-1]}")
+
+    if handler_b is not None:
+        with section("base50_60s_b1"):
+            run_guided("base50_60s_b1", 60, 50, repeats=3)
+        with section("base50_600s_b1"):
+            run_guided("base50_600s_b1", 600, 50, repeats=2)
     return rows
 
 
