@@ -351,7 +351,8 @@ class LMEngine:
                 seen = _mark_seen(seen, toks)
                 feed = jnp.concatenate([toks, toks]) if do_cfg else toks
                 hidden, cache = lm_forward(params, cfg_, feed[:, None], cache,
-                                           start_pos=row_lens)
+                                           start_pos=row_lens,
+                                           unroll_layers=True)
                 logits = lm_logits_slice(params, cfg_, hidden,
                                           0, V_use)[:, 0]
                 return (logits, cache, row_lens + 1, seen, key), toks
@@ -460,7 +461,8 @@ class LMEngine:
             seen = _mark_seen(seen, toks)
             feed = jnp.concatenate([toks, toks]) if do_cfg else toks
             hidden, cache = lm_forward(params, cfg_, feed[:, None], cache,
-                                       start_pos=row_lens)
+                                       start_pos=row_lens,
+                                       unroll_layers=True)
             logits = lm_logits_slice(params, cfg_, hidden,
                                           0, V_use)[:, 0]
             return toks, logits, cache, seen
@@ -777,7 +779,8 @@ class LMEngine:
                 toks = rel + code_start
                 feed = jnp.concatenate([toks, toks]) if do_cfg else toks
                 hidden, cache = lm_forward(params, cfg_, feed[:, None], cache,
-                                           start_pos=row_lens)
+                                           start_pos=row_lens,
+                                           unroll_layers=True)
                 logits = lm_logits_slice(params, cfg_, hidden,
                                          code_start, code_end)[:, 0]
                 return (logits, cache, row_lens + 1, seen, key), rel

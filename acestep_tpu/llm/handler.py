@@ -132,6 +132,7 @@ class LLMHandler:
         # device-FSM tables are keyed by metadata only — they encode token
         # ids of THIS tokenizer, so a re-initialize must drop them
         self._cot_table_cache = {}
+        pre_quantized = False
         if checkpoint_dir:
             from acestep_tpu.llm.tokenizer import load_hf_tokenizer
             from acestep_tpu.utils.checkpoint import load_lm_checkpoint
@@ -151,18 +152,39 @@ class LLMHandler:
             if params is None:
                 from acestep_tpu.models.lm import init_lm_params
                 cfg_ = self.cfg
-                lm_init = jax.jit(lambda k: jax.tree.map(
-                    lambda x: x.astype(self.dtype), init_lm_params(k, cfg_)))
-                params = lm_init(jax.random.PRNGKey(seed))
+                if quantization:
+                    # fuse init+quantize in ONE jit so the full bf16 tree
+                    # is never resident: XLA frees each layer's bf16
+                    # leaves as soon as its int8/scale outputs form. A 4B
+                    # geometry initialized bf16 then quantized separately
+                    # holds ~8 GB bf16 + ~4 GB int8 transiently, which
+                    # OOMs a 16 GB chip that also hosts the DiT handler.
+                    from acestep_tpu.ops.quant import quantize_tree
+                    dt, q_ = self.dtype, quantization
+                    lm_init = jax.jit(lambda k: quantize_tree(
+                        jax.tree.map(lambda x: x.astype(dt),
+                                     init_lm_params(k, cfg_)),
+                        q_, exclude_prefixes=("lm_head",)))
+                    params = dict(lm_init(jax.random.PRNGKey(seed)))
+                    pre_quantized = True
+                else:
+                    lm_init = jax.jit(lambda k: jax.tree.map(
+                        lambda x: x.astype(self.dtype),
+                        init_lm_params(k, cfg_)))
+                    params = lm_init(jax.random.PRNGKey(seed))
         if quantization:
             from acestep_tpu.ops.quant import MODE_ALIASES, quantize_tree
             # weight-only modes keep the head full precision (their
             # programs materialize bf16 anyway); w8a8 adds an int8 head
             # copy for the decode-loop logits (models/lm.build_head_q) —
             # the bf16 embed stays for gathers/encoding/scoring
-            quant = jax.jit(lambda p: quantize_tree(
-                p, quantization, exclude_prefixes=("lm_head",)))
-            params = quant(params)
+            if not pre_quantized:
+                # donate the bf16 tree: each leaf frees as its int8 copy
+                # forms, bounding the transient at ~one tree instead of two
+                quant = jax.jit(lambda p: quantize_tree(
+                    p, quantization, exclude_prefixes=("lm_head",)),
+                    donate_argnums=0)
+                params = dict(quant(dict(params)))
             if MODE_ALIASES.get(quantization) == "w8a8":
                 from acestep_tpu.models.lm import build_head_q
                 cfg_ = self.cfg

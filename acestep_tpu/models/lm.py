@@ -166,7 +166,8 @@ def _attend_quant(q, kq, ks, vq, vs, mask, dtype):
 
 def lm_forward(params: dict, cfg: LMConfig, input_ids: jnp.ndarray,
                cache: KVCache, *, start_pos: jnp.ndarray,
-               attention_mask: Optional[jnp.ndarray] = None):
+               attention_mask: Optional[jnp.ndarray] = None,
+               unroll_layers: bool = False):
     """Run the trunk over `input_ids` (B, L) writing K/V at
     [start_pos, start_pos+L) per row. Returns (hidden (B, L, H), new_cache).
 
@@ -240,15 +241,20 @@ def lm_forward(params: dict, cfg: LMConfig, input_ids: jnp.ndarray,
         h = h + mlp(lp["mlp"], rms_norm(lp["post_attention_layernorm"], h, eps))
         return h, ck, cv, cks, cvs
 
-    if L == 1:
-        # Decode steps run the layer stack UNROLLED: threading the stacked
-        # cache through lax.scan costs a cache-sized xs->ys copy per layer
-        # that XLA cannot alias away (round-4 microbench at 1.7B, 3.7k
+    if L == 1 and unroll_layers:
+        # Decode steps MAY run the layer stack unrolled: threading the
+        # stacked cache through lax.scan costs a cache-sized xs->ys copy per
+        # layer that XLA cannot alias away (round-4 microbench at 1.7B, 3.7k
         # slots: scan 7.0 vs unrolled 5.8 ms/step); with one token the
         # program stays small, and dynamic_update_index_in_dim on the
-        # stacked arrays updates in place. Prefill (L > 1) keeps the scan:
-        # its per-layer compute amortizes the plumbing and the unrolled
-        # program at prompt lengths would blow up compile time.
+        # stacked arrays updates in place. This is opt-in per call site:
+        # inside a lax.while_loop body (the CoT phase loops) the unrolled
+        # per-layer cache updates defeat XLA's loop-carry donation and
+        # decode collapses ~6x (91 -> 15.8 tok/s measured), so those sites
+        # keep the scan; lax.scan decode bodies and one-shot steps pass
+        # unroll_layers=True. Prefill (L > 1) always keeps the scan: its
+        # per-layer compute amortizes the plumbing and the unrolled program
+        # at prompt lengths would blow up compile time.
         nk, nv = cache.k, cache.v
         nks, nvs = cache.k_scale, cache.v_scale
         for i in range(cfg.num_hidden_layers):

@@ -173,11 +173,27 @@ def matrix() -> list:
     def section(name):
         """Fail-soft guard: a broken row must not kill the whole matrix
         (the driver records whatever rows completed)."""
+        failed = False
         try:
             yield
         except Exception as e:       # pragma: no cover - defensive
             log(f"SECTION {name} FAILED: {e!r}")
             rows.append({"config": name, "error": repr(e)[:300]})
+            failed = True
+            # `e` (and its traceback, pinning every frame below — and with
+            # them any handler/params the section built) dies with the
+            # except clause; the actual free happens in the gc pass below
+        if failed:
+            # a RESOURCE_EXHAUSTED section must not poison the rest of the
+            # matrix: drop dead handlers and every compiled program that
+            # captured their buffers, then let later sections recompile
+            import gc
+            gc.collect()
+            try:
+                jax.clear_caches()
+            except Exception:
+                pass
+            gc.collect()
 
     def run_dit(tag, duration, batch, repeats=3):
         # warm untimed run: compile all graphs for this shape first
@@ -364,7 +380,10 @@ def matrix() -> list:
     # --- 4B planner on-chip (VERDICT r3 item 1): Qwen3-4B geometry at
     # w8a8 (the 16 GB tier's pinned mode, runtime_config tier_16g) must
     # coexist with the bf16 DiT+VAE handler and CFG-paired KV on one v5e.
-    with section("lm4B"):
+    def bench_lm4b():
+        # nested function: on an exception every local (the 4B handler and
+        # its caches) dies with the frame, so section()'s gc pass can
+        # actually return the HBM before the next section runs
         llm4 = LLMHandler(dtype=jnp.bfloat16)
         t0 = time.perf_counter()
         llm4.initialize(cfg=LMConfig.qwen3_4b(), tokenizer=tok17,
@@ -401,32 +420,41 @@ def matrix() -> list:
                   lm_geom="4B")
         del llm4
 
+    with section("lm4B"):
+        bench_lm4b()
+
     # quantized row (w8a8: int8 x int8 MXU matmuls). Drop the bf16 handler
     # and LM first: keeping two full DiT+VAE param sets resident would
     # squeeze HBM on exactly the parts w8a8 targets
     del handler
-    handler_q = AceStepHandler()
-    handler_q.initialize_service(seed=0, quantization="w8a8")
-    handler_q.generate_music("bench", "[inst]", audio_duration=60.0,
-                             seeds=1, infer_steps=8)   # warm/compile
-    walls, runs = [], []
-    for i in range(3):
-        t0 = time.perf_counter()
-        r = handler_q.generate_music("bench", "[inst]", audio_duration=60.0,
-                                     seeds=2 + i, infer_steps=8)
-        np.asarray(r.audios[0][:8])
-        walls.append(time.perf_counter() - t0)
-        runs.append(r.time_costs)
-    wall, spread, mid = _median_run(walls)
-    costs = runs[mid]
-    rows.append({
-        "config": "60s_b1_w8a8", "duration_s": 60, "batch": 1,
-        "thinking": False, "wall_s": wall, "wall_spread": spread,
-        "seconds_per_song": wall, "rtf": round(60 / wall, 1),
-        "diffusion_s": round(costs.get("diffusion_time_cost", 0), 3),
-        "vae_s": round(costs.get("vae_decode_time_cost", 0), 3),
-    })
-    log(f"matrix 60s_b1_w8a8: {rows[-1]}")
+
+    def bench_w8a8():
+        handler_q = AceStepHandler()
+        handler_q.initialize_service(seed=0, quantization="w8a8")
+        handler_q.generate_music("bench", "[inst]", audio_duration=60.0,
+                                 seeds=1, infer_steps=8)   # warm/compile
+        walls, runs = [], []
+        for i in range(3):
+            t0 = time.perf_counter()
+            r = handler_q.generate_music("bench", "[inst]",
+                                         audio_duration=60.0,
+                                         seeds=2 + i, infer_steps=8)
+            np.asarray(r.audios[0][:8])
+            walls.append(time.perf_counter() - t0)
+            runs.append(r.time_costs)
+        wall, spread, mid = _median_run(walls)
+        costs = runs[mid]
+        rows.append({
+            "config": "60s_b1_w8a8", "duration_s": 60, "batch": 1,
+            "thinking": False, "wall_s": wall, "wall_spread": spread,
+            "seconds_per_song": wall, "rtf": round(60 / wall, 1),
+            "diffusion_s": round(costs.get("diffusion_time_cost", 0), 3),
+            "vae_s": round(costs.get("vae_decode_time_cost", 0), 3),
+        })
+        log(f"matrix 60s_b1_w8a8: {rows[-1]}")
+
+    with section("60s_b1_w8a8"):
+        bench_w8a8()
 
     # --- base-model guided path (VERDICT r3 item 2): 50 steps, CFG+APG
     # (guidance_scale 7.0, the reference generate_music.py:31 default; the
