@@ -419,14 +419,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
 
     from acestep_tpu.pipeline.handler import AceStepHandler
+    from acestep_tpu.parallel import parse_mesh_spec
+
+    # validate the mesh spec BEFORE the minutes-long service init so a
+    # malformed '--mesh 4x' fails immediately (matches server.py ordering)
+    mesh_spec = parse_mesh_spec(args.mesh)
 
     handler = AceStepHandler()
     print("Initializing service (first TPU compile may take a minute)...")
     handler.initialize_service(checkpoint_dir=args.checkpoint_dir,
                                vae_dir=args.vae_dir)
-    from acestep_tpu.parallel import parse_mesh_spec
-
-    mesh_spec = parse_mesh_spec(args.mesh)
     if mesh_spec:
         handler.enable_mesh(dp=mesh_spec[0], tp=mesh_spec[1])
         print(f"mesh enabled: dp={mesh_spec[0]} x tp={mesh_spec[1]}")

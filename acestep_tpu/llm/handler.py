@@ -236,17 +236,22 @@ class LLMHandler:
             get_global_config, lm_fallback_plan)
 
         tier = get_global_config()
-        if size and size != "auto":
+        if (size and size != "auto") or quantization:
             import dataclasses as _dc
-            tier = _dc.replace(tier, lm_size=size,
-                               lm_quantization=quantization)
+            # an explicit size keeps the tier's pinned quantization unless
+            # the caller also overrides it (wiping it to None would make a
+            # 16 GB tier's first attempt bf16-4B — a guaranteed OOM); an
+            # explicit quantization alone re-pins the tier's mode
+            tier = _dc.replace(
+                tier,
+                lm_size=size if size and size != "auto" else tier.lm_size,
+                lm_quantization=quantization or tier.lm_quantization)
         plan = lm_fallback_plan(tier)
         if not plan:
             raise RuntimeError(
                 f"tier {tier.name} has no LM planner budget; pass an "
                 "explicit size")
         max_duration = min(max_duration, tier.max_duration_s)
-        last_err: Optional[Exception] = None
         for i, (try_size, try_quant) in enumerate(plan):
             ckpt = None
             if checkpoint_root:
@@ -277,11 +282,21 @@ class LLMHandler:
                        or "out of memory" in msg.lower())
                 if not oom or i == len(plan) - 1:
                     raise
-                last_err = e
                 self.initialized = False
                 self.engine = None
-        raise RuntimeError("LM init exhausted the downgrade ladder") \
-            from last_err
+                # don't let the OOM exception's traceback pin the failed
+                # attempt's device buffers across the downgrade attempt
+                # (frames below hold the partially-built params tree); and
+                # drop compiled programs that captured them
+                del e
+                import gc
+                gc.collect()
+                try:
+                    jax.clear_caches()
+                except Exception:
+                    pass
+                gc.collect()
+        raise AssertionError("unreachable: last plan entry re-raises")
 
     # --------------------------------------------------------------
     # Prompt building (reference build_formatted_prompt*)

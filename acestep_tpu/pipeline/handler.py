@@ -771,12 +771,7 @@ class AceStepHandler:
                 else len(schedule) - 1
             cover_steps = int(n_steps * audio_cover_strength)
 
-        if self.mesh is not None:
-            dp = self.mesh.shape["dp"]
-            if B % dp:
-                raise ValueError(
-                    f"batch {B} must be a multiple of mesh dp={dp} "
-                    "(pad the request batch or disable the mesh)")
+        # B is already dp-padded above (request rows cycled, outputs trimmed)
         silence_input = (np.broadcast_to(silence_T[None],
                                          (B, T, silence_T.shape[-1])).copy()
                          if self.mesh is not None else silence_T[None])
@@ -804,8 +799,14 @@ class AceStepHandler:
                 noise_arr = np.pad(noise_arr, ((0, 0),
                                                (0, T - noise_arr.shape[1]),
                                                (0, 0)))
+            noise_arr = noise_arr[:, :T]
+            if noise_arr.shape[0] not in (1, B):
+                # mesh dp-padding cycles request rows (B_req -> B above);
+                # per-row noise must cycle the same way or broadcast fails
+                reps = -(-B // noise_arr.shape[0])
+                noise_arr = np.tile(noise_arr, (reps, 1, 1))[:B]
             inputs["initial_noise"] = np.broadcast_to(
-                noise_arr[:, :T], (B, T, cfg.audio_acoustic_hidden_dim)).copy()
+                noise_arr, (B, T, cfg.audio_acoustic_hidden_dim)).copy()
         if has_non_cover:
             inputs["non_cover_text_hidden_states"] = nc_h
             inputs["non_cover_text_attention_mask"] = nc_m

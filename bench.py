@@ -460,8 +460,10 @@ def matrix() -> list:
     # (guidance_scale 7.0, the reference generate_music.py:31 default; the
     # Model Zoo ships base/sft at 50 steps, /root/reference/README.md:228).
     # Reference example for comparison: 16-step guided 60 s = 12.34 s on
-    # an A100 (/root/reference/docs/en/BENCHMARK.md:122).
-    del handler_q
+    # an A100 (/root/reference/docs/en/BENCHMARK.md:122). handler_q died
+    # with bench_w8a8()'s frame; reclaim its buffers before the base init.
+    import gc
+    gc.collect()
     handler_b = None
     with section("base50_init"):
         handler_b = AceStepHandler(dit_config=DiTConfig.base())

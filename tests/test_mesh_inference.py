@@ -47,6 +47,22 @@ def test_mesh_pads_indivisible_batch():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_mesh_pads_per_row_initial_noise():
+    """Per-row initial_noise on an indivisible batch must cycle with the
+    dp padding (B_req=3 -> B=4) exactly like captions/seeds do."""
+    rng = np.random.default_rng(0)
+    noise = rng.standard_normal((3, 20, 64)).astype(np.float32)
+    kw = dict(audio_duration=0.8, normalize=False, seeds=[1, 2, 3])
+    ref = _handler().generate_music(["a", "b", "c"], ["x"] * 3,
+                                    initial_noise=noise, **kw)
+    out = _handler(mesh_dp=4).generate_music(["a", "b", "c"], ["x"] * 3,
+                                             batch_size=3,
+                                             initial_noise=noise, **kw)
+    assert out.pred_latents.shape[0] == 3
+    np.testing.assert_allclose(out.pred_latents, ref.pred_latents,
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_enable_mesh_too_many_devices():
     h = _handler()
     with pytest.raises(ValueError):

@@ -80,6 +80,35 @@ def test_lm_initialize_auto_downgrades(monkeypatch):
         set_global_config(get_tier_config(0.0))
 
 
+def test_lm_initialize_auto_quant_override(monkeypatch):
+    """--lm-quantization must be honored with size='auto', and an explicit
+    size must KEEP the tier's pinned quantization (wiping it to None made a
+    16 GB tier's first attempt bf16-4B — a guaranteed OOM)."""
+    from acestep_tpu.llm.handler import LLMHandler
+    from acestep_tpu.runtime_config import set_global_config
+
+    set_global_config(get_tier_config(16.0))   # tier pins ("4B", "w8a8")
+    try:
+        attempts = []
+
+        def fake_init(self, *a, cfg=None, **kw):
+            attempts.append((cfg.hidden_size, kw.get("quantization")))
+            self.initialized = True
+
+        monkeypatch.setattr(LLMHandler, "initialize", fake_init)
+        # quantization override alone re-pins the mode on the auto size
+        info = LLMHandler().initialize_auto(size="auto", quantization="int8")
+        assert attempts[-1] == (2560, "int8") and info["quantization"] == "int8"
+        # explicit size without quantization keeps the tier's pinned w8a8
+        attempts.clear()
+        info = LLMHandler().initialize_auto(size="1.7B")
+        assert attempts[-1] == (2048, "w8a8")
+        assert info == {"size": "1.7B", "quantization": "w8a8",
+                        "downgraded": False}
+    finally:
+        set_global_config(get_tier_config(0.0))
+
+
 def test_lm_initialize_auto_nonoom_raises(monkeypatch):
     from acestep_tpu.llm.handler import LLMHandler
     from acestep_tpu.runtime_config import set_global_config
