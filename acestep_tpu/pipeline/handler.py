@@ -106,6 +106,11 @@ class AceStepHandler:
         self.lora = None          # LoraManager attached by acestep_tpu.lora
         self.mesh = None          # set via enable_mesh() for multi-chip dp
         self._fn_cache: Dict[tuple, Any] = {}
+        # device-resident constant inputs (silence broadcasts, all-ones
+        # chunk masks), keyed by shape: the text2music hot path re-sends
+        # ~3x (B,T,64) f32 of constants per request otherwise — pure link
+        # traffic on tunneled/PCIe-attached devices
+        self._dev_const: Dict[tuple, Any] = {}
         # exact f32 audio download instead of the int16+peak wire format
         # (ACESTEP_EXACT_AUDIO_TRANSFER=1; costs 2x device->host bytes)
         self._exact_transfer = os.environ.get(
@@ -164,6 +169,7 @@ class AceStepHandler:
         if self.silence_latent is None:
             self.silence_latent = np.zeros(
                 (1, 15360, self.cfg.audio_acoustic_hidden_dim), np.float32)
+        self._dev_const.clear()     # silence may have changed
         self.quantization = quantization
         if quantization:
             from acestep_tpu.ops.quant import MODE_ALIASES, quantize_tree
@@ -205,6 +211,7 @@ class AceStepHandler:
         else:
             self.mesh = Mesh(np.asarray(devices[:dp]).reshape(dp), ("dp",))
         self._fn_cache.clear()
+        self._dev_const.clear()
 
     def get_service_status(self) -> Dict[str, Any]:
         return {
@@ -226,6 +233,28 @@ class AceStepHandler:
             return sl[0, :T, :]
         reps = -(-T // sl.shape[1])
         return np.tile(sl[0], (reps, 1))[:T]
+
+    def _dev_silence(self, B: int, T: int):
+        """Device-cached (B, T, 64) f32 silence broadcast (uploaded once
+        per shape; the text2music hot path reuses it every request)."""
+        key = ("sil", B, T)
+        if key not in self._dev_const:
+            if len(self._dev_const) >= 64:
+                self._dev_const.pop(next(iter(self._dev_const)))
+            sil = jnp.asarray(self._silence(T).astype(np.float32))
+            self._dev_const[key] = jnp.broadcast_to(
+                sil[None], (B, T, sil.shape[-1])) + 0.0   # materialize
+        return self._dev_const[key]
+
+    def _dev_ones(self, B: int, T: int):
+        """Device-cached (B, T, C) f32 all-ones chunk mask."""
+        key = ("ones", B, T)
+        if key not in self._dev_const:
+            if len(self._dev_const) >= 64:
+                self._dev_const.pop(next(iter(self._dev_const)))
+            self._dev_const[key] = jnp.ones(
+                (B, T, self.cfg.audio_acoustic_hidden_dim), jnp.float32)
+        return self._dev_const[key]
 
     # encode/decode run as one compiled program per input shape (cached):
     # the tiled lax.map loop must live under jit, or every conv in every
@@ -312,7 +341,13 @@ class AceStepHandler:
         OOM ladder, vae_decode_chunks.py:40-81 + memory_utils.py:105-155):
         on RESOURCE_EXHAUSTED, first halve the parallel window group, then
         the decode window itself, and retry."""
-        z = np.asarray(latents, np.float32)
+        if isinstance(latents, jax.Array):
+            # device-resident hand-off from the diffusion stage: segment /
+            # group slicing below stays on device, no host round-trip
+            z = latents if latents.dtype == jnp.float32 \
+                else latents.astype(jnp.float32)
+        else:
+            z = np.asarray(latents, np.float32)
         B, T = z.shape[:2]
         segs = min(8, max(1, T // self._seg_frames))
         if segs > 1:
@@ -370,7 +405,9 @@ class AceStepHandler:
         B, T, _C = z.shape
         hop = self.vae_cfg.hop_length
         core = -(-T // segs)
-        zp = np.pad(z, ((0, 0), (margin, segs * core - T + margin), (0, 0)))
+        pad_spec = ((0, 0), (margin, segs * core - T + margin), (0, 0))
+        zp = (jnp.pad(z, pad_spec) if isinstance(z, jax.Array)
+              else np.pad(z, pad_spec))
         seg_len = core + 2 * margin
         chunk, groups = self._decode_plan(seg_len)
         while True:
@@ -491,7 +528,13 @@ class AceStepHandler:
                                    guidance_scale=guidance_scale,
                                    cfg_interval=cfg_interval, use_adg=use_adg,
                                    infer_method=method, key=noise_key)
-            return x0.astype(jnp.float32)
+            x0 = x0.astype(jnp.float32)
+            # validity scalars computed on device: the caller syncs on these
+            # 8 bytes instead of fetching the whole latent tensor, which
+            # keeps x0 device-resident for the VAE stage (the D2H+H2D
+            # round-trip of f32 latents costs ~0.6 s at 600 s over a
+            # bandwidth-limited link)
+            return x0, jnp.isfinite(x0).all(), jnp.abs(x0).sum() > 0
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -521,7 +564,7 @@ class AceStepHandler:
             return jax.jit(
                 fn,
                 in_shardings=(param_shardings, batched, replicated),
-                out_shardings=batched,
+                out_shardings=(batched, replicated, replicated),
             )
         return jax.jit(fn)
 
@@ -772,20 +815,31 @@ class AceStepHandler:
             cover_steps = int(n_steps * audio_cover_strength)
 
         # B is already dp-padded above (request rows cycled, outputs trimmed)
-        silence_input = (np.broadcast_to(silence_T[None],
-                                         (B, T, silence_T.shape[-1])).copy()
-                         if self.mesh is not None else silence_T[None])
+        silence_input = self._dev_silence(B if self.mesh is not None else 1, T)
+        # the text2music hot path sends only constants for src/chunk/silence:
+        # use the device-cached copies (zero link traffic after first shape)
+        plain_src = (not has_codes and src_latent_single is None
+                     and repainting_start is None and repainting_end is None)
+        chunk_all_ones = (repainting_start is None and repainting_end is None)
 
-        # all host numpy: one transfer into the jitted program, zero eager ops
+        # host numpy (one transfer into the jitted program, zero eager ops)
+        # EXCEPT device-resident embeddings (QwenTextEmbedder output — a
+        # np.asarray here would pull them D2H only to re-upload) and the
+        # cached device constants swapped in above
+        def _femb(x):
+            return x if isinstance(x, jax.Array) else np.asarray(x, np.float32)
+
         inputs = dict(
-            text_hidden_states=np.asarray(text_h, np.float32),
+            text_hidden_states=_femb(text_h),
             text_attention_mask=np.asarray(text_m),
-            lyric_hidden_states=np.asarray(lyric_h, np.float32),
+            lyric_hidden_states=_femb(lyric_h),
             lyric_attention_mask=np.asarray(lyric_m),
             refer_audio_packed=refer_packed,
             refer_order_mask=refer_order,
-            src_latents=src_latents,
-            chunk_masks=chunk_masks,
+            src_latents=(self._dev_silence(B, T) if plain_src
+                         else src_latents),
+            chunk_masks=(self._dev_ones(B, T) if chunk_all_ones
+                         else chunk_masks),
             is_covers=np.asarray(is_cover_rows, np.int32),
             silence_latent=silence_input,
             seeds=np.asarray(seeds_list, np.uint32),
@@ -808,10 +862,9 @@ class AceStepHandler:
             inputs["initial_noise"] = np.broadcast_to(
                 noise_arr, (B, T, cfg.audio_acoustic_hidden_dim)).copy()
         if has_non_cover:
-            inputs["non_cover_text_hidden_states"] = nc_h
+            inputs["non_cover_text_hidden_states"] = _femb(nc_h)
             inputs["non_cover_text_attention_mask"] = nc_m
-            inputs["silence_src"] = np.broadcast_to(silence_T[None],
-                                                    src_latents.shape).copy()
+            inputs["silence_src"] = self._dev_silence(B, T)
 
         cache_key = (
             B, T, text_h.shape[1], lyric_h.shape[1], tuple(schedule),
@@ -832,18 +885,25 @@ class AceStepHandler:
             n_steps, B, T_req / LATENT_RATE)
         from acestep_tpu.utils.progress import ProgressTicker
         with ProgressTicker(est, progress_callback or (lambda f: None)):
-            x0 = gen(params, inputs,
-                     key if key is not None else jax.random.PRNGKey(0))
-            pred = np.asarray(x0)    # forces completion (axon: block_until_ready lies)
+            x0, finite, nonzero = gen(
+                params, inputs,
+                key if key is not None else jax.random.PRNGKey(0))
+            # sync on the two validity scalars (8 bytes): the trajectory is
+            # complete once they resolve, and x0 stays ON DEVICE for the
+            # VAE stage — fetching f32 latents here just to re-upload them
+            # costs two link crossings (axon: block_until_ready lies, a
+            # host fetch is the only real barrier)
+            finite, nonzero = bool(finite), bool(nonzero)
         dt = time.time() - t0
         time_costs["diffusion_time_cost"] = dt
         self.progress_estimator.record(n_steps, B, T_req / LATENT_RATE, dt)
 
         # ---- validate + post (reference generate_music_decode.py)
-        if not np.all(np.isfinite(pred)):
+        if not finite:
             raise RuntimeError("Generation produced NaN or Inf latents.")
-        if pred.size > 0 and np.abs(pred).sum() == 0:
+        if x0.size > 0 and not nonzero:
             raise RuntimeError("Generation produced zero latents.")
+        pred = x0
         if latent_shift != 0.0 or latent_rescale != 1.0:
             pred = pred * latent_rescale + latent_shift
 
@@ -854,6 +914,8 @@ class AceStepHandler:
         t0 = time.time()
         audio = self.decode_latents(pred)[:, : T_req * VAE_HOP]
         time_costs["vae_decode_time_cost"] = time.time() - t0
+        # single D2H of the user-facing latents, after both timed stages
+        pred = np.asarray(pred)
 
         audios = []
         for i in range(B_req):
@@ -991,21 +1053,23 @@ class AceStepHandler:
         token_strs = self.text_embedder.lyric_token_strings(lyric_prompt)
         lyric_len = int(np.asarray(lyric_m)[0].sum())
 
-        silence_T = self._silence(T).astype(np.float32)
         refer_packed, refer_order = self._prepare_refer(None, B)
         t_small = 1.0 / max(infer_steps, 1)
 
+        def _femb(x):
+            return x if isinstance(x, jax.Array) else np.asarray(x, np.float32)
+
         inputs = dict(
-            text_hidden_states=np.asarray(text_h, np.float32),
+            text_hidden_states=_femb(text_h),
             text_attention_mask=np.asarray(text_m),
-            lyric_hidden_states=np.asarray(lyric_h, np.float32),
+            lyric_hidden_states=_femb(lyric_h),
             lyric_attention_mask=np.asarray(lyric_m),
             refer_audio_packed=refer_packed,
             refer_order_mask=refer_order,
-            src_latents=np.broadcast_to(silence_T[None], x0.shape).copy(),
-            chunk_masks=np.ones_like(x0),
+            src_latents=self._dev_silence(B, T),
+            chunk_masks=self._dev_ones(B, T),
             is_covers=np.zeros((B,), np.int32),
-            silence_latent=silence_T[None],
+            silence_latent=self._dev_silence(1, T),
             x0=x0,
         )
         cache_key = ("lrc", B, T, np.asarray(text_h).shape[1],
