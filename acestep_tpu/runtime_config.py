@@ -36,8 +36,10 @@ class DeviceTierConfig:
 # GPU_TIER_CONFIGS — thresholds re-derived for TPU memory profiles.
 # The reference's >=16 GB tiers run the 4B planner
 # (gpu_config.py:268-311); on a 16 GB v5e that takes the w8a8 int8
-# trunk + int8 head (measured round 4: 4B-w8a8 + DiT + VAE coexist;
-# bf16 4B + CFG KV does not), so the 16 GB tier pins lm_quantization.
+# trunk + int8 head paired with the int8 (w8a8) DiT service — the bf16
+# DiT + bf16 4B + CFG KV combination exhausts HBM (observed round 4),
+# so the 16 GB tier pins lm_quantization and bench.py measures the
+# int8-DiT pairing (lm4B rows).
 _TIERS = (
     DeviceTierConfig("tier_cpu", 0.0, 600, 8, None, 128, 512, 2048,
                      notes="CPU/testing: host RAM is not the constraint; "

@@ -224,8 +224,9 @@ def matrix() -> list:
         log(f"matrix {tag}: {rows[-1]}")
 
     def run_think(tag, duration, batch, repeats=2, llm_handler=None,
-                  lm_geom=None):
+                  lm_geom=None, dit_handler=None):
         llm_ = llm_handler if llm_handler is not None else llm
+        dit_ = dit_handler if dit_handler is not None else handler
         params = GenerationParams(caption="an upbeat synth track",
                                   lyrics="[inst]", thinking=True,
                                   duration=float(duration), seed=7)
@@ -235,11 +236,11 @@ def matrix() -> list:
                                   use_random_seed=False,
                                   audio_format="wav")  # measure generation,
         # not the (now-default) flac encode
-        inference.generate_music(handler, llm_, params, config)  # warm
+        inference.generate_music(dit_, llm_, params, config)  # warm
         walls, runs = [], []
         for _ in range(repeats):
             t0 = time.perf_counter()
-            result = inference.generate_music(handler, llm_, params, config)
+            result = inference.generate_music(dit_, llm_, params, config)
             walls.append(time.perf_counter() - t0)
             assert result.success, result.error
             runs.append(result.extra_outputs.get("time_costs", {}))
@@ -377,93 +378,23 @@ def matrix() -> list:
     log(f"matrix lm1.7B_codes300_w8a8: {rows[-1]}")
     del llm17q
 
-    # --- 4B planner on-chip (VERDICT r3 item 1): Qwen3-4B geometry at
-    # w8a8 (the 16 GB tier's pinned mode, runtime_config tier_16g) must
-    # coexist with the bf16 DiT+VAE handler and CFG-paired KV on one v5e.
-    def bench_lm4b():
-        # nested function: on an exception every local (the 4B handler and
-        # its caches) dies with the frame, so section()'s gc pass can
-        # actually return the HBM before the next section runs
-        llm4 = LLMHandler(dtype=jnp.bfloat16)
-        t0 = time.perf_counter()
-        llm4.initialize(cfg=LMConfig.qwen3_4b(), tokenizer=tok17,
-                        max_duration=600, seed=0, quantization="w8a8")
-        load4_s = time.perf_counter() - t0
-        p4 = llm4.build_formatted_prompt_with_cot(
-            "bench", "", "<think>\nduration: 60\n</think>")
-        n4 = llm4.build_formatted_prompt_with_cot(
-            "bench", "", "<think>\nduration: 60\n</think>",
-            is_negative_prompt=True)
-        qkw4 = dict(unconditional_prompts=[n4], cfg_scale=2.0, temperature=0.85,
-                    top_p=0.9, n_codes=300)
-        llm4.engine.generate_codes([p4], seed=0, **qkw4)        # warm
-        walls4 = []
-        for i in range(3):
-            t0 = time.perf_counter()
-            llm4.engine.generate_codes([p4], seed=1 + i, **qkw4)
-            walls4.append(time.perf_counter() - t0)
-        w4, s4, _ = _median_run(walls4)
-        try:
-            stats = jax.local_devices()[0].memory_stats() or {}
-            hbm_gb = round(stats.get("bytes_in_use", 0) / 2**30, 2)
-        except Exception:
-            hbm_gb = None
-        rows.append({
-            "config": "lm4B_codes300_w8a8", "lm_geom": "4B", "batch": 1,
-            "thinking": True, "wall_s": w4, "wall_spread": s4,
-            "decode_tok_s": round(300 / w4, 1), "load_s": round(load4_s, 1),
-            "hbm_in_use_gb": hbm_gb,
-        })
-        log(f"matrix lm4B_codes300_w8a8: {rows[-1]}")
-        # the reference's own thinking example with the 4B planner, end to end
-        run_think("30s_b1_think_lm4B", 30, 1, repeats=2, llm_handler=llm4,
-                  lm_geom="4B")
-        del llm4
-
-    with section("lm4B"):
-        bench_lm4b()
-
-    # quantized row (w8a8: int8 x int8 MXU matmuls). Drop the bf16 handler
-    # and LM first: keeping two full DiT+VAE param sets resident would
-    # squeeze HBM on exactly the parts w8a8 targets
+    # Drop the bf16 turbo handler (the largest resident block: bf16 params
+    # + five compiled shapes incl. the 600 s workspace) before the
+    # memory-sensitive sections below. Order from here on is deliberate:
+    # base50 (a required row set) runs FIRST in the leanest state; the
+    # OOM-riskiest section (4B planner) runs LAST so a failure there
+    # cannot poison rows that still need the chip (r4 observed: an lm4B
+    # RESOURCE_EXHAUSTED with the bf16 handler resident left the backend
+    # refusing every later allocation).
     del handler
-
-    def bench_w8a8():
-        handler_q = AceStepHandler()
-        handler_q.initialize_service(seed=0, quantization="w8a8")
-        handler_q.generate_music("bench", "[inst]", audio_duration=60.0,
-                                 seeds=1, infer_steps=8)   # warm/compile
-        walls, runs = [], []
-        for i in range(3):
-            t0 = time.perf_counter()
-            r = handler_q.generate_music("bench", "[inst]",
-                                         audio_duration=60.0,
-                                         seeds=2 + i, infer_steps=8)
-            np.asarray(r.audios[0][:8])
-            walls.append(time.perf_counter() - t0)
-            runs.append(r.time_costs)
-        wall, spread, mid = _median_run(walls)
-        costs = runs[mid]
-        rows.append({
-            "config": "60s_b1_w8a8", "duration_s": 60, "batch": 1,
-            "thinking": False, "wall_s": wall, "wall_spread": spread,
-            "seconds_per_song": wall, "rtf": round(60 / wall, 1),
-            "diffusion_s": round(costs.get("diffusion_time_cost", 0), 3),
-            "vae_s": round(costs.get("vae_decode_time_cost", 0), 3),
-        })
-        log(f"matrix 60s_b1_w8a8: {rows[-1]}")
-
-    with section("60s_b1_w8a8"):
-        bench_w8a8()
+    import gc
+    gc.collect()
 
     # --- base-model guided path (VERDICT r3 item 2): 50 steps, CFG+APG
     # (guidance_scale 7.0, the reference generate_music.py:31 default; the
     # Model Zoo ships base/sft at 50 steps, /root/reference/README.md:228).
     # Reference example for comparison: 16-step guided 60 s = 12.34 s on
-    # an A100 (/root/reference/docs/en/BENCHMARK.md:122). handler_q died
-    # with bench_w8a8()'s frame; reclaim its buffers before the base init.
-    import gc
-    gc.collect()
+    # an A100 (/root/reference/docs/en/BENCHMARK.md:122).
     handler_b = None
     with section("base50_init"):
         handler_b = AceStepHandler(dit_config=DiTConfig.base())
@@ -497,6 +428,96 @@ def matrix() -> list:
             run_guided("base50_60s_b1", 60, 50, repeats=3)
         with section("base50_600s_b1"):
             run_guided("base50_600s_b1", 600, 50, repeats=2)
+    del handler_b
+    gc.collect()
+
+    # quantized service row (w8a8: int8 x int8 MXU matmuls). The handler
+    # built here also partners the 4B planner section below — int8 DiT +
+    # w8a8 4B LM is exactly the 16 GB tier's pinned pairing
+    # (runtime_config tier_16g).
+    handler_q = None
+
+    def bench_w8a8():
+        nonlocal handler_q
+        handler_q = AceStepHandler()
+        handler_q.initialize_service(seed=0, quantization="w8a8")
+        handler_q.generate_music("bench", "[inst]", audio_duration=60.0,
+                                 seeds=1, infer_steps=8)   # warm/compile
+        walls, runs = [], []
+        for i in range(3):
+            t0 = time.perf_counter()
+            r = handler_q.generate_music("bench", "[inst]",
+                                         audio_duration=60.0,
+                                         seeds=2 + i, infer_steps=8)
+            np.asarray(r.audios[0][:8])
+            walls.append(time.perf_counter() - t0)
+            runs.append(r.time_costs)
+        wall, spread, mid = _median_run(walls)
+        costs = runs[mid]
+        rows.append({
+            "config": "60s_b1_w8a8", "duration_s": 60, "batch": 1,
+            "thinking": False, "wall_s": wall, "wall_spread": spread,
+            "seconds_per_song": wall, "rtf": round(60 / wall, 1),
+            "diffusion_s": round(costs.get("diffusion_time_cost", 0), 3),
+            "vae_s": round(costs.get("vae_decode_time_cost", 0), 3),
+        })
+        log(f"matrix 60s_b1_w8a8: {rows[-1]}")
+
+    with section("60s_b1_w8a8"):
+        bench_w8a8()
+
+    # --- 4B planner on-chip (VERDICT r3 item 1): Qwen3-4B geometry at
+    # w8a8 (tier_16g's pinned mode) coexisting with the int8 DiT+VAE
+    # service and CFG-paired KV on one 16 GB v5e. LAST section by design:
+    # this is the only row set that can exhaust HBM, and on the tunneled
+    # backend an OOM can refuse later allocations too.
+    def _hbm_gb():
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            return round(stats.get("bytes_in_use", 0) / 2**30, 2)
+        except Exception:
+            return None
+
+    def bench_lm4b():
+        # nested function: on an exception every local (the 4B handler and
+        # its caches) dies with the frame, so section()'s gc pass can
+        # actually return the HBM
+        hbm_before = _hbm_gb()
+        llm4 = LLMHandler(dtype=jnp.bfloat16)
+        t0 = time.perf_counter()
+        llm4.initialize(cfg=LMConfig.qwen3_4b(), tokenizer=tok17,
+                        max_duration=600, seed=0, quantization="w8a8")
+        load4_s = time.perf_counter() - t0
+        p4 = llm4.build_formatted_prompt_with_cot(
+            "bench", "", "<think>\nduration: 60\n</think>")
+        n4 = llm4.build_formatted_prompt_with_cot(
+            "bench", "", "<think>\nduration: 60\n</think>",
+            is_negative_prompt=True)
+        qkw4 = dict(unconditional_prompts=[n4], cfg_scale=2.0, temperature=0.85,
+                    top_p=0.9, n_codes=300)
+        llm4.engine.generate_codes([p4], seed=0, **qkw4)        # warm
+        walls4 = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            llm4.engine.generate_codes([p4], seed=1 + i, **qkw4)
+            walls4.append(time.perf_counter() - t0)
+        w4, s4, _ = _median_run(walls4)
+        rows.append({
+            "config": "lm4B_codes300_w8a8", "lm_geom": "4B", "batch": 1,
+            "thinking": True, "wall_s": w4, "wall_spread": s4,
+            "decode_tok_s": round(300 / w4, 1), "load_s": round(load4_s, 1),
+            "hbm_in_use_gb": _hbm_gb(), "hbm_before_gb": hbm_before,
+        })
+        log(f"matrix lm4B_codes300_w8a8: {rows[-1]}")
+        # the reference's own thinking example with the 4B planner, end to
+        # end through the tier_16g service pairing (int8 DiT + w8a8 4B)
+        if handler_q is not None:
+            run_think("30s_b1_think_lm4B", 30, 1, repeats=2,
+                      llm_handler=llm4, lm_geom="4B", dit_handler=handler_q)
+        del llm4
+
+    with section("lm4B"):
+        bench_lm4b()
     return rows
 
 
