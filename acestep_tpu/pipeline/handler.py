@@ -51,6 +51,13 @@ def _pad_frames_to(T: int, bucket: int, min_frames: int) -> int:
     return -(-T // bucket) * bucket
 
 
+def _femb(x):
+    """Embedding input for a jitted program: device-resident embeddings
+    (QwenTextEmbedder output) pass through — an np.asarray would pull
+    them D2H only to re-upload; host arrays become f32 numpy."""
+    return x if isinstance(x, jax.Array) else np.asarray(x, np.float32)
+
+
 def _is_oom_error(e: Exception) -> bool:
     """XLA device-memory exhaustion (any backend's phrasing)."""
     msg = str(e)
@@ -109,8 +116,14 @@ class AceStepHandler:
         # device-resident constant inputs (silence broadcasts, all-ones
         # chunk masks), keyed by shape: the text2music hot path re-sends
         # ~3x (B,T,64) f32 of constants per request otherwise — pure link
-        # traffic on tunneled/PCIe-attached devices
-        self._dev_const: Dict[tuple, Any] = {}
+        # traffic on tunneled/PCIe-attached devices. LRU, capped by BYTES
+        # (a count cap would let 64 (8,15000,64) f32 entries pin ~2 GB of
+        # HBM on exactly the tiers that have none to spare)
+        import collections
+        self._dev_const: "collections.OrderedDict[tuple, Any]" = \
+            collections.OrderedDict()
+        self._dev_const_bytes = 0
+        self._dev_const_cap = 128 * 2**20   # 128 MB of cached constants
         # exact f32 audio download instead of the int16+peak wire format
         # (ACESTEP_EXACT_AUDIO_TRANSFER=1; costs 2x device->host bytes)
         self._exact_transfer = os.environ.get(
@@ -169,7 +182,7 @@ class AceStepHandler:
         if self.silence_latent is None:
             self.silence_latent = np.zeros(
                 (1, 15360, self.cfg.audio_acoustic_hidden_dim), np.float32)
-        self._dev_const.clear()     # silence may have changed
+        self._clear_dev_const()     # silence may have changed
         self.quantization = quantization
         if quantization:
             from acestep_tpu.ops.quant import MODE_ALIASES, quantize_tree
@@ -211,7 +224,7 @@ class AceStepHandler:
         else:
             self.mesh = Mesh(np.asarray(devices[:dp]).reshape(dp), ("dp",))
         self._fn_cache.clear()
-        self._dev_const.clear()
+        self._clear_dev_const()
 
     def get_service_status(self) -> Dict[str, Any]:
         return {
@@ -234,27 +247,38 @@ class AceStepHandler:
         reps = -(-T // sl.shape[1])
         return np.tile(sl[0], (reps, 1))[:T]
 
+    def _dev_cached(self, key: tuple, build):
+        """LRU byte-capped cache of device-resident constants."""
+        cache = self._dev_const
+        if key in cache:
+            cache.move_to_end(key)
+            return cache[key]
+        val = build()
+        nbytes = int(val.size) * val.dtype.itemsize
+        while cache and self._dev_const_bytes + nbytes > self._dev_const_cap:
+            _, old = cache.popitem(last=False)
+            self._dev_const_bytes -= int(old.size) * old.dtype.itemsize
+        cache[key] = val
+        self._dev_const_bytes += nbytes
+        return val
+
+    def _clear_dev_const(self):
+        self._dev_const.clear()
+        self._dev_const_bytes = 0
+
     def _dev_silence(self, B: int, T: int):
         """Device-cached (B, T, 64) f32 silence broadcast (uploaded once
         per shape; the text2music hot path reuses it every request)."""
-        key = ("sil", B, T)
-        if key not in self._dev_const:
-            if len(self._dev_const) >= 64:
-                self._dev_const.pop(next(iter(self._dev_const)))
+        def build():
             sil = jnp.asarray(self._silence(T).astype(np.float32))
-            self._dev_const[key] = jnp.broadcast_to(
+            return jnp.broadcast_to(
                 sil[None], (B, T, sil.shape[-1])) + 0.0   # materialize
-        return self._dev_const[key]
+        return self._dev_cached(("sil", B, T), build)
 
     def _dev_ones(self, B: int, T: int):
         """Device-cached (B, T, C) f32 all-ones chunk mask."""
-        key = ("ones", B, T)
-        if key not in self._dev_const:
-            if len(self._dev_const) >= 64:
-                self._dev_const.pop(next(iter(self._dev_const)))
-            self._dev_const[key] = jnp.ones(
-                (B, T, self.cfg.audio_acoustic_hidden_dim), jnp.float32)
-        return self._dev_const[key]
+        return self._dev_cached(("ones", B, T), lambda: jnp.ones(
+            (B, T, self.cfg.audio_acoustic_hidden_dim), jnp.float32))
 
     # encode/decode run as one compiled program per input shape (cached):
     # the tiled lax.map loop must live under jit, or every conv in every
@@ -784,12 +808,15 @@ class AceStepHandler:
                     actual_captions[i], meta_strs[i]) for i in range(B)
             ]
             nc_h, nc_m = self.text_embedder.encode_text(nc_prompts)
-            nc_h, nc_m = np.asarray(nc_h), np.asarray(nc_m)
             if nc_h.shape[1] != text_h.shape[1]:   # keep one bucket
+                # device-resident embeddings pad on device (one dispatch)
+                # instead of a D2H fetch + re-upload of the whole tensor
                 L = text_h.shape[1]
-                nc_h = np.pad(nc_h[:, :L], ((0, 0), (0, max(0, L - nc_h.shape[1])),
-                                            (0, 0)))
-                nc_m = np.pad(nc_m[:, :L], ((0, 0), (0, max(0, L - nc_m.shape[1]))))
+                xp = jnp if isinstance(nc_h, jax.Array) else np
+                nc_h = xp.pad(nc_h[:, :L],
+                              ((0, 0), (0, max(0, L - nc_h.shape[1])), (0, 0)))
+                nc_m = xp.pad(nc_m[:, :L],
+                              ((0, 0), (0, max(0, L - nc_m.shape[1]))))
         time_costs["text_encode_time_cost"] = time.time() - t0
 
         # ---- schedule
@@ -823,12 +850,8 @@ class AceStepHandler:
         chunk_all_ones = (repainting_start is None and repainting_end is None)
 
         # host numpy (one transfer into the jitted program, zero eager ops)
-        # EXCEPT device-resident embeddings (QwenTextEmbedder output — a
-        # np.asarray here would pull them D2H only to re-upload) and the
-        # cached device constants swapped in above
-        def _femb(x):
-            return x if isinstance(x, jax.Array) else np.asarray(x, np.float32)
-
+        # EXCEPT device-resident embeddings (kept on device via _femb) and
+        # the cached device constants swapped in above
         inputs = dict(
             text_hidden_states=_femb(text_h),
             text_attention_mask=np.asarray(text_m),
@@ -1056,9 +1079,6 @@ class AceStepHandler:
         refer_packed, refer_order = self._prepare_refer(None, B)
         t_small = 1.0 / max(infer_steps, 1)
 
-        def _femb(x):
-            return x if isinstance(x, jax.Array) else np.asarray(x, np.float32)
-
         inputs = dict(
             text_hidden_states=_femb(text_h),
             text_attention_mask=np.asarray(text_m),
@@ -1072,8 +1092,7 @@ class AceStepHandler:
             silence_latent=self._dev_silence(1, T),
             x0=x0,
         )
-        cache_key = ("lrc", B, T, np.asarray(text_h).shape[1],
-                     np.asarray(lyric_h).shape[1],
+        cache_key = ("lrc", B, T, text_h.shape[1], lyric_h.shape[1],
                      tuple(sorted((k, tuple(v)) for k, v in capture.items())),
                      round(t_small, 6))
         if cache_key not in self._fn_cache:

@@ -439,10 +439,14 @@ def matrix() -> list:
 
     def bench_w8a8():
         nonlocal handler_q
-        handler_q = AceStepHandler()
-        handler_q.initialize_service(seed=0, quantization="w8a8")
-        handler_q.generate_music("bench", "[inst]", audio_duration=60.0,
-                                 seeds=1, infer_steps=8)   # warm/compile
+        # build into a local; publish to handler_q only once usable — a
+        # mid-init failure must die with this frame (freeing its HBM in
+        # section()'s gc pass), not linger half-built for the lm4B section
+        hq = AceStepHandler()
+        hq.initialize_service(seed=0, quantization="w8a8")
+        hq.generate_music("bench", "[inst]", audio_duration=60.0,
+                          seeds=1, infer_steps=8)   # warm/compile
+        handler_q = hq
         walls, runs = [], []
         for i in range(3):
             t0 = time.perf_counter()

@@ -323,3 +323,34 @@ def test_prepare_seeds_single_seed_varies_batch():
     assert out2[:2] == [5, 6]
     assert out2[2] != 5 or out2[3] != 6   # padded random, not cycled
     assert prepare_seeds(3, [1, 2, 3]) == [1, 2, 3]
+
+
+def test_dev_const_cache_lru_byte_cap():
+    """Device-constant cache evicts by BYTES in LRU order: a hit must
+    refresh recency, and inserting past the cap evicts the coldest
+    entry, never unbounded growth (round-4 review finding: a count cap
+    let ~2 GB of silence broadcasts pin HBM on 16 GB tiers)."""
+    h = AceStepHandler(dit_config=DiTConfig.tiny())
+    h.silence_latent = np.zeros((1, 64, h.cfg.audio_acoustic_hidden_dim),
+                                np.float32)
+    one = 4 * 32 * h.cfg.audio_acoustic_hidden_dim * 4   # bytes per entry
+    h._dev_const_cap = 3 * one
+    a = h._dev_ones(4, 32)
+    h._dev_silence(4, 32)
+    h._dev_ones(8, 16)                    # same bytes, distinct key
+    assert len(h._dev_const) == 3
+    # touch the oldest -> it becomes most-recent
+    assert h._dev_ones(4, 32) is a
+    h._dev_ones(16, 8)                    # evicts the NEW oldest (silence)
+    assert ("sil", 4, 32) not in h._dev_const
+    assert ("ones", 4, 32) in h._dev_const
+    assert h._dev_const_bytes <= h._dev_const_cap
+    # clearing resets the byte ledger
+    h._clear_dev_const()
+    assert h._dev_const_bytes == 0 and not h._dev_const
+    # an entry larger than the cap still caches (cache never refuses),
+    # after evicting everything else
+    h._dev_ones(4, 32)
+    big = h._dev_ones(64, 64)
+    assert big.shape == (64, 64, h.cfg.audio_acoustic_hidden_dim)
+    assert ("ones", 4, 32) not in h._dev_const
