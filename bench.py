@@ -376,6 +376,25 @@ def matrix() -> list:
         "decode_tok_s": round(300 / qwall, 1),
     })
     log(f"matrix lm1.7B_codes300_w8a8: {rows[-1]}")
+
+    # long-context w8a8 decode (VERDICT r3 item 3 target: >=150 tok/s at
+    # ~3k context): 3000 codes = a 600 s plan's codes phase, int8 trunk +
+    # int8 KV, CFG-paired. Decode tok/s here is END-of-run average, i.e.
+    # it includes the per-step cost growth up to ~3.1k tokens of context.
+    with section("lm1.7B_codes3000_w8a8"):
+        qkw_l = dict(qkw, n_codes=3000)
+        lwalls = []
+        for i in range(2):
+            t0 = time.perf_counter()
+            llm17q.engine.generate_codes([p2], seed=11 + i, **qkw_l)
+            lwalls.append(time.perf_counter() - t0)
+        lwall, lspread, _ = _median_run(lwalls)
+        rows.append({
+            "config": "lm1.7B_codes3000_w8a8", "lm_geom": "1.7B", "batch": 1,
+            "thinking": True, "wall_s": lwall, "wall_spread": lspread,
+            "decode_tok_s": round(3000 / lwall, 1),
+        })
+        log(f"matrix lm1.7B_codes3000_w8a8: {rows[-1]}")
     del llm17q
 
     # Drop the bf16 turbo handler (the largest resident block: bf16 params
