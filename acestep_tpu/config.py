@@ -66,6 +66,14 @@ class DiTConfig:
     # dense XLA attention elsewhere; "flash" / "dense" force one.
     attention_impl: str = "auto"
 
+    # Run the decoder layer stack as an unrolled Python loop instead of
+    # lax.scan over the stacked params (inference only; ignored under
+    # remat). scan dynamic-slices ~each layer's weights per iteration,
+    # which XLA may materialize as an HBM copy; unrolling reads them in
+    # place at the cost of a larger program. Off by default — enable via
+    # ACESTEP_DIT_UNROLL=1 after measuring on the target chip.
+    unroll_layers: bool = False
+
     def __post_init__(self):
         if self.layer_types is None:
             object.__setattr__(

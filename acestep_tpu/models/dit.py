@@ -502,7 +502,26 @@ def dit_decoder(params: dict, cfg: DiTConfig, xt: jnp.ndarray,
                                    window=window, eps=eps)
         return fn
 
-    if resolve_attention_impl(cfg, seq_len=L) == "flash":
+    impl = resolve_attention_impl(cfg, seq_len=L)
+    if cfg.unroll_layers and not remat:
+        # Unrolled layer loop (opt-in, inference): static per-layer slices
+        # of the stacked params read the weights in place, where the scan
+        # below dynamic-slices ~each layer's tree per iteration — traffic
+        # XLA may materialize as an HBM copy (the LM decode stack measured
+        # scan 7.0 vs unrolled 5.8 ms/step on the same pattern). Masks and
+        # windows become static per layer too.
+        mk = flash_attn if impl == "flash" else dense_attn
+        sliding_fn = mk(cfg.sliding_window)
+        full_fn = mk(None)
+        for i in range(cfg.num_hidden_layers):
+            lp = jax.tree.map(lambda a, i=i: a[i], p["layers"])
+            layer_kv = (None if kv is None
+                        else jax.tree.map(lambda a, i=i: a[i], kv))
+            h = layer_apply(
+                lp, h, layer_kv,
+                self_attn_fn=sliding_fn if cfg.layer_is_sliding(i)
+                else full_fn)
+    elif impl == "flash":
         # Paired scan: layer_types strictly alternate [sliding, full], so one
         # scan step applies a (banded flash, full flash) pair. The window is
         # static per sub-layer — no traced mask select, no L x L logits.

@@ -101,6 +101,8 @@ class AceStepHandler:
                  min_frames: int = MIN_FRAMES,
                  refer_frames: int = REFER_FRAMES):
         self.cfg = dit_config or DiTConfig()
+        if os.environ.get("ACESTEP_DIT_UNROLL", "0") == "1":
+            self.cfg = dataclasses.replace(self.cfg, unroll_layers=True)
         self.vae_cfg = vae_config or VAEConfig()
         self.dtype = dtype
         self.frame_bucket = frame_bucket

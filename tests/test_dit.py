@@ -198,3 +198,38 @@ def test_training_loss_grads(params, batch):
     gnorm = jax.tree.reduce(
         lambda a, b: a + b, jax.tree.map(lambda x: float(jnp.sum(x * x)), g))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_decoder_unrolled_matches_scan(params, batch):
+    """cfg.unroll_layers swaps the lax.scan layer loop for static
+    per-layer slices; the dense-path forward must match, with and
+    without the precomputed cross-KV cache, and remat must fall back
+    to the scan (the flash pairing is covered by test_dit_flash_path
+    on the scan path and shares layer_apply with the unroll)."""
+    import dataclasses
+
+    enc, mask, ctx = dit.prepare_condition(
+        params, CFG, max_refer_count=2,
+        silence_latent=batch["silence_latent"],
+        **{k: batch[k] for k in (
+            "text_hidden_states", "text_attention_mask", "lyric_hidden_states",
+            "lyric_attention_mask", "refer_audio_packed", "refer_order_mask",
+            "src_latents", "chunk_masks", "is_covers")},
+    )
+    xt = jax.random.normal(jax.random.PRNGKey(6),
+                           (B, T, CFG.audio_acoustic_hidden_dim))
+    t = jnp.full((B,), 0.5)
+    cfg_u = dataclasses.replace(CFG, unroll_layers=True)
+    ref = dit.dit_decoder(params, CFG, xt, t, t, ctx,
+                          encoder_hidden_states=enc)
+    out = dit.dit_decoder(params, cfg_u, xt, t, t, ctx,
+                          encoder_hidden_states=enc)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    kv = dit.decoder_cross_kv(params, CFG, enc)
+    out_kv = dit.dit_decoder(params, cfg_u, xt, t, t, ctx, cross_kv_cache=kv)
+    np.testing.assert_allclose(np.asarray(out_kv), np.asarray(ref), atol=1e-5)
+    # remat requests fall back to the scan (training path unchanged)
+    out_remat = dit.dit_decoder(params, cfg_u, xt, t, t, ctx,
+                                encoder_hidden_states=enc, remat=True)
+    np.testing.assert_allclose(np.asarray(out_remat), np.asarray(ref),
+                               atol=1e-5)
