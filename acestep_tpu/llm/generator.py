@@ -76,6 +76,42 @@ def _bucket(n: int) -> int:
     return PROMPT_BUCKETS[-1]
 
 
+# KV-cache slot-count ladder. Two jobs:
+# 1. the cache length is BUCKETED (not raw prompt+budget): a raw length
+#    gives every distinct prompt+CoT length its own cache shape, and with
+#    it a full recompile of the decode/codes programs per request;
+# 2. the codes phase decodes in chunks whose cache view grows along this
+#    ladder, so a step's KV reads/attention scale with the ACTIVE context
+#    instead of the final bucket (a 600 s plan spends most of its 3000
+#    steps below half the final context).
+KV_BUCKETS = (256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096)
+
+
+def _kv_bucket(n: int) -> int:
+    for b in KV_BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // 1024) * 1024          # beyond the ladder: 1k steps
+
+
+def _codes_schedule(prompt_high: int, n_codes: int, S: int) -> tuple:
+    """Static (ceiling, steps) chunks for the codes scan: chunk i runs with
+    the cache sliced to `ceiling` slots and fills it before growing to the
+    next ladder rung. `prompt_high` must be >= every row's real length so
+    writes stay inside each ceiling."""
+    sched = []
+    done = 0
+    while done < n_codes:
+        ceil = _kv_bucket(prompt_high + done + 1)
+        if ceil >= S:
+            sched.append((S, n_codes - done))
+            break
+        steps = min(n_codes - done, ceil - prompt_high - done)
+        sched.append((ceil, steps))
+        done += steps
+    return tuple(sched)
+
+
 @dataclasses.dataclass
 class GenOutput:
     token_ids: List[List[int]]     # generated ids per (conditional) sequence
@@ -420,8 +456,11 @@ class LMEngine:
 
         # cover the furthest PADDED write (P_i + D can pass lens.max() +
         # budget when rows are ragged and the budget small; an out-of-range
-        # dynamic_update_slice would clamp and silently corrupt valid K/V)
-        cache_len = max(int(lens.max()) + budget, int(P.max()) + D)
+        # dynamic_update_slice would clamp and silently corrupt valid K/V).
+        # Bucketed: a raw length would recompile every decode program for
+        # each distinct prompt+CoT length (observed as 10 s-class outliers
+        # in otherwise-warm planning walls).
+        cache_len = _kv_bucket(max(int(lens.max()) + budget, int(P.max()) + D))
         cache = KVCache.create(self.cfg, len(rows), cache_len,
                                dtype=self.dtype, quantized=self.kv_quant)
         if prefix is not None and int(P.max()) > 0:
@@ -741,10 +780,10 @@ class LMEngine:
             raise ValueError("audio code token ids are not contiguous")
         return start, end
 
-    def _codes_scan_fn(self, n_codes: int, do_cfg: bool, cfg_scale: float,
+    def _codes_scan_fn(self, schedule: tuple, do_cfg: bool, cfg_scale: float,
                        temperature: float, top_k: int, top_p: float,
                        penalty: float):
-        """One compiled program decoding all n_codes tokens on device.
+        """One compiled program decoding all the codes on device.
 
         The reference streams every token through the host FSM
         (constrained_logits_processor.__call__ per token). For the codes
@@ -752,9 +791,32 @@ class LMEngine:
         until target count' (constrained_logits_processor.py:1285) — a
         static rule, so the whole loop runs as lax.scan with zero host
         round-trips (the dominant cost over a tunneled TPU: ~4 transfers
-        x hundreds of tokens otherwise)."""
+        x hundreds of tokens otherwise).
+
+        `schedule` is the static (cache_ceiling, steps) chunk list from
+        _codes_schedule: each chunk scans with the cache SLICED to its
+        ceiling, so per-step KV reads and attention track the active
+        context instead of paying the final bucket from step 0. The chunks
+        thread one (logits, seen, key, row_lens) carry, so the sampled
+        token stream is bit-identical to a single full-bucket scan (grown
+        slots are zero-padded and masked off by row_lens)."""
         cfg_ = self.cfg
         code_start, code_end = self._audio_code_range()
+
+        def _resize(cache, ceil):
+            """Slice (or zero-grow) the slot axis to `ceil`."""
+            def f(a):
+                if a is None:
+                    return None
+                if a.shape[2] > ceil:
+                    return jax.lax.slice_in_dim(a, 0, ceil, axis=2)
+                if a.shape[2] < ceil:
+                    pad = [(0, 0)] * a.ndim
+                    pad[2] = (0, ceil - a.shape[2])
+                    return jnp.pad(a, pad)
+                return a
+            return KVCache(f(cache.k), f(cache.v), cache.length,
+                           f(cache.k_scale), f(cache.v_scale))
 
         def scan_fn(params, logits0, cache, row_lens, key):
             params = dequantize_params(params, self.dtype)
@@ -786,9 +848,15 @@ class LMEngine:
                 return (logits, cache, row_lens + 1, seen, key), rel
 
             seen0 = jnp.zeros((B, W), bool)
-            (_, _, _, _, _), codes = jax.lax.scan(
-                step, (logits0w, cache, row_lens, seen0, key), None,
-                length=n_codes)
+            carry = (logits0w, cache, row_lens, seen0, key)
+            parts = []
+            for ceil, steps in schedule:
+                lg, c, rl, sn, k = carry
+                carry = (lg, _resize(c, ceil), rl, sn, k)
+                carry, rel = jax.lax.scan(step, carry, None, length=steps)
+                parts.append(rel)                  # (steps, B)
+            codes = (parts[0] if len(parts) == 1
+                     else jnp.concatenate(parts, axis=0))
             return codes.T                     # (B, n_codes) 0-based
 
         return jax.jit(scan_fn)
@@ -825,14 +893,20 @@ class LMEngine:
                 f"{n_codes} codes need more context than max_len "
                 f"{self.max_len} allows after the prompt; raise max_len")
 
-        cache_key = ("codes", n_codes, do_cfg, round(cfg_scale, 4),
+        # chunk schedule from a BUCKETED prompt high-water mark, so its
+        # variants (and with them the compiled programs) are bounded by the
+        # ladder, not by raw prompt lengths
+        S = int(cache.k.shape[2])
+        ph = min(_kv_bucket(int(lens.max())), S)
+        schedule = _codes_schedule(ph, n_codes, S)
+        cache_key = ("codes", schedule, do_cfg, round(cfg_scale, 4),
                      round(temperature, 4), top_k, round(top_p, 4),
                      round(repetition_penalty, 4))
         if not hasattr(self, "_codes_fns"):
             self._codes_fns = {}
         if cache_key not in self._codes_fns:
             self._codes_fns[cache_key] = self._codes_scan_fn(
-                n_codes, do_cfg, cfg_scale, temperature, top_k, top_p,
+                schedule, do_cfg, cfg_scale, temperature, top_k, top_p,
                 repetition_penalty)
         codes = self._codes_fns[cache_key](
             self.params, logits, cache, jnp.asarray(lens),

@@ -66,3 +66,25 @@ def test_prefill_budget_uses_real_prompt_length(handler):
         assert budget > 0
     finally:
         engine.max_len = old_max
+
+
+def test_codes_chunked_schedule_matches_single_scan(handler, monkeypatch):
+    """The growing-ceiling chunked codes scan must emit the exact token
+    stream of a single full-bucket scan: grown slots are zero-padded and
+    masked, and the (logits, seen, key) carry threads across chunks, so
+    sampling sees identical distributions at every step."""
+    from acestep_tpu.llm import generator as G
+
+    engine = handler.engine
+    # shrink the ladder so a 40-code run crosses several ceilings
+    monkeypatch.setattr(G, "KV_BUCKETS", (16, 24, 32, 48, 64, 96, 128))
+    kw = dict(unconditional_prompts=["NO USER INPUT"], cfg_scale=2.0,
+              temperature=0.9, top_p=0.9, n_codes=40, seed=5)
+    chunked = engine.generate_codes(["make music"], **kw)
+    scheds = [k[1] for k in engine._codes_fns if k[0] == "codes"
+              and sum(s for _, s in k[1]) == 40]
+    assert any(len(s) > 1 for s in scheds), "schedule never chunked"
+    monkeypatch.setattr(G, "_codes_schedule",
+                        lambda ph, n, S: ((S, n),))
+    single = engine.generate_codes(["make music"], **kw)
+    assert chunked == single
