@@ -354,3 +354,25 @@ def test_dev_const_cache_lru_byte_cap():
     big = h._dev_ones(64, 64)
     assert big.shape == (64, 64, h.cfg.audio_acoustic_hidden_dim)
     assert ("ones", 4, 32) not in h._dev_const
+
+
+def test_decode_latents_device_resident_input(handler):
+    """decode_latents accepts a device-resident jax.Array (the diffusion
+    stage's hand-off) and must produce exactly what the host-numpy input
+    does — including on the segmented long-song path, whose slicing/
+    padding then runs on device."""
+    rng = np.random.default_rng(7)
+    z = rng.standard_normal((1, 120, 64)).astype(np.float32)
+
+    host = handler.decode_latents(z)
+    dev = handler.decode_latents(jnp.asarray(z))
+    np.testing.assert_array_equal(np.asarray(dev), host)
+
+    orig = handler._seg_frames
+    try:
+        handler._seg_frames = 40      # force 3 segments
+        host_seg = handler.decode_latents(z)
+        dev_seg = handler.decode_latents(jnp.asarray(z))
+    finally:
+        handler._seg_frames = orig
+    np.testing.assert_array_equal(np.asarray(dev_seg), host_seg)
