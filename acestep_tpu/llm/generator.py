@@ -848,6 +848,8 @@ class LMEngine:
                 return (logits, cache, row_lens + 1, seen, key), rel
 
             seen0 = jnp.zeros((B, W), bool)
+            if not schedule:                   # n_codes == 0
+                return jnp.zeros((B, 0), jnp.int32)
             carry = (logits0w, cache, row_lens, seen0, key)
             parts = []
             for ceil, steps in schedule:
