@@ -383,6 +383,9 @@ def matrix() -> list:
     # it includes the per-step cost growth up to ~3.1k tokens of context.
     with section("lm1.7B_codes3000_w8a8"):
         qkw_l = dict(qkw, n_codes=3000)
+        # warm separately: 3000 codes use their own chunk schedule and a
+        # larger prefill bucket than the 300-code section's programs
+        llm17q.engine.generate_codes([p2], seed=10, **qkw_l)
         lwalls = []
         for i in range(2):
             t0 = time.perf_counter()

@@ -97,12 +97,19 @@ def run(tag: str, cfg: DiTConfig, T: int, repeats: int = 5) -> float:
 
 
 def main():
+    import gc
+
+    from acestep_tpu.models.dit import resolve_attention_impl
+
     print("devices:", jax.devices(), flush=True)
     base = DiTConfig()
     results = {}
     for T, label in ((1500, "60s"), (15000, "600s")):
+        L = -(-T // base.patch_size)
+        auto = resolve_attention_impl(base, seq_len=L)
+        print(f"{label}: impl='auto' resolves to {auto!r}", flush=True)
         for unroll in (False, True):
-            for impl in ("auto", "dense", "flash"):
+            for impl in ("dense", "flash"):
                 cfg = dataclasses.replace(base, unroll_layers=unroll,
                                           attention_impl=impl)
                 tag = f"{label} unroll={int(unroll)} impl={impl}"
@@ -110,6 +117,17 @@ def main():
                     results[tag] = run(tag, cfg, T)
                 except Exception as e:  # noqa: BLE001 - report and move on
                     print(f"{tag}: FAILED {e!r}", flush=True)
+                    # free the dead variant's buffers/compiled programs or
+                    # an OOM here cascades into the remaining variants
+                    gc.collect()
+                    try:
+                        jax.clear_caches()
+                    except Exception:
+                        pass
+                    gc.collect()
+    if not results:
+        print("\nall variants failed", flush=True)
+        return
     best = min(results, key=results.get)
     print(f"\nbest: {best} = {results[best]:.4f}s", flush=True)
 
