@@ -145,19 +145,68 @@ def _llm_token_throughput(args) -> Dict[str, Any]:
     }
 
 
+def _run_think_once(handler, llm, *, duration: float, batch: int,
+                    steps: int, warm: bool = False) -> Dict[str, Any]:
+    """One thinking (LM-planned) run through the inference facade."""
+    from acestep_tpu import inference
+    from acestep_tpu.inference import GenerationConfig, GenerationParams
+
+    params = GenerationParams(
+        caption="an upbeat synthpop track with bright leads",
+        lyrics="[inst]", thinking=True, duration=float(duration), seed=42,
+        inference_steps=steps)
+    config = GenerationConfig(batch_size=batch, output_dir=None,
+                              allow_lm_batch=True, use_random_seed=False)
+    t0 = time.time()
+    result = inference.generate_music(handler, llm, params, config)
+    wall = time.time() - t0
+    costs = result.extra_outputs.get("time_costs", {}) if result.success \
+        else {}
+    diff = costs.get("diffusion_time_cost", 0.0) or 1e-9
+    return {
+        "duration_s": duration, "batch": batch, "steps": steps,
+        "thinking": True, "warm": warm, "ok": bool(result.success),
+        "wall_s": round(wall, 3),
+        "seconds_per_song": round(wall / batch, 3),
+        "rtf": round(duration * batch / wall, 2),
+        "lm_s": round(costs.get("lm_time_cost", 0.0), 3),
+        "diffusion_s": round(diff, 3),
+        "vae_decode_s": round(costs.get("vae_decode_time_cost", 0.0), 3),
+    }
+
+
 def mode_benchmark(args) -> Dict[str, Any]:
+    """duration x batch x steps x thinking matrix (the reference's
+    `--mode benchmark` default matrix spans the same four dimensions,
+    docs/en/BENCHMARK.md:112-116; it clamps by GPU memory where we clamp
+    by the HBM tier at request time)."""
     handler, init_s = _init_handler(args)
     durations = [float(d) for d in args.durations.split(",")]
     batches = [int(b) for b in args.batches.split(",")]
+    steps_list = ([int(s) for s in args.steps_list.split(",")]
+                  if args.steps_list else [args.steps])
+    think_opts = [False, True] if args.thinking_matrix else [False]
+    llm = _init_llm(args) if True in think_opts else None
     rows: List[Dict[str, Any]] = []
     for duration in durations:
         for batch in batches:
-            _run_once(handler, duration=duration, batch=batch,
-                      steps=args.steps)           # compile
-            rows.append(_run_once(handler, duration=duration, batch=batch,
-                                  steps=args.steps, warm=True))
-            log(f"bench d={duration} b={batch}: "
-                f"{rows[-1]['seconds_per_song']}s/song rtf={rows[-1]['rtf']}")
+            for steps in steps_list:
+                for think in think_opts:
+                    if think:
+                        _run_think_once(handler, llm, duration=duration,
+                                        batch=batch, steps=steps)  # compile
+                        rows.append(_run_think_once(
+                            handler, llm, duration=duration, batch=batch,
+                            steps=steps, warm=True))
+                    else:
+                        _run_once(handler, duration=duration, batch=batch,
+                                  steps=steps)           # compile
+                        rows.append(_run_once(handler, duration=duration,
+                                              batch=batch, steps=steps,
+                                              warm=True))
+                    log(f"bench d={duration} b={batch} s={steps} "
+                        f"think={think}: {rows[-1]['seconds_per_song']}"
+                        f"s/song rtf={rows[-1]['rtf']}")
     return {"mode": "benchmark", "init_s": round(init_s, 2),
             "steps": args.steps, "rows": rows}
 
@@ -304,6 +353,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--batches", default="1,2")
     parser.add_argument("--steps", type=int, default=8)
+    parser.add_argument("--steps-list", default=None,
+                        help="benchmark mode: comma-separated steps "
+                             "dimension (reference default matrix: 8,16)")
+    parser.add_argument("--thinking-matrix", action="store_true",
+                        help="benchmark mode: add the thinking True/False "
+                             "dimension (runs the LM planner)")
     parser.add_argument("--query", default=None)
     parser.add_argument("--output", default=None,
                         help="write the JSON report here as well")
