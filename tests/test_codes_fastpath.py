@@ -88,3 +88,16 @@ def test_codes_chunked_schedule_matches_single_scan(handler, monkeypatch):
                         lambda ph, n, S: ((S, n),))
     single = engine.generate_codes(["make music"], **kw)
     assert chunked == single
+
+
+def test_kv_cache_length_bucketed(handler):
+    """Two prompts of different raw length must land in the SAME cache
+    shape bucket — a raw prompt+budget cache length recompiled every
+    decode program per request (the phase-2 prompt embeds the sampled
+    CoT, which varies per seed)."""
+    e = handler.engine
+    _, c1, _, _ = e._prefill_prompts(["short"], 50)
+    _, c2, _, _ = e._prefill_prompts(["a somewhat longer prompt text"], 50)
+    assert c1.k.shape == c2.k.shape
+    from acestep_tpu.llm.generator import KV_BUCKETS
+    assert c1.k.shape[2] in KV_BUCKETS
