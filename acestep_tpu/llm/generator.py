@@ -22,6 +22,7 @@ same).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
@@ -189,7 +190,10 @@ class LMEngine:
 
         cfg_ = cfg
 
-        @jax.jit
+        # donate the input cache: prefill would otherwise hold TWO full
+        # caches live (the zero/grafted input plus the written output) —
+        # cache-sized HBM that directly erodes the 4B planner's margin
+        @partial(jax.jit, donate_argnums=(4,))
         def prefill_at(params, ids, starts, dlens, cache):
             """Delta prefill at per-row offsets (prefix-reuse path): writes
             K/V at [starts, starts+L) per row; logits at each row's last
@@ -373,7 +377,7 @@ class LMEngine:
         cfg_ = self.cfg
         V_use = self.vocab_use
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(2,))   # cache: rebound by caller
         def run(params, logits, cache, row_lens, seen, key):
             params = dequantize_params(params, self.dtype)
             mix = _pen_mix_fn(do_cfg, cfg_scale, penalty)
@@ -491,7 +495,7 @@ class LMEngine:
         cfg_ = self.cfg
         V_use = self.vocab_use
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(3,))   # cache: rebound by caller
         def step(params, logits, allow, cache, row_lens, seen, key):
             params = dequantize_params(params, self.dtype)
             mixed = _pen_mix_fn(do_cfg, cfg_scale, penalty)(logits, seen)
@@ -565,7 +569,8 @@ class LMEngine:
             # tokens, count, final cache + row_lens (for prefix reuse)
             return carry[5], carry[7], carry[1], carry[2]
 
-        return jax.jit(loop)
+        # donate the input cache (callers rebind it to the returned one)
+        return jax.jit(loop, donate_argnums=(2,))
 
     def _device_tables(self, fsm_tables) -> dict:
         """DeviceFSMTables -> device arrays, sized to vocab_use.
@@ -699,7 +704,8 @@ class LMEngine:
             # tokens (B, max), counts (B,), iterations, cache, row_lens
             return carry[6], carry[5], carry[8], carry[1], carry[2]
 
-        return jax.jit(loop)
+        # donate the input cache (callers rebind it to the returned one)
+        return jax.jit(loop, donate_argnums=(2,))
 
     def generate_cot_device_batch(
         self, prompts: Sequence[str], *,
@@ -861,7 +867,8 @@ class LMEngine:
                      else jnp.concatenate(parts, axis=0))
             return codes.T                     # (B, n_codes) 0-based
 
-        return jax.jit(scan_fn)
+        # donate the input cache: generate_codes never touches it again
+        return jax.jit(scan_fn, donate_argnums=(2,))
 
     def generate_codes(
         self,
