@@ -468,7 +468,12 @@ class LMEngine:
         cache = KVCache.create(self.cfg, len(rows), cache_len,
                                dtype=self.dtype, quantized=self.kv_quant)
         if prefix is not None and int(P.max()) > 0:
-            copy = min(int(P.max()), prefix.cache.k.shape[2], cache_len)
+            # bucket the copy width: graft_prefix compiles per static
+            # `copy`, and copying extra slots is safe (write-frontier
+            # invariant — stale K/V at/after a row's length is never
+            # attended, and the delta prefill overwrites [P_i, P_i+dlens))
+            copy = min(_kv_bucket(int(P.max())),
+                       prefix.cache.k.shape[2], cache_len)
             cache = cache.graft_prefix(prefix.cache, copy)
         self.last_prefill_stats = {
             "rows": len(rows),

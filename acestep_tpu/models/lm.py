@@ -21,6 +21,7 @@ TPU-native design replaces nano-vllm's paged-KV / CUDA-graph machinery:
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional
 
 import jax
@@ -107,19 +108,28 @@ class KVCache:
         return self.k_scale is not None
 
     def graft_prefix(self, src: "KVCache", copy: int) -> "KVCache":
-        """Copy the first `copy` cache slots from `src` (prefix reuse)."""
-        def g(dst, s):
-            return dst.at[:, :, :copy].set(s[:, :, :copy])
+        """Copy the first `copy` cache slots from `src` (prefix reuse).
 
-        return KVCache(
-            g(self.k, src.k), g(self.v, src.v), self.length,
-            None if self.k_scale is None else g(self.k_scale, src.k_scale),
-            None if self.v_scale is None else g(self.v_scale, src.v_scale))
+        One jitted dispatch with the destination donated: the eager
+        .at[].set form issued 4-5 device ops per phase-2 prefill and
+        materialized a second full cache. `copy` is static — callers
+        should bucket it (write-frontier invariant: copying extra slots
+        is safe, stale K/V at/after a row's length is never attended)."""
+        return _graft_prefix(self, src, copy=int(copy))
 
 
 # ------------------------------------------------------------------
 # Forward
 # ------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("copy",), donate_argnums=(0,))
+def _graft_prefix(dst: KVCache, src: KVCache, *, copy: int) -> KVCache:
+    def g(d, s):
+        return None if d is None else d.at[:, :, :copy].set(s[:, :, :copy])
+
+    return KVCache(g(dst.k, src.k), g(dst.v, src.v), dst.length,
+                   g(dst.k_scale, src.k_scale), g(dst.v_scale, src.v_scale))
 
 
 def _attend(q, k, v, mask):
