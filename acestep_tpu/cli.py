@@ -365,7 +365,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--vae-dir", default=None)
     parser.add_argument("--lm-checkpoint-dir", default=None)
     parser.add_argument("--lm-quantization", default=None,
-                        choices=["int8", "fp8", "w8a8"])
+                        choices=["int8", "fp8", "w8a8", "int4"])
     parser.add_argument("--lm-kv-quant", default="auto",
                         choices=["auto", "on", "off"],
                         help="int8 KV cache for the LM planner ('auto' = "

@@ -122,7 +122,11 @@ class LLMHandler:
         quantization: None | 'int8' | 'fp8' (weight-only: halves LM HBM
         footprint — a 4B planner fits a 16 GB chip) | 'w8a8' (weights stay
         int8 in the decode loops: per-step weight reads halve, so decode
-        itself speeds up). Embeddings/norms stay full precision
+        itself speeds up) | 'int4' (group-wise 4-bit weight-only, two
+        weights per byte: quarter-size resident weights — footprint head-
+        room for the 4B planner; decode programs still materialize bf16
+        once per call, so speed matches the other weight-only modes;
+        coarser than int8 — opt-in). Embeddings/norms stay full precision
         (ops/quant._is_quantizable).
 
         kv_quant: int8 KV cache (per-vector scales, models/lm.KVCache) —

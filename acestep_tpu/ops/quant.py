@@ -26,8 +26,10 @@ import jax.numpy as jnp
 QUANT_KEY = "__int8__"
 FP8_KEY = "__fp8__"
 W8A8_KEY = "__w8a8__"
+INT4_KEY = "__int4__"
 
-# reference's torchao policy names map onto these modes
+# reference's torchao policy names map onto these modes; int4 is beyond
+# the reference (group-wise weight-only, two weights per byte)
 MODE_ALIASES = {
     "int8": "int8",
     "int8_weight_only": "int8",
@@ -35,9 +37,13 @@ MODE_ALIASES = {
     "fp8_weight_only": "fp8",
     "w8a8": "w8a8",
     "w8a8_dynamic": "w8a8",
+    "int4": "int4",
+    "int4_weight_only": "int4",
+    "w4a16": "int4",
 }
 
 _FP8_MAX = 448.0   # float8_e4m3fn finite max
+INT4_GROUP = 128   # in-features per int4 scale group
 
 
 def _is_quantizable(path_keys: Sequence[str], leaf) -> bool:
@@ -82,12 +88,57 @@ def quantize_tree(params: dict, mode: str = "int8", *,
             scale = _channel_scale(w, _FP8_MAX)
             q = (w / scale).astype(jnp.float8_e4m3fn)
             return {FP8_KEY: q, "scale": scale.astype(jnp.float32)}
-        scale = _channel_scale(w, 127.0)
-        q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        if mode == "int4":
+            node = _quantize_int4(w)
+            return node if node is not None else _int8_node(w, QUANT_KEY)
         key = W8A8_KEY if mode == "w8a8" else QUANT_KEY
-        return {key: q, "scale": scale.astype(jnp.float32)}
+        return _int8_node(w, key)
 
     return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def _int8_node(w: jnp.ndarray, key: str) -> dict:
+    scale = _channel_scale(w, 127.0)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return {key: q, "scale": scale.astype(jnp.float32)}
+
+
+def _quantize_int4(w: jnp.ndarray):
+    """Group-wise int4 weight-only node, or None when the in-features axis
+    doesn't split into INT4_GROUP groups (caller falls back to int8).
+
+    Storage is two weights per byte (explicit nibble packing — guaranteed
+    4-bit HBM independent of the backend's int4 layout): even in-features
+    rows in the low nibble, odd rows in the high one. Scales are per
+    (group of INT4_GROUP in-features, out-channel) — the standard shape
+    for calibration-free 4-bit weight error."""
+    *lead, fin, out = w.shape
+    if fin % INT4_GROUP or fin % 2:
+        return None
+    ng = fin // INT4_GROUP
+    wg = w.reshape(*lead, ng, INT4_GROUP, out)
+    scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=-2, keepdims=True) / 7.0,
+                        1e-12)                        # (.., ng, 1, out)
+    q = jnp.clip(jnp.round(wg / scale), -8, 7).astype(jnp.int8)
+    q = (q.reshape(*lead, fin, out) + 8).astype(jnp.uint8)   # [0, 15]
+    lo, hi = q[..., 0::2, :], q[..., 1::2, :]
+    packed = lo | (hi << 4)                           # (.., fin/2, out) uint8
+    return {INT4_KEY: packed, "scale": scale[..., 0, :].astype(jnp.float32)}
+
+
+def _dequantize_int4(node, dtype):
+    packed = node[INT4_KEY]
+    scale = node["scale"]                             # (.., ng, out)
+    *lead, half, out = packed.shape
+    fin = half * 2
+    u = packed.astype(jnp.int32)
+    lo = (u & 0xF) - 8
+    hi = (u >> 4) - 8
+    q = jnp.stack([lo, hi], axis=-2).reshape(*lead, fin, out)
+    ng = scale.shape[-2]
+    wg = (q.reshape(*lead, ng, fin // ng, out).astype(jnp.float32)
+          * scale[..., :, None, :])
+    return wg.reshape(*lead, fin, out).astype(dtype)
 
 
 def quantize_tree_int8(params: dict, *,
@@ -99,7 +150,8 @@ def quantize_tree_int8(params: dict, *,
 
 def _is_quant_node(node) -> bool:
     return isinstance(node, dict) and (
-        QUANT_KEY in node or FP8_KEY in node or W8A8_KEY in node)
+        QUANT_KEY in node or FP8_KEY in node or W8A8_KEY in node
+        or INT4_KEY in node)
 
 
 def is_w8a8_node(node) -> bool:
@@ -121,6 +173,8 @@ def dequantize_params(params, dtype=jnp.bfloat16, *,
         if isinstance(node, dict) and FP8_KEY in node:
             return (node[FP8_KEY].astype(jnp.float32)
                     * node["scale"]).astype(dtype)
+        if isinstance(node, dict) and INT4_KEY in node:
+            return _dequantize_int4(node, dtype)
         if isinstance(node, dict) and W8A8_KEY in node:
             if materialize_w8a8:
                 return (node[W8A8_KEY].astype(jnp.float32)

@@ -1041,9 +1041,11 @@ def main(argv: Optional[List[str]] = None) -> None:
                         help="directory holding acestep-5Hz-lm-{size} dirs "
                              "for --lm-size")
     parser.add_argument("--lm-quantization", default=None,
-                        choices=["int8", "fp8", "w8a8"],
+                        choices=["int8", "fp8", "w8a8", "int4"],
                         help="quantize LM trunk weights (w8a8 also halves "
-                             "per-step decode weight reads)")
+                             "per-step decode weight reads; int4 = "
+                             "group-wise 4-bit weight-only, 2 weights per "
+                             "byte of resident footprint)")
     parser.add_argument("--lm-kv-quant", default="auto",
                         choices=["auto", "on", "off"],
                         help="int8 KV cache for the LM planner — halves "

@@ -132,3 +132,48 @@ def test_unknown_quantization_rejected():
                        vae_config=VAEConfig.tiny(decoder_input_channels=64))
     with pytest.raises(ValueError):
         h.initialize_service(quantization="fp4")
+
+
+def test_int4_groupwise_roundtrip():
+    """int4 nodes store two weights per byte with per-(group, out-channel)
+    scales; dequant error is bounded by half a quantization step per
+    group, and the packed bytes are half the int8 footprint."""
+    from acestep_tpu.ops.quant import (
+        INT4_KEY, dequantize_params, quantize_tree, quantized_bytes)
+
+    rng = jax.random.PRNGKey(0)
+    w = jax.random.normal(rng, (3, 256, 64)) * 0.05   # stacked-layer leaf
+    tree = {"layers": {"attn": {"w": w}}}
+    q4 = quantize_tree(tree, "int4", exclude_prefixes=())
+    node = q4["layers"]["attn"]["w"]
+    assert INT4_KEY in node
+    assert node[INT4_KEY].shape == (3, 128, 64)       # fin/2 packed rows
+    assert node[INT4_KEY].dtype == jnp.uint8
+    assert node["scale"].shape == (3, 2, 64)          # fin/INT4_GROUP groups
+    deq = dequantize_params(q4, jnp.float32)["layers"]["attn"]["w"]
+    # per-element error <= scale/2; scale = group_amax/7
+    amax = np.abs(np.asarray(w)).reshape(3, 2, 128, 64).max(axis=2)
+    bound = (amax / 7.0) / 2.0 + 1e-6
+    err = np.abs(np.asarray(deq) - np.asarray(w)).reshape(3, 2, 128, 64).max(axis=2)
+    assert (err <= bound).all(), (err.max(), bound.min())
+    q8 = quantize_tree(tree, "int8", exclude_prefixes=())
+    assert quantized_bytes(q4) < 0.6 * quantized_bytes(q8)
+
+
+def test_int4_fallback_when_ungroupable():
+    """in-features not divisible by the group size fall back to int8."""
+    from acestep_tpu.ops.quant import INT4_KEY, QUANT_KEY, quantize_tree
+
+    tree = {"w": jax.random.normal(jax.random.PRNGKey(1), (96, 32))}
+    node = quantize_tree(tree, "int4", exclude_prefixes=())["w"]
+    assert QUANT_KEY in node and INT4_KEY not in node
+
+
+def test_int4_lm_generates():
+    """End-to-end tiny LM under int4 weight-only quantization."""
+    from acestep_tpu.llm.handler import LLMHandler
+
+    h = LLMHandler(dtype=jnp.float32)
+    h.initialize(num_fallback_codes=64, seed=0, quantization="int4")
+    codes = h.engine.generate_codes(["make music"], n_codes=8, seed=0)
+    assert len(codes[0]) == 8
