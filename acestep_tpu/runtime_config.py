@@ -65,15 +65,19 @@ _LM_SMALLER = {"4B": "1.7B", "1.7B": "0.6B", "0.6B": None}
 def lm_fallback_plan(tier: Optional[DeviceTierConfig] = None) -> list:
     """Ordered (size, quantization) attempts for the tier's LM planner.
 
-    First the tier's own choice, then w8a8 at the same size (if not
-    already), then each smaller size at w8a8 — callers try each until one
-    initializes without exhausting device memory."""
+    First the tier's own choice, then tighter quantization at the same
+    size (w8a8, then int4 — quarter-size resident weights), then each
+    smaller size at w8a8 — callers try each until one initializes without
+    exhausting device memory. Keeping the model and shrinking its bytes
+    first mirrors the reference's intent (downgrade only when the 4B
+    can't fit, acestep_v15_pipeline.py:221-232) with one extra rung."""
     tier = tier or get_global_config()
     if tier.lm_size is None:
         return []
     plan = [(tier.lm_size, tier.lm_quantization)]
     if tier.lm_quantization != "w8a8":
         plan.append((tier.lm_size, "w8a8"))
+    plan.append((tier.lm_size, "int4"))
     size = _LM_SMALLER.get(tier.lm_size)
     while size is not None:
         plan.append((size, "w8a8"))

@@ -63,10 +63,10 @@ def test_lm_initialize_auto_downgrades(monkeypatch):
 
         def fake_init(self, *a, cfg=None, tokenizer=None, seed=0, **kw):
             attempts.append((cfg.hidden_size, kw.get("quantization")))
-            if len(attempts) < 3:
+            if len(attempts) < 4:
                 raise RuntimeError("RESOURCE_EXHAUSTED: out of memory "
                                    "allocating 4000000000 bytes")
-            # succeed on the third (0.6B) attempt with a tiny real engine
+            # succeed on the fourth (0.6B) attempt with a tiny real engine
             return real_init(self, cfg=LMConfig.tiny(), seed=0, **kw)
 
         monkeypatch.setattr(LLMHandler, "initialize", fake_init)
@@ -74,7 +74,10 @@ def test_lm_initialize_auto_downgrades(monkeypatch):
         info = h.initialize_auto()
         assert info == {"size": "0.6B", "quantization": "w8a8",
                         "downgraded": True}
-        assert [a[0] for a in attempts] == [2560, 2048, 1024]  # 4B->1.7B->0.6B
+        # ladder: bytes shrink before the model does (4B w8a8 -> 4B int4),
+        # then sizes step down
+        assert attempts[:2] == [(2560, "w8a8"), (2560, "int4")]
+        assert [a[0] for a in attempts] == [2560, 2560, 2048, 1024]
         assert h.initialized
     finally:
         set_global_config(get_tier_config(0.0))
