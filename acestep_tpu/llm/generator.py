@@ -860,7 +860,7 @@ class LMEngine:
 
             seen0 = jnp.zeros((B, W), bool)
             if not schedule:                   # n_codes == 0
-                return jnp.zeros((B, 0), jnp.int32)
+                return jnp.zeros((B, 0), jnp.int32), cache
             carry = (logits0w, cache, row_lens, seen0, key)
             parts = []
             for ceil, steps in schedule:
@@ -870,7 +870,14 @@ class LMEngine:
                 parts.append(rel)                  # (steps, B)
             codes = (parts[0] if len(parts) == 1
                      else jnp.concatenate(parts, axis=0))
-            return codes.T                     # (B, n_codes) 0-based
+            # the final cache is returned ONLY so the donated input can
+            # alias an output (callers discard it): without a cache-shaped
+            # output XLA cannot reuse the donated buffers and the whole
+            # codes phase holds two caches — exactly the HBM the donation
+            # exists to save. Aliasing applies whenever the last chunk's
+            # ceiling equals the input bucket (always true for single-chunk
+            # schedules and for any plan that reaches the full bucket).
+            return codes.T, carry[1]           # (B, n_codes) 0-based
 
         # donate the input cache: generate_codes never touches it again
         return jax.jit(scan_fn, donate_argnums=(2,))
@@ -922,7 +929,8 @@ class LMEngine:
             self._codes_fns[cache_key] = self._codes_scan_fn(
                 schedule, do_cfg, cfg_scale, temperature, top_k, top_p,
                 repetition_penalty)
-        codes = self._codes_fns[cache_key](
+        codes, _final_cache = self._codes_fns[cache_key](
             self.params, logits, cache, jnp.asarray(lens),
             jax.random.PRNGKey(seed))
+        del _final_cache               # exists only for donation aliasing
         return np.asarray(codes)[:B].tolist()

@@ -74,10 +74,15 @@ def lm_fallback_plan(tier: Optional[DeviceTierConfig] = None) -> list:
     tier = tier or get_global_config()
     if tier.lm_size is None:
         return []
-    plan = [(tier.lm_size, tier.lm_quantization)]
-    if tier.lm_quantization != "w8a8":
-        plan.append((tier.lm_size, "w8a8"))
-    plan.append((tier.lm_size, "int4"))
+    # same-size rungs strictly by DECREASING weight bytes — an OOM is
+    # byte-driven, so retrying the failed mode or a bigger one just
+    # triggers another allocation storm (which can wedge the backend)
+    rank = {None: 4, "int8": 2, "fp8": 2, "w8a8": 2, "int4": 1}
+    pinned = tier.lm_quantization
+    plan = [(tier.lm_size, pinned)]
+    for q in ("w8a8", "int4"):
+        if rank[q] < rank.get(pinned, 4) and (tier.lm_size, q) not in plan:
+            plan.append((tier.lm_size, q))
     size = _LM_SMALLER.get(tier.lm_size)
     while size is not None:
         plan.append((size, "w8a8"))

@@ -162,7 +162,6 @@ def _run_think_once(handler, llm, *, duration: float, batch: int,
     wall = time.time() - t0
     costs = result.extra_outputs.get("time_costs", {}) if result.success \
         else {}
-    diff = costs.get("diffusion_time_cost", 0.0) or 1e-9
     return {
         "duration_s": duration, "batch": batch, "steps": steps,
         "thinking": True, "warm": warm, "ok": bool(result.success),
@@ -170,7 +169,7 @@ def _run_think_once(handler, llm, *, duration: float, batch: int,
         "seconds_per_song": round(wall / batch, 3),
         "rtf": round(duration * batch / wall, 2),
         "lm_s": round(costs.get("lm_time_cost", 0.0), 3),
-        "diffusion_s": round(diff, 3),
+        "diffusion_s": round(costs.get("diffusion_time_cost", 0.0), 3),
         "vae_decode_s": round(costs.get("vae_decode_time_cost", 0.0), 3),
     }
 
@@ -186,29 +185,53 @@ def mode_benchmark(args) -> Dict[str, Any]:
     steps_list = ([int(s) for s in args.steps_list.split(",")]
                   if args.steps_list else [args.steps])
     think_opts = [False, True] if args.thinking_matrix else [False]
-    llm = _init_llm(args) if True in think_opts else None
+    llm = lm_info = None
+    if True in think_opts:
+        # the tier's REAL planner geometry (initialize_auto walks the
+        # fallback ladder with random weights when no checkpoint dir is
+        # given) — a tiny fallback LM would make the thinking rows
+        # meaningless against the reference matrix
+        from acestep_tpu.llm.handler import LLMHandler
+
+        llm = LLMHandler()
+        if getattr(args, "lm_checkpoint_dir", None):
+            llm.initialize(checkpoint_dir=args.lm_checkpoint_dir)
+        else:
+            try:
+                lm_info = llm.initialize_auto()
+            except RuntimeError:
+                # CPU/test tiers have no planner budget: tiny fallback,
+                # clearly labeled so the rows aren't mistaken for real
+                # planner latency
+                llm.initialize()
+                lm_info = {"size": "tiny-fallback", "quantization": None,
+                           "downgraded": False}
+            log(f"bench thinking planner: {lm_info}")
     rows: List[Dict[str, Any]] = []
     for duration in durations:
         for batch in batches:
             for steps in steps_list:
                 for think in think_opts:
                     if think:
-                        _run_think_once(handler, llm, duration=duration,
-                                        batch=batch, steps=steps)  # compile
-                        rows.append(_run_think_once(
-                            handler, llm, duration=duration, batch=batch,
-                            steps=steps, warm=True))
+                        def runner(warm=False):
+                            return _run_think_once(
+                                handler, llm, duration=duration,
+                                batch=batch, steps=steps, warm=warm)
                     else:
-                        _run_once(handler, duration=duration, batch=batch,
-                                  steps=steps)           # compile
-                        rows.append(_run_once(handler, duration=duration,
-                                              batch=batch, steps=steps,
-                                              warm=True))
+                        def runner(warm=False):
+                            return _run_once(handler, duration=duration,
+                                             batch=batch, steps=steps,
+                                             warm=warm)
+                    runner()                             # compile
+                    rows.append(runner(warm=True))
                     log(f"bench d={duration} b={batch} s={steps} "
                         f"think={think}: {rows[-1]['seconds_per_song']}"
                         f"s/song rtf={rows[-1]['rtf']}")
-    return {"mode": "benchmark", "init_s": round(init_s, 2),
-            "steps": args.steps, "rows": rows}
+    report = {"mode": "benchmark", "init_s": round(init_s, 2),
+              "steps_list": steps_list, "rows": rows}
+    if lm_info:
+        report["lm_planner"] = lm_info
+    return report
 
 
 def mode_tier_test(args) -> Dict[str, Any]:
