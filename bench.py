@@ -262,11 +262,13 @@ def matrix() -> list:
 
     # median-of-3 everywhere: device<->host bandwidth on tunneled parts
     # swings 2-4x and these rows are transfer-sensitive
-    run_dit("60s_b1", 60, 1, repeats=3)
-    run_dit("30s_b8", 30, 8, repeats=3)
-    run_dit("600s_b1", 600, 1, repeats=3)
-    run_think("10s_b1_think", 10, 1, repeats=3)
-    run_think("30s_b8_think", 30, 8, repeats=3)
+    for tag, d, b in (("60s_b1", 60, 1), ("30s_b8", 30, 8),
+                      ("600s_b1", 600, 1)):
+        with section(tag):
+            run_dit(tag, d, b, repeats=3)
+    for tag, d, b in (("10s_b1_think", 10, 1), ("30s_b8_think", 30, 8)):
+        with section(tag):
+            run_think(tag, d, b, repeats=3)
 
     # --- real-geometry LM planner rows (VERDICT r2 item 1): Qwen3-1.7B
     # geometry with random weights (throughput is weight-independent).
@@ -318,9 +320,11 @@ def matrix() -> list:
         })
         log(f"matrix {tag}: {rows[-1]}")
 
-    run_lm_only("lm1.7B_think60s_b1", target_duration=60, batch=1)
-    run_lm_only("lm1.7B_think60s_b8", target_duration=60, batch=8)
-    run_lm_only("lm1.7B_think600s_b1", target_duration=600, batch=1)
+    for tag, d, b in (("lm1.7B_think60s_b1", 60, 1),
+                      ("lm1.7B_think60s_b8", 60, 8),
+                      ("lm1.7B_think600s_b1", 600, 1)):
+        with section(tag):
+            run_lm_only(tag, target_duration=d, batch=b)
 
     # prefill throughput: 2048-token prompt, CFG-paired (2 rows)
     prompt2k = "a" * 2048
@@ -340,8 +344,9 @@ def matrix() -> list:
     # the reference's own thinking example: 30 s / b1 / 8 steps with think
     # = 5.67 s wall (LM 2.91), /root/reference/docs/en/BENCHMARK.md:121 —
     # the full pipeline with the REAL-geometry LM must beat it
-    run_think("30s_b1_think_lm1.7B", 30, 1, repeats=3, llm_handler=llm17,
-              lm_geom="1.7B")
+    with section("30s_b1_think_lm1.7B"):
+        run_think("30s_b1_think_lm1.7B", 30, 1, repeats=3,
+                  llm_handler=llm17, lm_geom="1.7B")
     # flagship combined row (VERDICT r3 item 6): batch-8 x 30 s thinking
     # with the real-geometry planner — per-item plans (plan_batch) + DiT +
     # VAE end-to-end, the reference's "8 simultaneous songs" scenario
