@@ -576,10 +576,17 @@ def write_docs(payload: dict) -> None:
         "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for row in payload["extra"]["matrix"]:
+        if "error" in row:
+            # fail-soft section rows carry only {config, error}; keep the
+            # row visible in the table rather than crashing the docs write
+            lines.append(f"| {row['config']} | — | — | — | FAILED | "
+                         f"— | — | — | — | — | — | — |")
+            continue
         lines.append(
             f"| {row['config']} | {row.get('duration_s', '—')} | "
-            f"{row['batch']} | "
-            f"{'on' if row['thinking'] else 'off'} | {row['wall_s']} | "
+            f"{row.get('batch', '—')} | "
+            f"{'on' if row.get('thinking') else 'off'} | "
+            f"{row.get('wall_s', '—')} | "
             f"{row.get('wall_spread', '—')} | "
             f"{row.get('seconds_per_song', '—')} | {row.get('rtf', '—')} | "
             f"{row.get('lm_s', '—')} | "
