@@ -42,6 +42,27 @@ FIELD_ORDER = ["bpm", "caption", "duration", "genres", "keyscale", "language",
                "timesignature"]
 
 
+def max_assigned_token_bound(tokenizer, fallback: Optional[int] = None) -> int:
+    """Exclusive upper bound over ASSIGNED token ids.
+
+    HF vocabs can have holes: added <|audio_code_N|> ids may start at a
+    padded boundary above the entry count, so len(tokenizer) alone would
+    leave relocated ids invisible to masks and unsampleable by the
+    logits-slice. The single source of truth for both TokenTables mask
+    sizing and LMEngine.vocab_use — the two bounds MUST agree or some ids
+    become maskable-but-unsampleable (or vice versa)."""
+    try:
+        hi = len(tokenizer)
+    except TypeError:
+        hi = fallback if fallback is not None else tokenizer.vocab_size
+    if hasattr(tokenizer, "get_vocab"):
+        try:
+            hi = max(hi, max(tokenizer.get_vocab().values()) + 1)
+        except (ValueError, TypeError):
+            pass
+    return hi
+
+
 class Trie:
     __slots__ = ("children", "terminal")
 
@@ -65,19 +86,9 @@ class TokenTables:
         # added tokens, and the ids that matter most here (<think>,
         # <|audio_code_N|>, <|im_end|>) ARE added tokens on the real
         # checkpoints (Qwen3 base vocab + ACE-Step additions above it).
-        # The bound must also cover the MAX ASSIGNED id: HF vocabs can have
-        # holes (added ids may start at a padded boundary above the entry
-        # count — same rule as llm/generator.LMEngine.vocab_use); sizing by
-        # len() alone would leave relocated ids invisible to every mask.
-        try:
-            V = len(tokenizer)
-        except TypeError:
-            V = tokenizer.vocab_size
-        if hasattr(tokenizer, "get_vocab"):
-            try:
-                V = max(V, max(tokenizer.get_vocab().values()) + 1)
-            except (ValueError, TypeError):
-                pass
+        # The bound must also cover the MAX ASSIGNED id (shared with
+        # LMEngine.vocab_use — see max_assigned_token_bound).
+        V = max_assigned_token_bound(tokenizer)
         self.vocab_size = V
         # one batch_decode call instead of V decode() calls (HF fast
         # tokenizers: ~150k singleton decodes cost tens of seconds at init)

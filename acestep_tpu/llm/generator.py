@@ -74,7 +74,10 @@ def _bucket(n: int) -> int:
     for b in PROMPT_BUCKETS:
         if n <= b:
             return b
-    return PROMPT_BUCKETS[-1]
+    # beyond the ladder (max_len > 4096 engines): grow in 1k steps like
+    # _kv_bucket — capping at the last rung would silently TRUNCATE the
+    # prefill delta (`r[P:][:D]`) and corrupt the prompt
+    return -(-n // 1024) * 1024
 
 
 # KV-cache slot-count ladder. Two jobs:
@@ -165,26 +168,19 @@ class LMEngine:
         # int8 KV cache (models/lm.KVCache quantized mode): halves the
         # per-step cache reads that dominate long-context decode
         self.kv_quant = kv_quant
+        # uploaded-FSM-table cache: (tables_obj, device dict) keyed by id
+        # — see _device_tables
+        self._dev_tbl_cache: Dict[int, tuple] = {}
         # Decode programs emit logits over [0, vocab_use) only: ids beyond
         # the tokenizer are undecodable padding (FSM tables deny them
         # anyway), and slicing the head skips their lm_head rows — at 1.7B
         # geometry with the fallback tokenizer that's ~70% of head HBM
         # reads per step. Rounded up to the 128-lane tile.
         #
-        # The bound is the MAX ASSIGNED TOKEN ID + 1, not len(tokenizer):
-        # HF vocabs can have holes (added <|audio_code_N|> ids may start at
-        # a padded boundary above the entry count), and clipping below a
-        # real id would both crash the codes-scan slice and make those ids
-        # unsampleable.
-        try:
-            hi = len(tokenizer)
-        except TypeError:
-            hi = cfg.vocab_size
-        if hasattr(tokenizer, "get_vocab"):
-            try:
-                hi = max(hi, max(tokenizer.get_vocab().values()) + 1)
-            except (ValueError, TypeError):
-                pass
+        # The bound is the MAX ASSIGNED TOKEN ID + 1, not len(tokenizer)
+        # (shared with fsm.TokenTables mask sizing — the two MUST agree).
+        from acestep_tpu.llm.fsm import max_assigned_token_bound
+        hi = max_assigned_token_bound(tokenizer, fallback=cfg.vocab_size)
         self.vocab_use = min(cfg.vocab_size, -(-hi // 128) * 128)
         vocab_use = self.vocab_use
 
@@ -281,7 +277,12 @@ class LMEngine:
 
         vocab = self.vocab_use
         row_lens_dev = jnp.asarray(lens)
-        have_fsm = fsms is not None and any(f is not None for f in fsms)
+        # a disabled MetadataFSM (enabled=False -> next_mask() is always
+        # None) must not route decode onto the per-token host-round-trip
+        # masked path: over a tunneled TPU that costs ~1 RTT/token for
+        # masks that would all be all-ones
+        have_fsm = fsms is not None and any(
+            f is not None and getattr(f, "enabled", True) for f in fsms)
         # completion-token presence per conditional row, device-resident;
         # only consulted when repetition_penalty != 1.0
         seen0 = np.zeros((B, vocab), bool)
@@ -582,14 +583,23 @@ class LMEngine:
 
         Tables are tokenizer-vocab-sized; decode programs emit logits over
         [0, vocab_use) — pad with deny (False) / not-in-alphabet (-1) so
-        tile-padding ids can never be sampled or transition."""
+        tile-padding ids can never be sampled or transition.
+
+        Uploads are cached per table object: LLMHandler caches the host
+        tables per metadata key, so re-uploading ~1-2 MB (token_to_alpha
+        alone is 864 KB at 1.7B vocab) per plan is pure link traffic on a
+        tunneled/PCIe-attached device. Keyed on id() with a strong ref to
+        the tables object so the id cannot be reused while cached."""
+        cached = self._dev_tbl_cache.get(id(fsm_tables))
+        if cached is not None and cached[0] is fsm_tables:
+            return cached[1]
         V = self.vocab_use
         t2a = fsm_tables.token_to_alpha
         cap = fsm_tables.caption_mask
         if len(t2a) < V:
             t2a = np.concatenate([t2a, np.full(V - len(t2a), -1, np.int32)])
             cap = np.concatenate([cap, np.zeros(V - len(cap), bool)])
-        return {
+        tbl = {
             "alphabet": jnp.asarray(fsm_tables.alphabet),
             "token_to_alpha": jnp.asarray(t2a[:V]),
             "mask": jnp.asarray(fsm_tables.mask),
@@ -599,6 +609,10 @@ class LMEngine:
             "caption_mask": jnp.asarray(cap[:V]),
             "start": jnp.asarray(fsm_tables.start, jnp.int32),
         }
+        if len(self._dev_tbl_cache) >= 8:      # bound device residency
+            self._dev_tbl_cache.pop(next(iter(self._dev_tbl_cache)))
+        self._dev_tbl_cache[id(fsm_tables)] = (fsm_tables, tbl)
+        return tbl
 
     def generate_cot_device(self, prompt: str, *,
                             unconditional_prompt: Optional[str] = None,

@@ -115,9 +115,19 @@ class LLMHandler:
                    num_fallback_codes: int = 64,
                    tensor_parallel: int = 1,
                    quantization: Optional[str] = None,
-                   kv_quant: Optional[bool] = None) -> None:
+                   kv_quant: Optional[bool] = None,
+                   max_len: Optional[int] = None) -> None:
         """Load a checkpoint dir (HF layout) or build the self-contained
         fallback stack (SimpleTokenizer + random-init tiny LM).
+
+        max_len: engine context bound. Default auto-sizes to max_duration:
+        a 600 s plan's phase 2 is ~3008 code tokens ON TOP of the prompt
+        (system + caption + lyrics + CoT), so the engine's old fixed 4096
+        left ~1k tokens for the prompt and long-lyric 600 s plans
+        deterministically died in generate_codes with advice ('raise
+        max_len') the handler could not follow. The KV cache is allocated
+        per request from ACTUAL lengths (generator._kv_bucket), so a
+        larger bound costs nothing until a request uses it.
 
         quantization: None | 'int8' | 'fp8' (weight-only: halves LM HBM
         footprint — a 4B planner fits a 16 GB chip) | 'w8a8' (weights stay
@@ -205,9 +215,13 @@ class LLMHandler:
         if kv_quant is None:
             from acestep_tpu.ops.quant import MODE_ALIASES as _MA
             kv_quant = _MA.get(quantization) == "w8a8"
+        if max_len is None:
+            # codes budget for the longest plan + 2048 tokens of prompt
+            # (system + caption + lyrics + CoT) headroom
+            max_len = max(4096, int(max_duration) * 5 + 8 + 2048)
         self.engine = LMEngine(params, self.cfg, self.tokenizer,
                                dtype=self.dtype, mesh=mesh,
-                               kv_quant=kv_quant)
+                               kv_quant=kv_quant, max_len=max_len)
         self.tables = TokenTables(self.tokenizer)
         self.genres_vocab = None
         genres_path = os.environ.get("ACESTEP_GENRES_VOCAB") or (
@@ -281,10 +295,9 @@ class LLMHandler:
                 return {"size": try_size, "quantization": try_quant,
                         "downgraded": i > 0}
             except Exception as e:  # noqa: BLE001 — OOM ladder below
-                msg = str(e)
-                oom = ("RESOURCE_EXHAUSTED" in msg or "OOM" in msg
-                       or "out of memory" in msg.lower())
-                if not oom or i == len(plan) - 1:
+                from acestep_tpu.utils.memory import (
+                    is_oom_error, release_device_memory)
+                if not is_oom_error(e) or i == len(plan) - 1:
                     raise
                 self.initialized = False
                 self.engine = None
@@ -293,13 +306,7 @@ class LLMHandler:
                 # (frames below hold the partially-built params tree); and
                 # drop compiled programs that captured them
                 del e
-                import gc
-                gc.collect()
-                try:
-                    jax.clear_caches()
-                except Exception:
-                    pass
-                gc.collect()
+                release_device_memory()
         raise AssertionError("unreachable: last plan entry re-raises")
 
     # --------------------------------------------------------------

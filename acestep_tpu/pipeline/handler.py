@@ -60,9 +60,9 @@ def _femb(x):
 
 def _is_oom_error(e: Exception) -> bool:
     """XLA device-memory exhaustion (any backend's phrasing)."""
-    msg = str(e)
-    return ("RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
-            or "out of memory" in msg or "OOM" in msg)
+    from acestep_tpu.utils.memory import is_oom_error
+
+    return is_oom_error(e)
 
 
 def _degrade_plan(e: Exception, chunk: int, groups: int, *,
@@ -966,7 +966,8 @@ class AceStepHandler:
             audios=audios, pred_latents=pred[:, :T_req], seeds=seeds_list,
             time_costs=time_costs, audio_paths=paths,
             extra={"task": task, "spans": spans, "frames": T_req,
-                   "schedule": list(schedule)},
+                   "schedule": list(schedule),
+                   "is_covers": [bool(x) for x in is_cover_rows]},
         )
 
     # Batch-level alias matching the reference's service_generate entry
@@ -1163,6 +1164,11 @@ class AceStepHandler:
                 return None
         else:
             vals = [int(v) for v in hint]
+            if not vals:
+                # an empty SEQUENCE is 'no hint', like None/'' — returning
+                # an empty array would classify the row as a cover
+                # conditioned on an all-zero code matrix downstream
+                return None
         return np.clip(np.asarray(vals, np.int64), 0, 63999)
 
     def _prepare_refer(self, refer_audios, B: int):

@@ -187,13 +187,8 @@ def matrix() -> list:
             # a RESOURCE_EXHAUSTED section must not poison the rest of the
             # matrix: drop dead handlers and every compiled program that
             # captured their buffers, then let later sections recompile
-            import gc
-            gc.collect()
-            try:
-                jax.clear_caches()
-            except Exception:
-                pass
-            gc.collect()
+            from acestep_tpu.utils.memory import release_device_memory
+            release_device_memory()
 
     def run_dit(tag, duration, batch, repeats=3):
         # warm untimed run: compile all graphs for this shape first
@@ -283,11 +278,16 @@ def matrix() -> list:
     # kv_quant: int8 KV cache (default-on for w8a8 engines; enabled here
     # for the bf16 trunk too) — halves the per-step cache reads that
     # dominate decode beyond ~3k context (600 s planning: 41 s -> ~31 s)
-    llm17.initialize(cfg=LMConfig.qwen3_1_7b(), tokenizer=tok17,
-                     max_duration=600, seed=0, kv_quant=True)
+    with section("lm1.7B_init"):
+        llm17.initialize(cfg=LMConfig.qwen3_1_7b(), tokenizer=tok17,
+                         max_duration=600, seed=0, kv_quant=True)
+    if not llm17.initialized:
+        llm17 = None
 
     def run_lm_only(tag, *, target_duration, batch, repeats=3):
         """LM-only two-phase wall (CFG-paired, constrained CoT + codes)."""
+        if llm17 is None:
+            raise RuntimeError("skipped: lm1.7B init failed")
         kw = dict(temperature=0.85, cfg_scale=2.0, top_p=0.9,
                   target_duration=target_duration,
                   user_metadata={"duration": target_duration})
@@ -300,23 +300,25 @@ def matrix() -> list:
         for i in range(repeats):
             t0 = time.perf_counter()
             if batch == 1:
-                r = llm17.generate_with_stop_condition("bench lm",
-                                                       seed=1 + i, **kw)
-                cot_toks = len(llm17.tokenizer.encode(r["cot_text"]))
+                rs = [llm17.generate_with_stop_condition("bench lm",
+                                                         seed=1 + i, **kw)]
             else:
                 rs = llm17.plan_batch("bench lm", n=batch, seed=1 + i, **kw)
-                cot_toks = max(len(llm17.tokenizer.encode(r["cot_text"]))
-                               for r in rs)
             walls.append(time.perf_counter() - t0)
-            toks_runs.append(cot_toks + n_codes)
+            # TOTAL decoded tokens across the batch (short rows stop early
+            # and feed pads — crediting every row with the longest row's
+            # CoT length would overstate published throughput)
+            cot_total = sum(len(llm17.tokenizer.encode(r["cot_text"]))
+                            for r in rs)
+            toks_runs.append(cot_total + n_codes * batch)
         wall, spread, mid = _median_run(walls)
         toks = toks_runs[mid]
         rows.append({
             "config": tag, "lm_geom": "1.7B", "batch": batch,
             "thinking": True, "duration_s": target_duration,
             "wall_s": wall, "wall_spread": spread,
-            "lm_tokens_per_seq": toks,
-            "decode_tok_s": round(toks * batch / wall, 1),
+            "lm_tokens_per_seq": round(toks / batch, 1),
+            "decode_tok_s": round(toks / wall, 1),
         })
         log(f"matrix {tag}: {rows[-1]}")
 
@@ -327,24 +329,31 @@ def matrix() -> list:
             run_lm_only(tag, target_duration=d, batch=b)
 
     # prefill throughput: 2048-token prompt, CFG-paired (2 rows)
-    prompt2k = "a" * 2048
-    llm17.engine.generate_codes([prompt2k], unconditional_prompts=["b" * 2048],
-                                cfg_scale=2.0, n_codes=1, seed=0)   # warm
-    t0 = time.perf_counter()
-    llm17.engine.generate_codes([prompt2k], unconditional_prompts=["b" * 2048],
-                                cfg_scale=2.0, n_codes=1, seed=1)
-    pf_wall = time.perf_counter() - t0
-    rows.append({
-        "config": "lm1.7B_prefill2048_cfg", "lm_geom": "1.7B", "batch": 1,
-        "thinking": True, "wall_s": round(pf_wall, 3),
-        "prefill_tok_s": round(2 * 2048 / pf_wall, 0),
-    })
-    log(f"matrix lm1.7B_prefill2048_cfg: {rows[-1]}")
+    with section("lm1.7B_prefill2048_cfg"):
+        if llm17 is None:
+            raise RuntimeError("skipped: lm1.7B init failed")
+        prompt2k = "a" * 2048
+        llm17.engine.generate_codes([prompt2k],
+                                    unconditional_prompts=["b" * 2048],
+                                    cfg_scale=2.0, n_codes=1, seed=0)  # warm
+        t0 = time.perf_counter()
+        llm17.engine.generate_codes([prompt2k],
+                                    unconditional_prompts=["b" * 2048],
+                                    cfg_scale=2.0, n_codes=1, seed=1)
+        pf_wall = time.perf_counter() - t0
+        rows.append({
+            "config": "lm1.7B_prefill2048_cfg", "lm_geom": "1.7B",
+            "batch": 1, "thinking": True, "wall_s": round(pf_wall, 3),
+            "prefill_tok_s": round(2 * 2048 / pf_wall, 0),
+        })
+        log(f"matrix lm1.7B_prefill2048_cfg: {rows[-1]}")
 
     # the reference's own thinking example: 30 s / b1 / 8 steps with think
     # = 5.67 s wall (LM 2.91), /root/reference/docs/en/BENCHMARK.md:121 —
     # the full pipeline with the REAL-geometry LM must beat it
     with section("30s_b1_think_lm1.7B"):
+        if llm17 is None:
+            raise RuntimeError("skipped: lm1.7B init failed")
         run_think("30s_b1_think_lm1.7B", 30, 1, repeats=3,
                   llm_handler=llm17, lm_geom="1.7B")
     # flagship combined row (VERDICT r3 item 6): batch-8 x 30 s thinking
@@ -352,41 +361,49 @@ def matrix() -> list:
     # VAE end-to-end, the reference's "8 simultaneous songs" scenario
     # (/root/reference/README.md:54)
     with section("30s_b8_think_lm1.7B"):
+        if llm17 is None:
+            raise RuntimeError("skipped: lm1.7B init failed")
         run_think("30s_b8_think_lm1.7B", 30, 8, repeats=2,
                   llm_handler=llm17, lm_geom="1.7B")
-    del llm17
+    llm17 = None        # drop the bf16 trunk before the quantized engines
 
     # w8a8-quantized 1.7B planner: trunk weights stay int8 inside the
     # decode loops -> per-step weight reads halve (~1.5x decode measured)
     llm17q = LLMHandler(dtype=jnp.bfloat16)
-    llm17q.initialize(cfg=LMConfig.qwen3_1_7b(), tokenizer=tok17,
-                      max_duration=600, seed=0, quantization="w8a8")
-    p2 = llm17q.build_formatted_prompt_with_cot(
-        "bench", "", "<think>\nduration: 60\n</think>")
-    n2 = llm17q.build_formatted_prompt_with_cot(
-        "bench", "", "<think>\nduration: 60\n</think>",
-        is_negative_prompt=True)
-    qkw = dict(unconditional_prompts=[n2], cfg_scale=2.0, temperature=0.85,
-               top_p=0.9, n_codes=300)
-    llm17q.engine.generate_codes([p2], seed=0, **qkw)        # warm
-    qwalls = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        llm17q.engine.generate_codes([p2], seed=1 + i, **qkw)
-        qwalls.append(time.perf_counter() - t0)
-    qwall, qspread, _ = _median_run(qwalls)
-    rows.append({
-        "config": "lm1.7B_codes300_w8a8", "lm_geom": "1.7B", "batch": 1,
-        "thinking": True, "wall_s": qwall, "wall_spread": qspread,
-        "decode_tok_s": round(300 / qwall, 1),
-    })
-    log(f"matrix lm1.7B_codes300_w8a8: {rows[-1]}")
+    p2 = n2 = qkw = None
+    with section("lm1.7B_codes300_w8a8"):
+        llm17q.initialize(cfg=LMConfig.qwen3_1_7b(), tokenizer=tok17,
+                          max_duration=600, seed=0, quantization="w8a8")
+        p2 = llm17q.build_formatted_prompt_with_cot(
+            "bench", "", "<think>\nduration: 60\n</think>")
+        n2 = llm17q.build_formatted_prompt_with_cot(
+            "bench", "", "<think>\nduration: 60\n</think>",
+            is_negative_prompt=True)
+        qkw = dict(unconditional_prompts=[n2], cfg_scale=2.0,
+                   temperature=0.85, top_p=0.9, n_codes=300)
+        llm17q.engine.generate_codes([p2], seed=0, **qkw)        # warm
+        qwalls = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            llm17q.engine.generate_codes([p2], seed=1 + i, **qkw)
+            qwalls.append(time.perf_counter() - t0)
+        qwall, qspread, _ = _median_run(qwalls)
+        rows.append({
+            "config": "lm1.7B_codes300_w8a8", "lm_geom": "1.7B", "batch": 1,
+            "thinking": True, "wall_s": qwall, "wall_spread": qspread,
+            "decode_tok_s": round(300 / qwall, 1),
+        })
+        log(f"matrix lm1.7B_codes300_w8a8: {rows[-1]}")
+    if not llm17q.initialized or qkw is None:
+        llm17q = None
 
     # long-context w8a8 decode (VERDICT r3 item 3 target: >=150 tok/s at
     # ~3k context): 3000 codes = a 600 s plan's codes phase, int8 trunk +
     # int8 KV, CFG-paired. Decode tok/s here is END-of-run average, i.e.
     # it includes the per-step cost growth up to ~3.1k tokens of context.
     with section("lm1.7B_codes3000_w8a8"):
+        if llm17q is None:
+            raise RuntimeError("skipped: lm1.7B w8a8 init failed")
         qkw_l = dict(qkw, n_codes=3000)
         # warm separately: 3000 codes use their own chunk schedule and a
         # larger prefill bucket than the 300-code section's programs
@@ -403,7 +420,7 @@ def matrix() -> list:
             "decode_tok_s": round(3000 / lwall, 1),
         })
         log(f"matrix lm1.7B_codes3000_w8a8: {rows[-1]}")
-    del llm17q
+    llm17q = None
 
     # Drop the bf16 turbo handler (the largest resident block: bf16 params
     # + five compiled shapes incl. the 600 s workspace) before the

@@ -376,3 +376,24 @@ def test_decode_latents_device_resident_input(handler):
     finally:
         handler._seg_frames = orig
     np.testing.assert_array_equal(np.asarray(dev_seg), host_seg)
+
+
+def test_empty_sequence_code_hint_is_no_hint(handler):
+    """An empty SEQUENCE hint parses as 'no hint' like None/'' (round-4
+    review pin): a batch of only-empty hints must stay text2music, and a
+    mixed batch follows the reference per-row rule (instruction-derived
+    is_cover OR has_code_hint, conditioning_masks.py:59 — under a cover
+    task the no-hint row is still instruction-classified as cover)."""
+    assert handler._parse_code_hint([]) is None
+    assert handler._parse_code_hint(()) is None
+    res = handler.generate_music(["song"], ["la"], audio_code_hints=[[]],
+                                 audio_duration=0.8)
+    assert res.extra["task"] == "text2music"
+    assert res.extra["is_covers"] == [False]
+    res2 = handler.generate_music(
+        ["song a", "song b"], ["la", "la"],
+        audio_code_hints=["<|audio_code_5|><|audio_code_6|>", []],
+        audio_duration=0.8)
+    assert res2.extra["task"] == "cover"
+    assert np.all(np.isfinite(res2.pred_latents))
+    assert res2.extra["is_covers"] == [True, True]

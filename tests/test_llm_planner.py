@@ -345,3 +345,69 @@ def test_fsm_trie_cache_reused_across_instances():
     # different max_duration -> different cached trie
     c = MetadataFSM(tables, max_duration=120)
     assert c._tries["duration"] is not a._tries["duration"]
+
+
+# ------------------------------------------------------------------
+# round-4 review-sweep pins
+# ------------------------------------------------------------------
+
+
+def test_prompt_bucket_grows_beyond_ladder():
+    """max_len > 4096 engines: the prefill delta bucket must keep growing
+    (capping at the last rung silently truncated long prompts mid-prefill)."""
+    from acestep_tpu.llm.generator import PROMPT_BUCKETS, _bucket
+
+    assert _bucket(4096) == PROMPT_BUCKETS[-1]
+    assert _bucket(4097) >= 4097
+    assert _bucket(6000) >= 6000 and _bucket(6000) % 1024 == 0
+
+
+def test_handler_max_len_scales_with_max_duration(handler):
+    """A 600 s plan needs ~3008 code tokens ON TOP of the phase-2 prompt;
+    the engine bound must leave real prompt headroom (the old fixed 4096
+    deterministically rejected long-lyric 600 s plans)."""
+    assert handler.engine.max_len >= 600 * 5 + 8 + 2048
+    h = LLMHandler(dtype=jnp.float32)
+    h.initialize(num_fallback_codes=32, max_duration=600, seed=0,
+                 max_len=8192)
+    assert h.engine.max_len == 8192
+
+
+def test_disabled_fsm_never_consulted_for_masks(handler, monkeypatch):
+    """constrained=False builds a disabled MetadataFSM for phase 2; decode
+    must take the chunked scan, never the per-token masked path (which
+    costs ~1 host round-trip per token on a tunneled device)."""
+    from acestep_tpu.llm import fsm as fsm_mod
+
+    def boom(self):
+        raise AssertionError(
+            "next_mask must not be called on the unconstrained path")
+
+    monkeypatch.setattr(fsm_mod.MetadataFSM, "next_mask", boom)
+    r = handler.generate_with_stop_condition(
+        "cap", "", constrained=False, target_duration=2,
+        max_code_tokens=4, seed=0)
+    assert "raw" in r
+
+
+def test_device_tables_upload_cached_per_tables_object(handler):
+    """The ~1-2 MB FSM table upload happens once per host-table object,
+    not once per planner request."""
+    tables = handler._cot_tables({"duration": 30}, None, "cap")
+    t1 = handler.engine._device_tables(tables)
+    t2 = handler.engine._device_tables(tables)
+    assert t1 is t2
+    other = handler._cot_tables({"duration": 60}, None, "cap")
+    assert handler.engine._device_tables(other) is not t1
+
+
+def test_vocab_bound_shared_between_fsm_and_engine(handler, tok):
+    """TokenTables mask sizing and LMEngine.vocab_use derive from the SAME
+    bound (ids maskable-but-unsampleable otherwise)."""
+    from acestep_tpu.llm.fsm import max_assigned_token_bound
+
+    assert TokenTables(tok).vocab_size == max_assigned_token_bound(tok)
+    hi = max_assigned_token_bound(handler.tokenizer,
+                                  fallback=handler.cfg.vocab_size)
+    assert handler.engine.vocab_use == min(handler.cfg.vocab_size,
+                                           -(-hi // 128) * 128)

@@ -322,3 +322,16 @@ def test_profiler_new_flags():
     finally:
         profile_inference.MODES.clear()
         profile_inference.MODES.update(saved)
+
+
+def test_oom_error_detection_shared_helper():
+    """One implementation behind every OOM ladder (three hand-rolled
+    copies had drifted on capitalization)."""
+    from acestep_tpu.utils.memory import is_oom_error
+
+    assert is_oom_error(RuntimeError("RESOURCE_EXHAUSTED: alloc failed"))
+    assert is_oom_error(RuntimeError("Out of memory allocating 1 GiB"))
+    assert is_oom_error(RuntimeError("xla OOM while reserving"))
+    assert is_oom_error(ValueError("device out of memory"))
+    assert not is_oom_error(RuntimeError("INVALID_ARGUMENT: shape"))
+    assert not is_oom_error(KeyboardInterrupt())
