@@ -603,12 +603,18 @@ def dit_decoder_attn_capture(params: dict, cfg: DiTConfig, xt: jnp.ndarray,
     Flash/fused attention never materializes probs, so this dedicated
     unrolled path (≤ early_exit layers) exists solely for alignment/scoring.
     """
+    if not capture:
+        raise ValueError("capture must map at least one layer -> heads")
     p = params["decoder"]
     eps = cfg.rms_norm_eps
     dtype = xt.dtype
     B, T0, _ = xt.shape
     n_layers = (early_exit if early_exit is not None
                 else max(capture) + 1)
+    if max(capture) >= n_layers:
+        raise ValueError(
+            f"capture layer {max(capture)} is not run under "
+            f"early_exit={early_exit} — it would be silently skipped")
 
     temb_t, proj_t = _timestep_embed(p["time_embed"], timestep, dtype)
     temb_r, proj_r = _timestep_embed(p["time_embed_r"],

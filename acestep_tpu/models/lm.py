@@ -186,8 +186,13 @@ def lm_forward(params: dict, cfg: LMConfig, input_ids: jnp.ndarray,
     support ragged right-padded prompts: each row's K/V land at its own
     offset, RoPE positions follow the row offset, and queries only see keys
     below their own row position. `attention_mask` (B, max_len) optionally
-    masks cache slots (1 = valid); slots at/after the write window stay
-    visible so freshly written tokens are never hidden.
+    masks cache slots (1 = valid) and is AUTHORITATIVE when given — it must
+    cover the write window too (lm_encode passes the HF tokenizer mask over
+    exactly this call's L slots). The decode loops (llm/generator.py) never
+    pass one; an earlier '|written' override let the window bypass the mask
+    and silently neutralized it whenever the window spanned the whole cache
+    — i.e. in every lm_encode call, where left-padded batches would have
+    attended their pad keys.
     """
     B, L = input_ids.shape
     max_len = cache.k.shape[2]
@@ -203,13 +208,7 @@ def lm_forward(params: dict, cfg: LMConfig, input_ids: jnp.ndarray,
     kpos = jnp.arange(max_len)
     mask = kpos[None, None, :] <= positions[:, :, None]         # (B, L, max_len)
     if attention_mask is not None:
-        # only the freshly written window [start, start+L) overrides the
-        # caller mask — anything else marked invalid (e.g. left padding at
-        # positions < start) must stay hidden
-        written = ((kpos[None, :] >= start[:, None])
-                   & (kpos[None, :] < (start + L)[:, None]))
-        valid = attention_mask.astype(bool) | written
-        mask = mask & valid[:, None, :]
+        mask = mask & attention_mask.astype(bool)[:, None, :]
 
     eps = cfg.rms_norm_eps
 

@@ -78,12 +78,15 @@ def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def rms_norm(p: dict, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
-    """Qwen3RMSNorm: float32 variance, scale applied after downcast."""
+    """Qwen3RMSNorm: float32 variance, scale applied AFTER the downcast
+    (`weight * hidden.to(input_dtype)` — same order in HF Qwen3RMSNorm and
+    nano-vllm layernorm.py:25; scaling in f32 first differed by last-ulp
+    per element in bf16, compounding over 24+ layers)."""
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     xf = xf * jax.lax.rsqrt(var + eps)
-    return (xf * p["scale"].astype(jnp.float32)).astype(dtype)
+    return xf.astype(dtype) * p["scale"].astype(dtype)
 
 
 def mlp(p: dict, x: jnp.ndarray) -> jnp.ndarray:

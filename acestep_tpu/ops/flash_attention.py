@@ -128,6 +128,21 @@ def _band_geometry(window: Optional[int], n_k: int, block_k: int):
     return 3, k_index   # band {i-1, i, i+1}; out-of-range masked in-kernel
 
 
+def _layout_q(q, hkv, block_q):
+    """Pad + relayout a query-shaped (B, Lq, Hq, D) tensor to
+    (B, Hkv, G, Lqp, D): all group heads of one KV head live in one grid
+    step, so each K/V block is DMA'd once per group, not per head. Also
+    used for dout in the backward pass (q-shaped) without re-laying-out
+    the full K/V tensors."""
+    B, Lq, Hq, D = q.shape
+    groups = Hq // hkv
+    pad_q = (-Lq) % block_q
+    qt = jnp.moveaxis(q, 2, 1).reshape(B, hkv, groups, Lq, D)
+    if pad_q:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, 0), (0, pad_q), (0, 0)))
+    return qt
+
+
 def _layout(q, k, v, block_q, block_k):
     """Pad + relayout to (B, Hkv, G, Lqp, D) / (B, Hkv, Lkp, D)."""
     B, Lq, Hq, D = q.shape
@@ -135,13 +150,9 @@ def _layout(q, k, v, block_q, block_k):
     groups = Hq // Hkv
     pad_q = (-Lq) % block_q
     pad_k = (-Lk) % block_k
-    # q laid out (B, Hkv, G, Lq, D): all group heads of one KV head live in
-    # one grid step, so each K/V block is DMA'd once per group, not per head
-    qt = jnp.moveaxis(q, 2, 1).reshape(B, Hkv, groups, Lq, D)
+    qt = _layout_q(q, Hkv, block_q)
     kt = jnp.moveaxis(k, 2, 1)
     vt = jnp.moveaxis(v, 2, 1)
-    if pad_q:
-        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, 0), (0, pad_q), (0, 0)))
     if pad_k:
         kt = jnp.pad(kt, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
         vt = jnp.pad(vt, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
@@ -317,7 +328,7 @@ def _flash_backward(q, k, v, out, lse, dout, window, block_q, block_k,
     _, Lk, Hkv, _ = k.shape
     scale = 1.0 / math.sqrt(D)
     qt, kt, vt, groups, Lqp, Lkp = _layout(q, k, v, block_q, block_k)
-    dot_t = _layout(dout, k, v, block_q, block_k)[0]
+    dot_t = _layout_q(dout, Hkv, block_q)
     n_q, n_k = Lqp // block_q, Lkp // block_k
 
     # delta_r = sum_d dO_rd * O_rd, in the kernels' per-q-block (rows, 1)

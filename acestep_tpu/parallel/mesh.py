@@ -123,6 +123,12 @@ def lm_param_pspecs(params: dict, tp_axis: str = "tp") -> dict:
         keys = _path_keys(path)
         if keys and keys[-1] == "embed_tokens" and leaf.ndim == 2:
             return P(tp_axis, None)
+        if "head_q" in keys and leaf.ndim == 2:
+            # w8a8 int8 output head (models/lm.build_head_q): q (V, H) and
+            # scale (V, 1) are rows-along-vocab like the tied embed head —
+            # without this rule the largest per-step decode read stayed
+            # replicated on every chip under tensor parallelism
+            return P(tp_axis, None)
         spec = _linear_spec(keys, leaf, tp_axis)
         return spec if spec is not None else P()
 

@@ -242,7 +242,15 @@ class LocalResultCache:
     def set(self, key: str, value: Any, ex: int = RESULT_EXPIRE_SECONDS) -> None:
         payload = value if isinstance(value, str) else json.dumps(value)
         with self._lock:
+            old = self._data.get(key)
             self._data[key] = (time.time() + ex, payload)
+            if old is not None and old[1] == payload:
+                # TTL-only refresh (e.g. a client polling an expired task
+                # re-caches the same entry from the job store on every
+                # poll): skip the full-file rewrite+fsync — the spill is a
+                # warm-start optimization, the job store is the durable
+                # record
+                return
             self._spill_locked()
 
     def get(self, key: str) -> Optional[str]:

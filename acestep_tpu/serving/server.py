@@ -287,6 +287,24 @@ class AppState:
                 f"{sorted(self.dit_handlers)}")
         return self.default_model, self.dit_handlers[self.default_model]
 
+    def _cleanup_request_temp_files(self, req) -> None:
+        """Unlink upload/chat temp audio for a job that never reached
+        _run_one_job (whose finally block is the normal cleanup path) —
+        e.g. rejected with queue.Full. One orphaned file per rejected
+        request would otherwise accumulate in the tempdir."""
+        import tempfile as _tempfile
+
+        tmpdir = _tempfile.gettempdir()
+        for path in (getattr(req, "reference_audio_path", None),
+                     getattr(req, "src_audio_path", None)):
+            if path and os.path.dirname(path) == tmpdir and \
+                    os.path.basename(path).startswith(
+                        ("acestep_or_", "acestep_upload_")):
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+
     def _run_one_job(self, job_id: str, req: GenerateMusicRequest) -> None:
         t0 = time.time()
         self.job_store.mark_running(job_id)
@@ -335,7 +353,10 @@ class AppState:
                     from acestep_tpu.utils.audio import load_audio
 
                     audio = load_audio(req.src_audio_path)
-                    codes = dit_handler.audio_to_codes(audio)
+                    # same guard as the generation path: /v1/reinitialize
+                    # must not swap DiT weights mid-encode
+                    with self.reinit_lock:
+                        codes = dit_handler.audio_to_codes(audio)
                     analysis = inference.understand_music(
                         llm_handler, codes,
                         temperature=req.lm_temperature).to_dict()
@@ -719,6 +740,7 @@ class _Handler(BaseHTTPRequestHandler):
             state._cache_result(rec.job_id)   # overwrite the 'queued' entry
             with state.pending_lock:
                 state.pending_ids.remove(rec.job_id)
+            state._cleanup_request_temp_files(req)
             self._send_json(wrap_response(None, 503, "Queue full"), 503)
             return
         self._send_json(wrap_response({
@@ -889,6 +911,7 @@ class _Handler(BaseHTTPRequestHandler):
             with state.pending_lock:
                 if rec.job_id in state.pending_ids:
                     state.pending_ids.remove(rec.job_id)
+            state._cleanup_request_temp_files(req)
             self._send_json({"error": {"message": "Queue full",
                                        "code": 503}}, 503)
             return

@@ -86,6 +86,24 @@ def test_attention_mask_hides_padding(lm):
     assert h_plain.shape == (1, 4, cfg.hidden_size)
 
 
+def test_attention_mask_authoritative_over_write_window(lm):
+    """A masked-out LEADING key must not influence later positions even
+    though it was written in the same call (round-4 review pin: an
+    '|written' override neutralized the caller mask whenever the write
+    window spanned the cache — i.e. in every lm_encode call, so
+    left-padded batches attended their pad keys)."""
+    params, cfg = lm
+    tail = jax.random.randint(jax.random.PRNGKey(4), (1, 5), 1,
+                              cfg.vocab_size)
+    mask = jnp.asarray([[0, 1, 1, 1, 1, 1]], jnp.int32)
+    h = []
+    for junk in (1, 2):     # different masked token at position 0
+        ids = jnp.concatenate(
+            [jnp.full((1, 1), junk, jnp.int32), tail], axis=1)
+        h.append(np.asarray(lm_encode(params, cfg, ids, mask)))
+    np.testing.assert_allclose(h[0][:, 1:], h[1][:, 1:], atol=1e-6)
+
+
 def test_lm_encode_shape(lm):
     params, cfg = lm
     ids = jnp.ones((2, 5), jnp.int32)

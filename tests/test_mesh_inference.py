@@ -88,6 +88,34 @@ def test_lm_tensor_parallel_matches_single():
     assert ca == cb
 
 
+def test_lm_tensor_parallel_w8a8_head_q_sharded():
+    """w8a8 + tp: the int8 output head (the largest per-step decode read)
+    must be vocab-sharded like the tied embed head, and decode must still
+    match the unsharded engine."""
+    from acestep_tpu.llm.handler import LLMHandler
+
+    # num_fallback_codes=65 -> even vocab (167 with 64 codes is odd and
+    # sanitize_pspecs would rightly replicate it under tp=2; the real
+    # 215936-token vocab divides any tp)
+    a = LLMHandler()
+    a.initialize(seed=0, quantization="w8a8", num_fallback_codes=65)
+    b = LLMHandler()
+    b.initialize(seed=0, tensor_parallel=2, quantization="w8a8",
+                 num_fallback_codes=65)
+
+    hq = b.engine.params.get("head_q")
+    assert hq is not None
+    specs = {k: v.sharding.spec for k, v in hq.items()}
+    assert specs["q"][0] is not None, "head_q.q replicated under tp"
+    assert specs["scale"][0] is not None, "head_q.scale replicated under tp"
+
+    ca = a.engine.generate_codes(["make music"], n_codes=10, seed=5,
+                                 temperature=0.7)
+    cb = b.engine.generate_codes(["make music"], n_codes=10, seed=5,
+                                 temperature=0.7)
+    assert ca == cb
+
+
 def test_initial_noise_seam():
     """Externally-supplied noise makes trajectories reproducible across
     RNG implementations (the seed-parity seam)."""

@@ -402,3 +402,39 @@ def test_multipart_release_task_with_upload(server_env, tmp_path):
     assert handler.src_contents[-1] == wav_bytes
     # upload temp file is cleaned after the job (leak guard)
     assert not os.path.exists(src)
+
+
+def test_result_cache_ttl_refresh_skips_spill(tmp_path):
+    """Re-setting an identical payload (a client polling an expired task
+    re-caches it from the job store every poll) must not rewrite the spill
+    file — round-4 review pin against per-poll full-file fsync churn."""
+    path = tmp_path / "cache.json"
+    cache = LocalResultCache(str(path))
+    cache.set("k", {"a": 1})
+    before = path.read_bytes(), path.stat().st_mtime_ns
+    for _ in range(5):
+        cache.set("k", {"a": 1})       # TTL-only refresh
+    assert (path.read_bytes(), path.stat().st_mtime_ns) == before
+    cache.set("k", {"a": 2})           # real change DOES spill
+    assert path.read_bytes() != before[0]
+
+
+def test_cleanup_request_temp_files_unlinks_uploads(tmp_path, monkeypatch):
+    """Jobs rejected with queue.Full never reach _run_one_job's finally;
+    the enqueue error path must clean the upload temp files itself."""
+    import tempfile
+
+    from acestep_tpu.serving.schemas import GenerateMusicRequest
+    from acestep_tpu.serving.server import AppState
+
+    f = tempfile.NamedTemporaryFile(prefix="acestep_upload_", suffix=".wav",
+                                    delete=False)
+    f.write(b"x")
+    f.close()
+    keep = tmp_path / "user_supplied.wav"
+    keep.write_bytes(b"x")
+    req = GenerateMusicRequest(src_audio_path=f.name,
+                               reference_audio_path=str(keep))
+    AppState._cleanup_request_temp_files(object.__new__(AppState), req)
+    assert not os.path.exists(f.name)          # our upload: removed
+    assert keep.exists()                       # user path: untouched
