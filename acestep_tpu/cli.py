@@ -174,7 +174,8 @@ def _show_params(params: GenerationParams) -> None:
         print(f"      audio_codes      {n} codes imported")
 
 
-def _edit_field(params: GenerationParams, name: str, raw: str = "") -> None:
+def _edit_field(params: GenerationParams, name: str, raw: str = "",
+                followups: bool = True) -> None:
     if name.isdigit():                   # '3 60' — index from _show_params
         idx = int(name)
         if not 1 <= idx <= len(FIELDS):
@@ -193,7 +194,11 @@ def _edit_field(params: GenerationParams, name: str, raw: str = "") -> None:
     if not raw:
         return
     if typ is bool:
-        setattr(params, name, raw.lower().startswith("y"))
+        # pressing Enter returns the DISPLAYED default ('True'/'False'),
+        # so 'True' must parse as true — startswith('y') alone silently
+        # flipped every kept bool to False
+        setattr(params, name,
+                raw.strip().lower() in ("y", "yes", "true", "1", "on"))
         return
     if raw == "@edit" and typ is str:
         setattr(params, name, _edit_in_editor(str(current or "")))
@@ -203,14 +208,16 @@ def _edit_field(params: GenerationParams, name: str, raw: str = "") -> None:
     except ValueError:
         print(f"  ! could not parse {raw!r}; keeping {current!r}")
         return
-    if name == "task_type":
+    if name == "task_type" and followups:
         _task_followups(params)
 
 
 def _wizard_edit(params: GenerationParams) -> GenerationParams:
     print("\n-- Configure generation (enter keeps current value) --")
     for name, _label, _typ in FIELDS:
-        _edit_field(params, name, raw="")
+        # followups run ONCE after the walkthrough (changing task_type
+        # mid-walk would otherwise prompt repaint/source twice)
+        _edit_field(params, name, raw="", followups=False)
     _task_followups(params)
     return params
 

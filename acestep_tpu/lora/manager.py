@@ -162,12 +162,18 @@ class LoraManager:
             if self._active == name:
                 self._active = next(iter(self._adapters), None)
             self._dirty = True
+            self._merged = None    # release the model-sized merged tree
             return {"unloaded": name, "active": self._active}
 
     def toggle(self, use_lora: bool) -> Dict[str, Any]:
         with self._lock:
             self._enabled = bool(use_lora)
             self._dirty = True
+            if not self._enabled:
+                # effective_params() short-circuits to _base while
+                # disabled; keeping _merged would pin a second full model
+                # copy in HBM indefinitely (16 GB-chip headroom)
+                self._merged = None
             return {"use_lora": self._enabled, "active": self._active}
 
     def set_scale(self, scale: float,

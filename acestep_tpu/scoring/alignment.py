@@ -23,9 +23,10 @@ import numpy as np
 
 from acestep_tpu.scoring.dtw import dtw, median_filter
 
+from acestep_tpu.constants import LATENT_RATE
+
 # reference default capture set (handler.py:129)
 DEFAULT_CAPTURE = {2: [6], 3: [10, 11], 4: [3], 5: [8, 9], 6: [8]}
-LATENT_RATE = 25.0
 
 
 @dataclass

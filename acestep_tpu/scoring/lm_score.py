@@ -29,8 +29,13 @@ def _logprob_fn(cfg, dtype):
     key = (id(cfg), str(dtype))
     if key not in _LOGPROB_FNS:
         from acestep_tpu.models.lm import lm_encode, lm_logits
+        from acestep_tpu.ops.quant import dequantize_params
 
         def fn(params, ids):
+            # quantized engines (int8/fp8/int4 weight-only) store {'__int8__',
+            # 'scale'} dicts; materialize like every generator program does
+            # (w8a8 nodes stay int8 — ops/basic.linear runs those natively)
+            params = dequantize_params(params, dtype)
             mask = jnp.ones_like(ids)
             hidden = lm_encode(params, cfg, ids, mask, dtype=dtype)
             logits = lm_logits(params, cfg, hidden).astype(jnp.float32)

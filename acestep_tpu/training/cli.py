@@ -199,7 +199,7 @@ def cmd_preprocess(args) -> int:
 
     handler = _build_handler(args)
     written = preprocess_audio_files(handler, args.manifest, args.out_dir)
-    print(f"wrote {written} tensor files -> {args.out_dir}")
+    print(f"wrote {len(written)} tensor files -> {args.out_dir}")
     return 0
 
 

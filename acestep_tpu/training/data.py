@@ -52,6 +52,37 @@ def _pad_to(x: np.ndarray, length: int) -> np.ndarray:
     return np.pad(x, pad)
 
 
+def _npz_shapes(path: str, names: Sequence[str]) -> Dict[str, tuple]:
+    """Array shapes inside an .npz WITHOUT decompressing their data.
+
+    np.load(path)[name] inflates the whole member; over a multi-GB tensor
+    dir that turns the bucket-sizing pass into minutes of startup IO. Each
+    .npy header is a few hundred bytes at the front of its zip member —
+    stream-read just that. Falls back to np.load on any format surprise.
+    """
+    import zipfile
+
+    from numpy.lib import format as npf
+
+    out: Dict[str, tuple] = {}
+    try:
+        with zipfile.ZipFile(path) as z:
+            for n in names:
+                with z.open(n + ".npy") as f:
+                    version = npf.read_magic(f)
+                    if version == (1, 0):
+                        shape, _, _ = npf.read_array_header_1_0(f)
+                    elif version == (2, 0):
+                        shape, _, _ = npf.read_array_header_2_0(f)
+                    else:           # pragma: no cover - future format
+                        raise ValueError(f"npy format {version}")
+                    out[n] = shape
+        return out
+    except (KeyError, ValueError, OSError):   # pragma: no cover - fallback
+        with np.load(path) as data:
+            return {n: data[n].shape for n in names}
+
+
 def make_batches(files: Sequence[str], batch_size: int, *,
                  latent_dim: int = 64, refer_frames: int = 10,
                  frame_bucket: int = FRAME_BUCKET,
@@ -65,11 +96,12 @@ def make_batches(files: Sequence[str], batch_size: int, *,
     over the dataset, bucketed) so every step hits the same compiled program.
     """
     lengths, text_lens, lyric_lens = [], [], []
-    for path in files:        # one IO pass for all bucket dimensions
-        with np.load(path) as data:
-            lengths.append(data["hidden_states"].shape[0])
-            text_lens.append(data["text_hidden_states"].shape[0])
-            lyric_lens.append(data["lyric_hidden_states"].shape[0])
+    for path in files:        # one header-only pass for bucket dimensions
+        shapes = _npz_shapes(path, ("hidden_states", "text_hidden_states",
+                                    "lyric_hidden_states"))
+        lengths.append(shapes["hidden_states"][0])
+        text_lens.append(shapes["text_hidden_states"][0])
+        lyric_lens.append(shapes["lyric_hidden_states"][0])
     frames = _bucket_len(max(lengths), frame_bucket, max_frames)
     text_len = max(text_lens)
     lyric_len = max(lyric_lens)

@@ -220,7 +220,8 @@ class DatasetBuildPipeline:
         lat_dir = os.path.join(self.out_dir, "latents")
         os.makedirs(lab_dir, exist_ok=True)
         n_new = 0
-        max_label_frames = int(self.max_label_seconds * 25)
+        from acestep_tpu.constants import LATENT_RATE
+        max_label_frames = int(self.max_label_seconds * LATENT_RATE)
         for e in self._entries():
             path = os.path.join(lab_dir, f"{e['id']}.json")
             if os.path.exists(path):

@@ -62,17 +62,19 @@ def estimate_gradient_sensitivity(base_params: dict, cfg,
     sums: Dict[str, float] = {}
     count = 0
     key = jax.random.PRNGKey(seed)
+    # base weights never change across batches: pull + norm them ONCE
+    # instead of re-transferring every target tensor per batch
+    w_norms = {name: np.linalg.norm(np.asarray(w, np.float32))
+               for name, w in target_paths(base_params).items()}
     for i, batch in enumerate(batches):
         if i >= num_batches:
             break
         key, sub = jax.random.split(key)
         grads = grad_fn(base_params, batch, sub)
         g_targets = target_paths(grads)
-        w_targets = target_paths(base_params)
         for name in g_targets:
             g = np.linalg.norm(np.asarray(g_targets[name], np.float32))
-            w = np.linalg.norm(np.asarray(w_targets[name], np.float32))
-            sums[name] = sums.get(name, 0.0) + g / max(w, 1e-9)
+            sums[name] = sums.get(name, 0.0) + g / max(w_norms[name], 1e-9)
         count += 1
     if count == 0:
         return []

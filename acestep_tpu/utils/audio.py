@@ -221,9 +221,13 @@ class AudioSaver:
             tmp = self.output_dir / f"{name}.tmp.wav"
             save_wav(tmp, audio, sr)
             out = self.output_dir / f"{name}.{fmt}"
-            subprocess.run([_ffmpeg(), "-v", "error", "-y", "-i", str(tmp),
-                            str(out)], check=True)
-            tmp.unlink()
+            try:
+                subprocess.run([_ffmpeg(), "-v", "error", "-y", "-i",
+                                str(tmp), str(out)], check=True)
+            finally:
+                # a failed encode must not leave the full-length
+                # uncompressed temp WAV behind on a long-running server
+                tmp.unlink(missing_ok=True)
             return str(out)
         raise ValueError(f"unknown format {fmt}")
 

@@ -462,6 +462,10 @@ def decode_flac(data: bytes) -> Tuple[np.ndarray, int]:
         # surface it as the same error class as every other corruption
         # (load_audio's ffmpeg fallback and callers catch ValueError)
         raise ValueError("truncated FLAC stream") from e
+    except KeyError as e:
+        # reserved table codes (e.g. frame blocksize code 0) index dict
+        # tables — same contract: corrupt stream == ValueError
+        raise ValueError(f"invalid FLAC stream (reserved code {e})") from e
 
 
 def _decode_flac(data: bytes) -> Tuple[np.ndarray, int]:

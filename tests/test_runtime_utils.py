@@ -263,6 +263,12 @@ def test_cli_edit_field_and_followups(monkeypatch):
     assert params.bpm == 128
     _edit_field(params, "thinking", "n")
     assert params.thinking is False
+    # Enter on a bool returns the DISPLAYED default string ('True') —
+    # it must parse as True, not flip to False (round-4 review pin)
+    _edit_field(params, "thinking", "True")
+    assert params.thinking is True
+    _edit_field(params, "thinking", "False")
+    assert params.thinking is False
     # bad value keeps the old one
     _edit_field(params, "duration", "abc")
     assert params.duration == -1.0
