@@ -195,11 +195,56 @@ class AceStepHandler:
             from functools import partial
             self.params = jax.jit(
                 partial(quantize_tree, mode=quantization))(self.params)
+        if text_embedder is None and (
+                checkpoint_dir or os.environ.get("ACESTEP_TEXT_ENCODER_DIR")):
+            # real-checkpoint mode: condition on the actual Qwen3-Embedding
+            # trunk when its checkpoint is locally available — hash
+            # embeddings are a structural fallback, not a substitute for
+            # semantics (reference loads the text encoder alongside the
+            # DiT, init_service_loader.py)
+            text_embedder = self._build_qwen_embedder()
         self.text_embedder = text_embedder or HashTextEmbedder(
             dim=self.cfg.text_hidden_dim)
         from acestep_tpu.lora.manager import LoraManager
         self.lora = LoraManager(self.params)
         self.initialized = True
+
+    def _build_qwen_embedder(self):
+        """Qwen3-Embedding text encoder from ACESTEP_TEXT_ENCODER_DIR or
+        the downloads cache (LOCAL resolution only — initialize_service
+        must not surprise-download GBs; use acestep-tpu-download first).
+        Returns None when unavailable -> HashTextEmbedder fallback."""
+        try:
+            path = os.environ.get("ACESTEP_TEXT_ENCODER_DIR")
+            if not path and self.checkpoint_dir:
+                # reference layout nests it inside the main checkpoint dir
+                # (init_service_loader.py:150); also try the sibling level
+                for cand in (
+                        os.path.join(self.checkpoint_dir,
+                                     "Qwen3-Embedding-0.6B"),
+                        os.path.join(os.path.dirname(self.checkpoint_dir),
+                                     "Qwen3-Embedding-0.6B")):
+                    if os.path.isdir(cand):
+                        path = cand
+                        break
+            if not path:
+                from acestep_tpu.utils.downloads import ensure_model
+                path = ensure_model("Qwen3-Embedding-0.6B",
+                                    allow_download=False)
+            from acestep_tpu.config import LMConfig
+            from acestep_tpu.llm.tokenizer import load_hf_tokenizer
+            from acestep_tpu.pipeline.embedder import QwenTextEmbedder
+            from acestep_tpu.utils.checkpoint import load_lm_checkpoint
+
+            cfg = LMConfig.from_checkpoint(path)
+            params = load_lm_checkpoint(path, cfg, self.dtype)
+            tok = load_hf_tokenizer(path)
+            print(f"[acestep_tpu] text encoder: Qwen3-Embedding at {path}")
+            return QwenTextEmbedder(params, cfg, tok, dtype=self.dtype)
+        except Exception as e:       # noqa: BLE001 — fallback is by design
+            print(f"[acestep_tpu] text encoder unavailable ({e!r}); "
+                  f"using hash embeddings")
+            return None
 
     def enable_mesh(self, dp: Optional[int] = None, tp: int = 1) -> None:
         """Shard generation over a dp x tp device mesh.

@@ -149,7 +149,10 @@ def extract_caption_and_language(metas: Sequence[MetaLike],
         d = meta_dict_of(meta)
         if d.get("caption"):
             out_c[i] = str(d["caption"])
-        if d.get("language"):
+        # languages may be shorter than captions for direct callers — the
+        # handler pre-normalizes to B, but the bounds contract must hold
+        # for both lists, not just captions
+        if d.get("language") and i < len(out_l):
             out_l[i] = str(d["language"])
     return out_c, out_l
 
@@ -160,10 +163,19 @@ def build_text_prompt(instruction: str, caption: str, meta_str: str) -> str:
 
 def build_dit_inputs(task: str, instruction: Optional[str], caption: str,
                      lyrics: str, metas: MetaLike = None,
-                     vocal_language: str = "en"):
-    """(caption_input, lyrics_input) for the two text-encoder branches."""
+                     vocal_language: str = "en",
+                     track_name: Optional[str] = None,
+                     track_classes: Optional[Sequence[str]] = None):
+    """(caption_input, lyrics_input) for the two text-encoder branches.
+
+    track_name/track_classes feed the extract/lego/complete instruction
+    templates exactly like the handler path (handler.py passes them to
+    resolve_instruction) — without them those tasks silently fell back to
+    the *_default instruction."""
     final_instruction = format_instruction(instruction or
-                                           resolve_instruction(task))
+                                           resolve_instruction(
+                                               task, track_name=track_name,
+                                               track_classes=track_classes))
     d = meta_dict_of(metas)
     actual_caption = str(d["caption"]) if d.get("caption") else caption
     actual_language = str(d["language"]) if d.get("language") else vocal_language

@@ -44,6 +44,12 @@ _TIERS = (
     DeviceTierConfig("tier_cpu", 0.0, 600, 8, None, 128, 512, 2048,
                      notes="CPU/testing: host RAM is not the constraint; "
                            "no LM planner by default"),
+    # any POSITIVE hbm below 8 GB (e.g. ACESTEP_MAX_HBM_GB=4 tier
+    # simulation) lands here, NOT on the unconstrained CPU tier — a
+    # 4 GB device must get tighter ceilings than an 8 GB one
+    DeviceTierConfig("tier_4g", 0.1, 120, 1, None, 64, 256, 1024,
+                     notes="small-memory accelerator: tight ceilings, "
+                           "no LM planner"),
     DeviceTierConfig("tier_8g", 8.0, 240, 2, "0.6B", 128, 512, 2048,
                      lm_quantization="w8a8"),
     DeviceTierConfig("tier_16g", 16.0, 600, 8, "4B", 256, 1024, 4096,
@@ -154,5 +160,9 @@ def effective_batch(requested: int,
 
 def effective_duration(requested: float,
                        tier: Optional[DeviceTierConfig] = None) -> float:
+    """Clamp to the tier ceiling only. No minimum: the reference passes
+    short durations through unchanged (generate_music_request.py:73 only
+    nulls non-positive values), and a silent 10 s floor both rewrote real
+    sub-10 s requests and inflated every tiny test/dryrun ~13x."""
     tier = tier or get_global_config()
-    return float(min(max(requested, 10.0), tier.max_duration_s))
+    return float(min(requested, tier.max_duration_s))

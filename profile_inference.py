@@ -62,18 +62,25 @@ def _run_once(handler, *, duration: float, batch: int, steps: int,
     costs = result.time_costs
     diff = costs.get("diffusion_time_cost", 0.0) or 1e-9
     vae = costs.get("vae_decode_time_cost", 0.0) or 1e-9
-    return {
+    # the handler clamps batch to the tier ceiling (effective_batch) —
+    # per-song metrics must divide by what actually RENDERED, and the
+    # report must say so, or clamped sweeps publish ~4x-inflated numbers
+    actual = max(1, len(result.seeds or [])) or batch
+    out = {
         "duration_s": duration, "batch": batch, "steps": steps,
         "warm": warm,
         "wall_s": round(wall, 3),
-        "seconds_per_song": round(wall / batch, 3),
-        "rtf": round(duration * batch / wall, 2),
+        "seconds_per_song": round(wall / actual, 3),
+        "rtf": round(duration * actual / wall, 2),
         "diffusion_s": round(diff, 3),
         "dit_steps_per_s": round(steps / diff, 2),
         "vae_decode_s": round(vae, 3),
-        "vae_rtf": round(duration * batch / vae, 2),
+        "vae_rtf": round(duration * actual / vae, 2),
         "costs": {k: round(v, 4) for k, v in costs.items()},
     }
+    if actual != batch:
+        out["batch_clamped_to"] = actual
+    return out
 
 
 def mode_profile(args) -> Dict[str, Any]:
@@ -286,6 +293,7 @@ def mode_tier_test(args) -> Dict[str, Any]:
                          "error": str(e)[:200]})
                 log(f"  boundary {quant or 'bf16'}: "
                     f"{entry['boundary'][-1]}")
+            h2 = None     # last quant config must not stay resident
 
         if args.tier_batch_boundary:
             # Max safe batch per tier (reference --tier-batch-boundary,
@@ -294,6 +302,11 @@ def mode_tier_test(args) -> Dict[str, Any]:
             if handler is None:   # released by the quant-boundary sweep
                 h2 = None
                 handler, _ = _init_handler(args, hbm_override=float(hbm))
+            # probing the REAL OOM boundary: lift the tier clamp for the
+            # sweep, otherwise batches above max_batch silently render at
+            # the cap and report fake 'ok' rows
+            import dataclasses as _dc
+            handler.tier = _dc.replace(handler.tier, max_batch=8)
             max_ok = 0
             for batch in (1, 2, 4, 8):
                 try:
@@ -307,6 +320,8 @@ def mode_tier_test(args) -> Dict[str, Any]:
                     entry["batch_boundary"].append(
                         {"batch": batch, "ok": False,
                          "error": str(e)[:200]})
+                    log(f"  batch boundary {batch}: "
+                        f"{entry['batch_boundary'][-1]}")
                     break
                 log(f"  batch boundary {batch}: "
                     f"{entry['batch_boundary'][-1]}")

@@ -397,3 +397,53 @@ def test_empty_sequence_code_hint_is_no_hint(handler):
     assert res2.extra["task"] == "cover"
     assert np.all(np.isfinite(res2.pred_latents))
     assert res2.extra["is_covers"] == [True, True]
+
+
+def test_text_encoder_wiring(monkeypatch, tmp_path):
+    """initialize_service must construct the Qwen3-Embedding text encoder
+    when its checkpoint resolves (round-4 review pin: QwenTextEmbedder was
+    fully implemented but UNREACHABLE — real-checkpoint inference silently
+    conditioned on hash embeddings), and fall back to hash otherwise."""
+    import acestep_tpu.llm.tokenizer as tok_mod
+    import acestep_tpu.utils.checkpoint as ckpt_mod
+    from acestep_tpu.config import LMConfig
+    from acestep_tpu.llm.tokenizer import SimpleTokenizer
+    from acestep_tpu.models.lm import init_lm_params
+    from acestep_tpu.pipeline.embedder import (HashTextEmbedder,
+                                               QwenTextEmbedder)
+
+    lm_cfg = LMConfig.tiny()
+    lm_params = init_lm_params(jax.random.PRNGKey(0), lm_cfg)
+    monkeypatch.setenv("ACESTEP_TEXT_ENCODER_DIR", str(tmp_path))
+    monkeypatch.setattr(LMConfig, "from_checkpoint",
+                        classmethod(lambda cls, d: lm_cfg))
+    monkeypatch.setattr(ckpt_mod, "load_lm_checkpoint",
+                        lambda d, c, dt: lm_params)
+    monkeypatch.setattr(tok_mod, "load_hf_tokenizer",
+                        lambda d: SimpleTokenizer(num_audio_codes=8))
+
+    h = AceStepHandler(dit_config=DiTConfig.tiny(fsq_dim=64),
+                       vae_config=VAEConfig.tiny(decoder_input_channels=64),
+                       dtype=jnp.float32,
+                       frame_bucket=20, min_frames=20, refer_frames=10)
+    h.initialize_service(seed=0)
+    assert isinstance(h.text_embedder, QwenTextEmbedder)
+
+    # loader failure -> hash fallback, not a crash
+    monkeypatch.setattr(ckpt_mod, "load_lm_checkpoint",
+                        lambda d, c, dt: (_ for _ in ()).throw(OSError("x")))
+    h2 = AceStepHandler(dit_config=DiTConfig.tiny(fsq_dim=64),
+                        vae_config=VAEConfig.tiny(decoder_input_channels=64),
+                        dtype=jnp.float32,
+                        frame_bucket=20, min_frames=20, refer_frames=10)
+    h2.initialize_service(seed=0)
+    assert isinstance(h2.text_embedder, HashTextEmbedder)
+
+    # no env var, no checkpoint_dir -> hash, no resolution attempted
+    monkeypatch.delenv("ACESTEP_TEXT_ENCODER_DIR")
+    h3 = AceStepHandler(dit_config=DiTConfig.tiny(fsq_dim=64),
+                        vae_config=VAEConfig.tiny(decoder_input_channels=64),
+                        dtype=jnp.float32,
+                        frame_bucket=20, min_frames=20, refer_frames=10)
+    h3.initialize_service(seed=0)
+    assert isinstance(h3.text_embedder, HashTextEmbedder)

@@ -21,6 +21,11 @@ from acestep_tpu.utils.progress import ProgressEstimator, ProgressTicker
 def test_tier_selection_by_hbm():
     assert get_tier_config(0.0).name == "tier_cpu"
     assert get_tier_config(0.0).max_batch == 8   # CPU: RAM isn't the limit
+    # positive-but-small memory must NOT get the unconstrained CPU tier
+    # (round-4 review pin: ACESTEP_MAX_HBM_GB=4 selected looser ceilings
+    # than 8 GB)
+    assert get_tier_config(4.0).name == "tier_4g"
+    assert get_tier_config(4.0).max_batch == 1
     assert get_tier_config(15.9).name == "tier_8g"
     assert get_tier_config(16.0).name == "tier_16g"
     assert get_tier_config(16.0).max_batch == 8
@@ -156,7 +161,11 @@ def test_effective_clamps():
     assert effective_batch(64, tier) == 8
     assert effective_batch(0, tier) == 1
     assert effective_duration(9999, tier) == 600.0
-    assert effective_duration(1, tier) == 10.0
+    # NO minimum floor: short requests pass through (the reference only
+    # nulls non-positive durations) — a 10 s floor silently rewrote every
+    # sub-10 s request (round-4 review pin)
+    assert effective_duration(1, tier) == 1.0
+    assert effective_duration(0.8, tier) == 0.8
 
 
 def test_progress_estimator_roundtrip(tmp_path):
