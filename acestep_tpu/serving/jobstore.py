@@ -80,6 +80,11 @@ class JobStore:
         self._jobs: Dict[str, JobRecord] = {}
         self._max_age = max_age_seconds
         self._persist_dir = persist_dir
+        # snapshot I/O runs OUTSIDE self._lock (serialized by _io_lock with
+        # a version counter) so SSE polls never block behind an fsync
+        self._io_lock = threading.Lock()
+        self._snap_version = 0
+        self._written_version = 0
         if persist_dir:
             self._load_persisted()
 
@@ -113,19 +118,32 @@ class JobStore:
                 job.error = "server restarted while job was in flight"
             self._jobs[job.job_id] = job
 
-    def _persist_locked(self) -> None:
+    def _snapshot_locked(self):
+        """Serialize the store under self._lock; the caller writes the
+        returned payload to disk AFTER releasing the lock (asdict deep-copies,
+        so the payload is immutable once built)."""
         if not self._persist_dir:
-            return
-        atomic_write_json(
-            self._snapshot_path,
-            {"jobs": [r.to_dict() for r in self._jobs.values()]},
-        )
+            return None
+        self._snap_version += 1
+        return ({"jobs": [r.to_dict() for r in self._jobs.values()]},
+                self._snap_version)
 
-    def _history(self, rec: JobRecord) -> None:
-        if self._persist_dir:
-            entry = rec.to_dict()
-            entry.pop("result", None)  # results can be large; history is metadata
-            append_jsonl(self._history_path, entry)
+    def _write_snapshot(self, snap) -> None:
+        if snap is None:
+            return
+        payload, version = snap
+        with self._io_lock:
+            if version <= self._written_version:
+                return      # a newer snapshot already hit the disk
+            self._written_version = version
+            atomic_write_json(self._snapshot_path, payload)
+
+    def _history_entry(self, rec: JobRecord) -> Optional[Dict[str, Any]]:
+        if not self._persist_dir:
+            return None
+        entry = rec.to_dict()
+        entry.pop("result", None)  # results can be large; history is metadata
+        return entry
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -138,7 +156,8 @@ class JobStore:
                         env=env, updated_at=now)
         with self._lock:
             self._jobs[job_id] = rec
-            self._persist_locked()
+            snap = self._snapshot_locked()
+        self._write_snapshot(snap)
         return rec
 
     def get(self, job_id: str) -> Optional[JobRecord]:
@@ -146,31 +165,42 @@ class JobStore:
             return self._jobs.get(job_id)
 
     def mark_running(self, job_id: str) -> None:
+        # No snapshot here: on reload both "queued" and "running" collapse
+        # to failed-by-restart (_load_persisted), so persisting the flip
+        # buys nothing and would cost a full-store rewrite per job.
         with self._lock:
             rec = self._jobs[job_id]
             rec.status = "running"
             rec.stage = "running"
             rec.started_at = rec.updated_at = time.time()
-            self._persist_locked()
 
     def mark_succeeded(self, job_id: str, result: Dict[str, Any]) -> None:
         with self._lock:
             rec = self._jobs[job_id]
-            rec.status = rec.stage = "succeeded"
-            rec.progress = 1.0
+            # result/progress land BEFORE the status flip: lock-free readers
+            # of the live record (SSE loops) key on status=='succeeded' and
+            # must never observe it with result still None
             rec.result = result
+            rec.progress = 1.0
             rec.finished_at = rec.updated_at = time.time()
-            self._persist_locked()
-            self._history(rec)
+            rec.status = rec.stage = "succeeded"
+            snap = self._snapshot_locked()
+            entry = self._history_entry(rec)
+        self._write_snapshot(snap)
+        if entry is not None:
+            append_jsonl(self._history_path, entry)
 
     def mark_failed(self, job_id: str, error: str) -> None:
         with self._lock:
             rec = self._jobs[job_id]
-            rec.status = rec.stage = "failed"
-            rec.error = error
+            rec.error = error       # error precedes the status flip, as above
             rec.finished_at = rec.updated_at = time.time()
-            self._persist_locked()
-            self._history(rec)
+            rec.status = rec.stage = "failed"
+            snap = self._snapshot_locked()
+            entry = self._history_entry(rec)
+        self._write_snapshot(snap)
+        if entry is not None:
+            append_jsonl(self._history_path, entry)
 
     def update_progress(self, job_id: str, progress: float,
                         stage: Optional[str] = None) -> None:
@@ -207,8 +237,8 @@ class JobStore:
             ]:
                 del self._jobs[job_id]
                 removed += 1
-            if removed:
-                self._persist_locked()
+            snap = self._snapshot_locked() if removed else None
+        self._write_snapshot(snap)
         return removed
 
     def get_stats(self) -> Dict[str, int]:

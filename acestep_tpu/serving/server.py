@@ -681,6 +681,8 @@ class _Handler(BaseHTTPRequestHandler):
                         manifest_path=body.get("manifest_path"),
                         config=config)
                     self._send_json(wrap_response(out))
+                except ValueError as e:
+                    self._send_json(wrap_response(None, 400, str(e)), 400)
                 except RuntimeError as e:
                     self._send_json(wrap_response(None, 409, str(e)), 409)
             elif route == "/v1/training/stop":

@@ -35,11 +35,16 @@ class TrainingService:
               config: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
         from acestep_tpu.training.lora import LoRATrainer, LoRATrainingConfig
 
+        if dataset_dir is None and manifest_path is None:
+            # validate before the thread exists: the reference API rejects
+            # this up front rather than returning 200 and failing async
+            raise ValueError("dataset_dir or manifest_path required")
         with self._lock:
             if self._thread and self._thread.is_alive():
                 raise RuntimeError("training already running")
             tcfg = LoRATrainingConfig(**(config or {}))
             self._stop_flag.clear()
+            self._events.clear()    # status() must not show the previous run
             self._state = {"status": "starting", "step": 0,
                            "max_steps": tcfg.max_steps,
                            "loss": None, "started_at": time.time(),
@@ -70,8 +75,6 @@ class TrainingService:
             from acestep_tpu.training.preprocess import preprocess_audio_files
 
             if dataset_dir is None:
-                if manifest_path is None:
-                    raise ValueError("dataset_dir or manifest_path required")
                 dataset_dir = os.path.join(tcfg.output_dir, "tensors")
                 self._update(status="preprocessing")
                 preprocess_audio_files(self.handler, manifest_path,
@@ -92,10 +95,11 @@ class TrainingService:
                     yield batch
 
             for step, loss, message in trainer.train(stoppable(batches)):
-                self._update(step=step, loss=loss)
-                self._events.append({"step": step, "loss": loss,
-                                     "message": message,
-                                     "ts": time.time()})
+                event = {"step": step, "loss": loss,
+                         "message": message, "ts": time.time()}
+                with self._lock:   # status() list()s the deque under the lock
+                    self._state.update(step=step, loss=loss)
+                    self._events.append(event)
                 append_jsonl(metrics_path, {"step": step, "loss": loss,
                                             "ts": time.time()})
                 if self._stop_flag.is_set():
@@ -155,28 +159,62 @@ class TrainingService:
 
     def tensorboard_start(self, logdir: Optional[str] = None,
                           port: int = 6006) -> Dict[str, Any]:
-        """Launch a TensorBoard subprocess when the binary exists
-        (reference _start_tensorboard); the JSONL metrics endpoint is the
+        """Launch a TensorBoard subprocess (reference _start_tensorboard).
+
+        The trainer itself logs to metrics.jsonl, not tfevents, so before
+        launching we export the run's JSONL into real tfevents under the
+        logdir (utils/tfevents.py) — otherwise the dashboard would be
+        permanently empty. The JSONL metrics endpoint stays the
         always-available fallback."""
         import shutil
         import subprocess
+        import sys
 
-        logdir = logdir or self._state.get("output_dir") or "."
-        binary = shutil.which("tensorboard")
-        if binary is None:
+        from acestep_tpu.utils import tfevents
+
+        logdir = logdir or self._state.get("output_dir")
+        if not logdir:
             raise RuntimeError(
-                "tensorboard is not installed; use /v1/training/metrics "
-                "for the JSONL loss curve instead")
+                "no training run active and no logdir given; pass logdir "
+                "or use /v1/training/metrics for the JSONL loss curve")
+        metrics_path = os.path.join(logdir, "metrics.jsonl")
+        exported = None
+        if not tfevents.has_event_files(logdir):
+            exported = tfevents.export_metrics_jsonl(metrics_path, logdir)
+            if exported is None:
+                raise RuntimeError(
+                    f"no tfevents and no plottable metrics.jsonl under "
+                    f"{logdir}; use /v1/training/metrics for the JSONL "
+                    f"loss curve instead")
+        binary = shutil.which("tensorboard")
+        if binary is not None:
+            cmd = [binary]
+        else:
+            try:                    # package without the console script
+                import tensorboard  # noqa: F401
+                cmd = [sys.executable, "-m", "tensorboard.main"]
+            except ImportError:
+                raise RuntimeError(
+                    "tensorboard is not installed; use /v1/training/metrics "
+                    "for the JSONL loss curve instead")
         with self._lock:
             proc = getattr(self, "_tb_proc", None)
             if proc is not None and proc.poll() is None:
                 return {"status": "already_running", "url": self._tb_url}
-            self._tb_proc = subprocess.Popen(
-                [binary, "--logdir", logdir, "--port", str(port),
-                 "--bind_all"],
+            proc = subprocess.Popen(
+                cmd + ["--logdir", logdir, "--port", str(port),
+                       "--bind_all"],
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            time.sleep(3.0)     # catch instant deaths (broken TB install)
+            if proc.poll() is not None:
+                raise RuntimeError(
+                    f"tensorboard exited immediately (rc={proc.returncode});"
+                    " use /v1/training/metrics for the JSONL loss curve"
+                    " instead")
+            self._tb_proc = proc
             self._tb_url = f"http://localhost:{port}"
-        return {"status": "started", "url": self._tb_url, "logdir": logdir}
+        return {"status": "started", "url": self._tb_url, "logdir": logdir,
+                "exported_events": exported}
 
     def tensorboard_stop(self) -> Dict[str, Any]:
         with self._lock:

@@ -60,28 +60,50 @@ def scan_audio_dir(audio_dir: str) -> List[Dict[str, Any]]:
     return entries
 
 
+def _fallback_caption(audio_path: str) -> str:
+    """Filename-derived caption used whenever no LM/sidecar caption exists."""
+    return os.path.splitext(
+        os.path.basename(audio_path))[0].replace("_", " ")
+
+
+def _understand_label(llm_handler, codes) -> Dict[str, Any]:
+    """LM understand() -> {caption?, metas?}; shared by auto_label and
+    the staged pipeline's stage_label so the two paths cannot diverge."""
+    out = llm_handler.understand(codes)
+    label: Dict[str, Any] = {}
+    if out.get("caption"):
+        label["caption"] = out["caption"]
+    metas = {k: out[k] for k in ("bpm", "keyscale", "timesignature")
+             if out.get(k)}
+    if metas:
+        label["metas"] = metas
+    return label
+
+
 def auto_label(entries: List[Dict[str, Any]], dit_handler,
                llm_handler=None, *, max_seconds: float = 30.0
                ) -> List[Dict[str, Any]]:
-    """Fill missing captions via tokenize->understand; defaults otherwise."""
+    """Fill missing captions via tokenize->understand; defaults otherwise.
+
+    One-shot convenience over raw audio; the staged DatasetBuildPipeline
+    does the same labeling via its latents cache (stage_label) with
+    per-file retry semantics."""
     for entry in entries:
         if entry.get("caption"):
             continue
-        caption = ""
+        label: Dict[str, Any] = {}
         if llm_handler is not None:
             try:
                 audio = load_audio(entry["audio_path"])
                 audio = audio[: int(max_seconds * SAMPLE_RATE)]
                 codes = dit_handler.audio_to_codes(np.asarray(audio))
-                out = llm_handler.understand(codes)
-                caption = out.get("caption", "")
-                for key in ("bpm", "keyscale", "timesignature"):
-                    if out.get(key):
-                        entry.setdefault("metas", {})[key] = out[key]
+                label = _understand_label(llm_handler, codes)
             except Exception:
-                caption = ""
-        entry["caption"] = caption or os.path.splitext(
-            os.path.basename(entry["audio_path"]))[0].replace("_", " ")
+                label = {}
+        if label.get("metas"):
+            entry.setdefault("metas", {}).update(label["metas"])
+        entry["caption"] = (label.get("caption")
+                            or _fallback_caption(entry["audio_path"]))
         entry.setdefault("lyrics", "[inst]")
     return entries
 
@@ -108,8 +130,6 @@ class DatasetBuildPipeline:
     Re-running `build()` after an interruption resumes: completed per-file
     artifacts are skipped, and `build_state.json` records stage completion.
     """
-
-    STAGES = ("scan", "encode", "label", "manifest", "tensors")
 
     def __init__(self, audio_dir: str, out_dir: str, dit_handler,
                  llm_handler=None, *, val_fraction: float = 0.0,
@@ -168,7 +188,8 @@ class DatasetBuildPipeline:
         lab_dir = os.path.join(self.out_dir, "labels")
         tens_dir = os.path.join(self.out_dir, "tensors")
         count = (lambda d, suf: len([f for f in os.listdir(d)
-                                     if f.endswith(suf)])
+                                     if f.endswith(suf)
+                                     and ".tmp" not in f])
                  if os.path.isdir(d) else 0)
         return {
             "stages_done": state["done"],
@@ -200,6 +221,14 @@ class DatasetBuildPipeline:
     def stage_encode(self) -> int:
         lat_dir = os.path.join(self.out_dir, "latents")
         os.makedirs(lat_dir, exist_ok=True)
+        # orphaned temp files from a crashed encode would otherwise live
+        # forever (and the legacy '.tmp.npy' suffix inflated status counts)
+        for name in os.listdir(lat_dir):
+            if name.endswith(".tmp") or name.endswith(".tmp.npy"):
+                try:
+                    os.remove(os.path.join(lat_dir, name))
+                except OSError:
+                    pass
         n_new = 0
         for e in self._entries():
             path = os.path.join(lat_dir, f"{e['id']}.npy")
@@ -208,8 +237,9 @@ class DatasetBuildPipeline:
             audio = load_audio(e["audio_path"])
             latents = self.dit.encode_audio(
                 np.asarray(audio))[: self.max_frames]
-            tmp = path + ".tmp.npy"           # atomic: resume-safe
-            np.save(tmp, np.asarray(latents, np.float32))
+            tmp = path + ".tmp"     # atomic + resume-safe; np.save to an
+            with open(tmp, "wb") as f:   # open handle keeps this suffix
+                np.save(f, np.asarray(latents, np.float32))
             os.replace(tmp, path)
             n_new += 1
         self._mark_done("encode")
@@ -226,26 +256,25 @@ class DatasetBuildPipeline:
             path = os.path.join(lab_dir, f"{e['id']}.json")
             if os.path.exists(path):
                 continue
-            label: Dict[str, Any] = {}
-            if not e.get("caption") and self.llm is not None:
-                try:
-                    latents = np.load(
-                        os.path.join(lat_dir, f"{e['id']}.npy"))
-                    codes = self.dit.latents_to_codes(
-                        latents[:max_label_frames])
-                    out = self.llm.understand(codes)
-                    if out.get("caption"):
-                        label["caption"] = out["caption"]
-                    metas = {k: out[k]
-                             for k in ("bpm", "keyscale", "timesignature")
-                             if out.get(k)}
-                    if metas:
-                        label["metas"] = metas
-                except Exception:
-                    # transient LM failure: leave NO label file so the next
-                    # build() retries this entry instead of baking an empty
-                    # label into the dataset forever
-                    continue
+            if e.get("caption") or self.llm is None:
+                # sidecar caption already present, or no labeler configured:
+                # leave NO label file, so a later build that DOES have an LM
+                # can still label this entry (an empty {} here would block
+                # LM labeling forever via the skip-existing check above)
+                continue
+            try:
+                latents = np.load(
+                    os.path.join(lat_dir, f"{e['id']}.npy"))
+                codes = self.dit.latents_to_codes(
+                    latents[:max_label_frames])
+                label = _understand_label(self.llm, codes)
+            except Exception:
+                # transient LM failure: leave NO label file so the next
+                # build() retries this entry instead of baking an empty
+                # label into the dataset forever
+                continue
+            if not label:
+                continue    # LM produced nothing usable; retry next build
             with open(path, "w", encoding="utf-8") as f:
                 json.dump(label, f, ensure_ascii=False)
             n_new += 1
@@ -266,8 +295,7 @@ class DatasetBuildPipeline:
                 except (OSError, ValueError):
                     pass
             if not e.get("caption"):
-                e["caption"] = os.path.splitext(os.path.basename(
-                    e["audio_path"]))[0].replace("_", " ")
+                e["caption"] = _fallback_caption(e["audio_path"])
             e.setdefault("lyrics", "[inst]")
         paths = {"manifest": write_manifest(
             entries, os.path.join(self.out_dir, "dataset.json"))}
@@ -285,6 +313,24 @@ class DatasetBuildPipeline:
                                             "dataset_train.json"))
         self._mark_done("manifest")
         return paths
+
+    def _cond_sig(self, entry: Dict[str, Any]) -> str:
+        """Hash of everything that flows into a tensor file BESIDES the
+        audio latents (those are keyed by the content-sensitive entry id).
+        stage_tensors compares this against a sidecar to invalidate stale
+        .npz files — otherwise skip_existing would bake the first-ever
+        caption in forever, defeating stage_label's retry design (a label
+        that succeeds on build N+1 must reach the training tensors)."""
+        import hashlib
+
+        payload = json.dumps(
+            {"caption": entry.get("caption", ""),
+             "lyrics": entry.get("lyrics", ""),
+             "metas": entry.get("metas") or {},
+             "vocal_language": entry.get("vocal_language", ""),
+             "max_frames": self.max_frames},
+            sort_keys=True, ensure_ascii=False)
+        return hashlib.sha1(payload.encode("utf-8")).hexdigest()
 
     def stage_tensors(self) -> Dict[str, int]:
         from acestep_tpu.training.preprocess import (
@@ -307,12 +353,31 @@ class DatasetBuildPipeline:
             if not os.path.exists(manifest_path):
                 continue
             samples = load_manifest(manifest_path)
+            out_sub = os.path.join(self.out_dir, sub)
+            sigs = {}
             for s in samples:
                 s["latents_path"] = os.path.join(lat_dir, f"{s['id']}.npy")
                 s["filename"] = f"{s['id']}.npz"
+                # invalidate tensors whose conditioning changed since they
+                # were built (late LM label, edited sidecar caption, ...)
+                sig = sigs[s["id"]] = self._cond_sig(s)
+                npz_path = os.path.join(out_sub, s["filename"])
+                sig_path = os.path.join(out_sub, f"{s['id']}.sig")
+                if os.path.exists(npz_path):
+                    try:
+                        with open(sig_path, "r", encoding="utf-8") as f:
+                            old_sig = f.read().strip()
+                    except OSError:
+                        old_sig = None
+                    if old_sig != sig:
+                        os.remove(npz_path)
             out = list(preprocess_samples(
-                self.dit, samples, os.path.join(self.out_dir, sub),
+                self.dit, samples, out_sub,
                 max_frames=self.max_frames, skip_existing=True))
+            for s in samples:   # record what each .npz was built from
+                sig_path = os.path.join(out_sub, f"{s['id']}.sig")
+                with open(sig_path, "w", encoding="utf-8") as f:
+                    f.write(sigs[s["id"]])
             counts[sub] = len(out)
         self._mark_done("tensors")
         return counts

@@ -21,7 +21,6 @@ from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np
 
-from acestep_tpu.constants import LATENT_RATE
 from acestep_tpu.pipeline import text as textlib
 from acestep_tpu.utils.audio import load_audio
 

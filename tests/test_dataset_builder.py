@@ -137,6 +137,108 @@ def test_pipeline_staged_resume(tmp_path):
     assert out2["num_samples"] == 2
 
 
+def test_no_llm_build_does_not_block_later_labeling(tmp_path):
+    """A build without an LM must leave NO label files, so a later build
+    WITH an LM still labels every entry — and the late label must reach
+    the already-built training tensors (stale-tensor invalidation)."""
+    from tests.test_training import _FakeHandler
+    from acestep_tpu.training.dataset_builder import DatasetBuildPipeline
+
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    _write_wav(audio_dir / "first_take.wav")
+
+    class CodesHandler(_FakeHandler):
+        def latents_to_codes(self, latents):
+            return "<|audio_code_1|>" * 5
+
+    out_dir = tmp_path / "ds"
+    pipe = DatasetBuildPipeline(str(audio_dir), str(out_dir),
+                                CodesHandler(), llm_handler=None)
+    out1 = pipe.build()
+    lab_dir = out_dir / "labels"
+    assert not lab_dir.exists() or not any(lab_dir.iterdir())
+    manifest1 = json.load(open(out1["manifest"]))
+    assert manifest1[0]["caption"] == "first take"   # filename fallback
+    npz = [f for f in os.listdir(out1["tensor_dir"]) if f.endswith(".npz")]
+    assert len(npz) == 1
+    cap1 = np.load(os.path.join(out1["tensor_dir"], npz[0]))["caption"]
+    assert bytes(cap1).decode() == "first take"
+
+    class FakeLLM:
+        def understand(self, codes):
+            return {"caption": "breezy bossa nova", "bpm": 120}
+
+    pipe2 = DatasetBuildPipeline(str(audio_dir), str(out_dir),
+                                 CodesHandler(), FakeLLM())
+    out2 = pipe2.build()
+    manifest2 = json.load(open(out2["manifest"]))
+    assert manifest2[0]["caption"] == "breezy bossa nova"
+    # the tensor file was rebuilt with the new conditioning, not skipped
+    cap2 = np.load(os.path.join(out2["tensor_dir"], npz[0]))["caption"]
+    assert bytes(cap2).decode() == "breezy bossa nova"
+
+
+def test_transient_label_failure_retries_and_tensors_refresh(tmp_path):
+    """An LM that throws on build 1 and succeeds on build 2: the retry
+    must happen AND the refreshed caption must reach the tensors."""
+    from tests.test_training import _FakeHandler
+    from acestep_tpu.training.dataset_builder import DatasetBuildPipeline
+
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    _write_wav(audio_dir / "take_two.wav")
+
+    class CodesHandler(_FakeHandler):
+        def latents_to_codes(self, latents):
+            return "<|audio_code_1|>" * 5
+
+    class FlakyLLM:
+        calls = 0
+
+        def understand(self, codes):
+            FlakyLLM.calls += 1
+            if FlakyLLM.calls == 1:
+                raise RuntimeError("transient")
+            return {"caption": "recovered caption"}
+
+    out_dir = str(tmp_path / "ds")
+    out1 = DatasetBuildPipeline(str(audio_dir), out_dir, CodesHandler(),
+                                FlakyLLM()).build()
+    m1 = json.load(open(out1["manifest"]))
+    assert m1[0]["caption"] == "take two"            # fallback on failure
+    out2 = DatasetBuildPipeline(str(audio_dir), out_dir, CodesHandler(),
+                                FlakyLLM()).build()
+    assert FlakyLLM.calls == 2                       # retried, not skipped
+    m2 = json.load(open(out2["manifest"]))
+    assert m2[0]["caption"] == "recovered caption"
+    npz = [f for f in os.listdir(out2["tensor_dir"]) if f.endswith(".npz")]
+    cap = np.load(os.path.join(out2["tensor_dir"], npz[0]))["caption"]
+    assert bytes(cap).decode() == "recovered caption"
+
+
+def test_orphan_tmp_files_cleaned_and_not_counted(tmp_path):
+    from tests.test_training import _FakeHandler
+    from acestep_tpu.training.dataset_builder import DatasetBuildPipeline
+
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    _write_wav(audio_dir / "a.wav")
+    pipe = DatasetBuildPipeline(str(audio_dir), str(tmp_path / "ds"),
+                                _FakeHandler())
+    pipe.stage_scan()
+    lat_dir = tmp_path / "ds" / "latents"
+    lat_dir.mkdir(parents=True)
+    # orphans from a crashed encode: current and legacy temp suffixes
+    (lat_dir / "dead.npy.tmp").write_bytes(b"x")
+    (lat_dir / "dead.npy.tmp.npy").write_bytes(b"x")
+    assert pipe.status()["encoded"] == 0             # tmp files not counted
+    pipe.stage_encode()
+    names = sorted(os.listdir(lat_dir))
+    assert not any(".tmp" in n for n in names)       # orphans removed
+    assert pipe.status()["encoded"] == 1
+
+
 def test_pipeline_labels_via_llm(tmp_path):
     from tests.test_training import _FakeHandler
     from acestep_tpu.training.dataset_builder import DatasetBuildPipeline

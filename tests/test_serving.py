@@ -221,6 +221,54 @@ def test_jobstore_persistence_and_restart(tmp_path):
     assert {l["status"] for l in lines} == {"succeeded"}
 
 
+def test_jobstore_terminal_fields_set_before_status_flip(tmp_path):
+    """Lock-free readers of the live record (SSE loops) key on
+    status=='succeeded'; result/error must already be visible then."""
+    from acestep_tpu.serving.jobstore import JobRecord
+
+    trace = []
+
+    class TracingRecord(JobRecord):
+        def __setattr__(self, key, value):
+            object.__setattr__(self, key, value)
+            if key in ("status", "result", "error"):
+                trace.append((key, value))
+
+    store = JobStore()
+    rec = store.create()
+    store._jobs[rec.job_id].__class__ = TracingRecord
+    trace.clear()
+    store.mark_succeeded(rec.job_id, {"audio": "x.wav"})
+    keys = [k for k, _ in trace]
+    assert keys.index("result") < keys.index("status")
+
+    rec2 = store.create()
+    store._jobs[rec2.job_id].__class__ = TracingRecord
+    trace.clear()
+    store.mark_failed(rec2.job_id, "boom")
+    keys = [k for k, _ in trace]
+    assert keys.index("error") < keys.index("status")
+
+
+def test_jobstore_snapshot_only_on_create_and_terminal(tmp_path):
+    """mark_running must not rewrite the O(all-jobs) snapshot (reload
+    collapses queued and running to failed-by-restart either way)."""
+    persist = str(tmp_path / "persist")
+    store = JobStore(persist_dir=persist)
+    rec = store.create()
+    path = os.path.join(persist, "jobs.json")
+    with open(path) as f:
+        after_create = f.read()
+    store.mark_running(rec.job_id)
+    with open(path) as f:
+        assert f.read() == after_create      # byte-identical: no rewrite
+    store.mark_succeeded(rec.job_id, {"ok": 1})
+    with open(path) as f:
+        snap = json.load(f)
+    assert snap["jobs"][0]["status"] == "succeeded"
+    assert snap["jobs"][0]["result"] == {"ok": 1}
+
+
 def test_result_cache_ttl(tmp_path):
     cache = LocalResultCache(str(tmp_path / "cache.json"))
     cache.set(RESULT_KEY_PREFIX + "a", [{"status": 1}], ex=1000)

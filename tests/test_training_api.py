@@ -247,6 +247,17 @@ def test_metrics_endpoint(tiny_server):
     assert m["steps"][-1] == 9 and len(m["steps"]) <= 5
 
 
+def test_training_start_without_dataset_rejected_400(tiny_server):
+    """Missing dataset_dir/manifest_path must fail the request up front,
+    not return 200 and flip to failed asynchronously."""
+    _, state, port, _ = tiny_server
+    status, out = _post(port, "/v1/training/start",
+                        {"config": {"max_steps": 1}})
+    assert status == 400
+    assert "dataset_dir or manifest_path" in (out["error"] or "")
+    assert state.training.status()["status"] == "idle"
+
+
 def test_tensorboard_endpoints_graceful(tiny_server, monkeypatch):
     handler, state, port, tmp_path = tiny_server
     import shutil as _shutil
