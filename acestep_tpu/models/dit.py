@@ -682,11 +682,19 @@ def prepare_condition(params: dict, cfg: DiTConfig, *,
                       tokenize_latents=None,
                       precomputed_lm_hints_25hz=None,
                       audio_codes=None,
+                      audio_codes_row_mask=None,
                       max_refer_count: int = 1):
     """Build (encoder_hidden_states, encoder_attention_mask, context_latents).
 
     LM-hint source precedence mirrors the reference: precomputed 25 Hz hints
     > audio codes > tokenize(src)->detokenize roundtrip.
+
+    audio_codes_row_mask (B,) marks which rows actually carry code hints in
+    a MIXED batch: hint-less cover rows take the tokenize-roundtrip hints of
+    their own src/silence latents instead of detokenized all-zero codes —
+    the reference's service path decodes hints per row up front
+    (conditioning_target.py:42, service_generate_execute.py:30 discards the
+    batched codes tensor), which this mask reproduces in one program.
     """
     enc, enc_mask = condition_encoder(
         params, cfg,
@@ -709,21 +717,31 @@ def prepare_condition(params: dict, cfg: DiTConfig, *,
             hints = jnp.pad(hints, ((0, 0), (0, short), (0, 0)))
         return hints
 
-    if precomputed_lm_hints_25hz is not None:
-        lm_hints = fit_to_T(precomputed_lm_hints_25hz)
-    elif audio_codes is not None:
-        q = audio_codes_to_quantized(params, cfg, audio_codes)
-        lm_hints = fit_to_T(audio_detokenize(params, cfg, q))
-    else:
+    def roundtrip_hints():
         x = src_latents if tokenize_latents is None else tokenize_latents
         pad = (-x.shape[1]) % cfg.pool_window_size
         if pad:
             filler = (silence_latent[:1, :pad, :] if silence_latent is not None
                       else jnp.zeros_like(x[:1, :pad]))
-            x = jnp.concatenate(
-                [x, jnp.broadcast_to(filler, (x.shape[0], pad, x.shape[2]))], axis=1)
-        q, _ = audio_tokenize(params, cfg, x)
-        lm_hints = audio_detokenize(params, cfg, q)[:, :T, :]
+            x2 = jnp.concatenate(
+                [x, jnp.broadcast_to(filler, (x.shape[0], pad, x.shape[2]))],
+                axis=1)
+        else:
+            x2 = x
+        q, _ = audio_tokenize(params, cfg, x2)
+        return audio_detokenize(params, cfg, q)[:, :T, :]
+
+    if precomputed_lm_hints_25hz is not None:
+        lm_hints = fit_to_T(precomputed_lm_hints_25hz)
+    elif audio_codes is not None:
+        q = audio_codes_to_quantized(params, cfg, audio_codes)
+        lm_hints = fit_to_T(audio_detokenize(params, cfg, q))
+        if audio_codes_row_mask is not None:
+            has_row = audio_codes_row_mask.reshape(-1, 1, 1)
+            lm_hints = jnp.where(has_row > 0, lm_hints,
+                                 roundtrip_hints().astype(lm_hints.dtype))
+    else:
+        lm_hints = roundtrip_hints()
 
     is_c = is_covers.reshape(-1, 1, 1).astype(src_latents.dtype)
     src = jnp.where(is_c > 0, lm_hints.astype(src_latents.dtype), src_latents)

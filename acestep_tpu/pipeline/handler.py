@@ -387,6 +387,8 @@ class AceStepHandler:
         upload lengths share one compiled program per 10 s bucket (the same
         discipline as generation; exact-shape keys would recompile per
         request and grow the cache unboundedly)."""
+        from acestep_tpu.models.vae_tiled import DEFAULT_ENCODE_CHUNK
+
         x = np.asarray(audio, np.float32)
         hop = self.vae_cfg.hop_length
         T_real = -(-x.shape[0] // hop)
@@ -394,16 +396,19 @@ class AceStepHandler:
         pad = (-x.shape[0]) % bucket_samples
         if pad:
             x = np.pad(x, ((0, pad), (0, 0)))
-        chunk, groups = None, None
+        # explicit first-attempt plan: the OOM ladder must be seeded with
+        # the chunk the FAILED attempt actually used (a tier.encode_chunk
+        # larger than the default would make the first retry no smaller
+        # than the failure, burning a recompile for nothing)
+        chunk = min(self.tier.encode_chunk, DEFAULT_ENCODE_CHUNK)
+        groups = 8
         while True:
             try:
                 z = self._encode_fn(x[None].shape, chunk, groups)(
                     self.vae_params, x[None].astype(self.dtype))
                 return np.asarray(z[0][:T_real], np.float32)
             except Exception as e:  # noqa: BLE001 — ladder filters below
-                chunk, groups = _degrade_plan(
-                    e, chunk if chunk is not None else self.tier.encode_chunk,
-                    groups if groups is not None else 8, min_chunk=64)
+                chunk, groups = _degrade_plan(e, chunk, groups, min_chunk=64)
 
     def decode_latents(self, latents) -> np.ndarray:
         """(B, T, 64) -> (B, samples, 2) float32.
@@ -540,6 +545,9 @@ class AceStepHandler:
             )
             if "audio_codes" in inputs:
                 cond_inputs["audio_codes"] = inputs["audio_codes"]
+                if "audio_codes_row_mask" in inputs:
+                    cond_inputs["audio_codes_row_mask"] = \
+                        inputs["audio_codes_row_mask"]
             if "precomputed_lm_hints_25hz" in inputs:
                 cond_inputs["precomputed_lm_hints_25hz"] = \
                     inputs["precomputed_lm_hints_25hz"]
@@ -760,6 +768,12 @@ class AceStepHandler:
                 cfg.pool_window_size
         else:
             T_req = 30 * LATENT_RATE
+        # the tier duration ceiling applies however the length was derived
+        # (explicit duration, src-audio length, or code hints) — a 600 s
+        # upload on a small tier must not bypass the guard and OOM the
+        # jitted diffusion program, which has no degradation ladder
+        T_req = min(T_req, int(
+            effective_duration(T_req / LATENT_RATE, self.tier) * LATENT_RATE))
         T = _pad_frames_to(T_req, self.frame_bucket, self.min_frames)
 
         silence_T = self._silence(T).astype(np.float32)
@@ -832,6 +846,14 @@ class AceStepHandler:
                 if c is not None:
                     codes_mat[i, : min(len(c), T5)] = c[:T5]
             extra_inputs["audio_codes"] = codes_mat.astype(np.int32)
+            if not all(c is not None and len(c) for c in codes_arrays):
+                # MIXED batch: hint-less cover rows must take the tokenize
+                # roundtrip of their own src/silence, not detokenized
+                # all-zero codes (reference decodes hints per row —
+                # conditioning_target.py:42)
+                extra_inputs["audio_codes_row_mask"] = np.asarray(
+                    [c is not None and len(c) > 0 for c in codes_arrays],
+                    np.bool_)
 
         # ---- text conditioning
         actual_captions, actual_languages = textlib.extract_caption_and_language(
@@ -980,6 +1002,8 @@ class AceStepHandler:
         if B_req < B:
             pred = pred[:B_req]          # drop mesh padding rows pre-decode
             seeds_list = seeds_list[:B_req]
+            spans = spans[:B_req]        # keep extra{} aligned with audios
+            is_cover_rows = is_cover_rows[:B_req]
 
         t0 = time.time()
         audio = self.decode_latents(pred)[:, : T_req * VAE_HOP]

@@ -114,7 +114,16 @@ def detect_hbm_gb() -> float:
             return 0.0
         stats = getattr(device, "memory_stats", lambda: None)()
         if stats and "bytes_limit" in stats:
-            return stats["bytes_limit"] / (1 << 30)
+            # bytes_limit is USABLE memory (XLA subtracts a framework
+            # reservation, typically 5-10%), while tier thresholds are
+            # nominal chip sizes — snap up to the nominal capacity so a
+            # real 16 GB v5e selects tier_16g instead of demoting to
+            # tier_8g (and 32 GB v4/v5p to tier_16g)
+            usable = stats["bytes_limit"] / (1 << 30)
+            for nominal in (96.0, 80.0, 48.0, 32.0, 24.0, 16.0, 8.0):
+                if usable >= nominal * 0.88 and usable <= nominal:
+                    return nominal
+            return usable
         # platform heuristics when memory_stats is unavailable (tunnels)
         kind = (getattr(device, "device_kind", "") or "").lower()
         if "v5 lite" in kind or "v5e" in kind:

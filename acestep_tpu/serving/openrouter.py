@@ -61,8 +61,35 @@ def audio_to_base64_url(path: str, audio_format: str) -> Optional[str]:
     return f"data:{mime};base64,{b64}"
 
 
+def sniff_audio_format(data: bytes) -> Optional[str]:
+    """Container format from magic bytes; None when unrecognized.
+
+    The request carries ONE upload_audio_format for both src and reference
+    uploads (reference schema), so a ref.mp3 next to a src.wav would
+    otherwise be written with the wrong extension and fail the
+    extension-dispatched decoder (utils/audio.load_audio)."""
+    head = data[:16]
+    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        return "wav"
+    if head[:4] == b"fLaC":
+        return "flac"
+    if head[:4] == b"OggS":
+        return "ogg"
+    if head[4:8] == b"ftyp":
+        return "m4a"
+    if head[:3] == b"ID3":
+        return "mp3"
+    if len(head) >= 2 and head[0] == 0xFF:
+        if (head[1] & 0xF6) == 0xF0:
+            return "aac"        # ADTS sync
+        if (head[1] & 0xE0) == 0xE0:
+            return "mp3"        # MPEG audio frame sync
+    return None
+
+
 def base64_to_temp_file(b64_data: str, audio_format: str = "wav") -> str:
     data = base64.b64decode(b64_data)
+    audio_format = sniff_audio_format(data) or audio_format
     fd, path = tempfile.mkstemp(suffix=f".{audio_format}",
                                 prefix="acestep_or_")
     with os.fdopen(fd, "wb") as f:

@@ -138,4 +138,8 @@ def _coerce(annot: str, value: Any) -> Any:
                 return value
         if annot == "bool":
             return text.lower() in ("1", "true", "yes", "on")
+        if annot.startswith(("List[str]", "Optional[List[str]]")):
+            # a bare string for a string-list field would otherwise be
+            # iterated per character downstream (', '.join garbling)
+            return [p.strip() for p in text.split(",") if p.strip()]
     return value

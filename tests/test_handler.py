@@ -77,6 +77,57 @@ def test_cover_via_audio_codes(handler):
     assert np.all(np.isfinite(res.pred_latents))
 
 
+def test_tier_duration_ceiling_applies_to_derived_lengths(handler):
+    """The tier max-duration guard must clamp lengths derived from src
+    audio or code hints, not only explicit audio_duration — the jitted
+    diffusion program has no OOM ladder to catch the overshoot."""
+    import dataclasses
+
+    from acestep_tpu.runtime_config import get_tier_config
+
+    orig = handler.tier
+    try:
+        handler.tier = dataclasses.replace(
+            get_tier_config(8.0), max_duration_s=1.6)   # 40 latent frames
+        # src audio 4x over the ceiling (tiny VAE hop=8 samples/frame)
+        hop = handler.vae_cfg.hop_length
+        src = np.zeros((int(4 * 1.6 * 25) * hop, 2), np.float32)
+        res = handler.generate_music("cover it", "la", src_audio=src,
+                                     task="cover", seeds=1)
+        assert res.extra["frames"] <= int(1.6 * 25)
+        # code hints over the ceiling clamp the same way
+        n_codes = int(4 * 1.6 * 25) // handler.cfg.pool_window_size
+        codes = "".join(f"<|audio_code_{i % 50}|>" for i in range(n_codes))
+        res = handler.generate_music("cover it", "la",
+                                     audio_code_hints=codes, seeds=1)
+        assert res.extra["frames"] <= int(1.6 * 25)
+    finally:
+        handler.tier = orig
+
+
+def test_mixed_code_hint_batch_roundtrips_hintless_rows(handler):
+    """A batch where only SOME rows carry code hints: per the reference,
+    every row under the cover task is is_cover=True, but a hint-less row's
+    LM hints come from the tokenize-roundtrip of its OWN src/silence
+    (conditioning_target.py:42 decodes hints per row) — NOT from
+    detokenizing its all-zero padding in the batched codes matrix."""
+    codes = "".join(f"<|audio_code_{i * 10}|>" for i in range(4))
+    kw = dict(audio_duration=0.8, normalize=False)
+    res = handler.generate_music(
+        ["with codes", "without codes"], ["la", "la"],
+        audio_code_hints=[codes, None], seeds=[1, 2], batch_size=2, **kw)
+    assert res.extra["task"] == "cover"          # batch-level auto-switch
+    assert res.extra["is_covers"] == [True, True]
+    assert np.all(np.isfinite(res.pred_latents))
+    # the hint-less row must equal the same request run WITHOUT any codes
+    # in the batch (cover task, roundtrip hints), which it would not if it
+    # were conditioned on zero-codes embeddings
+    ref = handler.generate_music(
+        ["without codes"], ["la"], task="cover", seeds=[2], **kw)
+    np.testing.assert_allclose(res.pred_latents[1], ref.pred_latents[0],
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_repaint_span(handler):
     # 20 frames at hop 1920/48k: repaint seconds map via SAMPLE_RATE//VAE_HOP
     res = handler.generate_music(

@@ -43,6 +43,10 @@ def test_mesh_pads_indivisible_batch():
     assert len(out.audios) == 3
     assert out.pred_latents.shape[0] == 3
     assert out.seeds == [1, 2, 3]
+    # extra{} lists must be trimmed to the request batch too — consumers
+    # zip them with audios per item
+    assert len(out.extra["spans"]) == 3
+    assert len(out.extra["is_covers"]) == 3
     np.testing.assert_allclose(out.pred_latents, ref.pred_latents,
                                rtol=2e-4, atol=2e-4)
 

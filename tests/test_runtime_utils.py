@@ -33,6 +33,34 @@ def test_tier_selection_by_hbm():
     assert get_tier_config(40.0).lm_size == "4B"
 
 
+def test_detect_hbm_snaps_bytes_limit_to_nominal(monkeypatch):
+    """XLA's bytes_limit is usable (reservation-subtracted) memory; a real
+    16 GB v5e reports ~15.x GB and must still select tier_16g, not demote
+    one tier down."""
+    import jax
+
+    class FakeDev:
+        platform = "tpu"
+        device_kind = "TPU v5 lite"
+
+        @staticmethod
+        def memory_stats():
+            return {"bytes_limit": int(15.3 * (1 << 30))}
+
+    monkeypatch.setattr(jax, "devices", lambda: [FakeDev()])
+    monkeypatch.delenv("ACESTEP_MAX_HBM_GB", raising=False)
+    assert detect_hbm_gb() == 16.0
+    assert get_tier_config(detect_hbm_gb()).name == "tier_16g"
+    # 32 GB v4/v5p with ~8% reservation
+    FakeDev.memory_stats = staticmethod(
+        lambda: {"bytes_limit": int(29.7 * (1 << 30))})
+    assert detect_hbm_gb() == 32.0
+    # far-below-nominal values (true smaller devices) pass through
+    FakeDev.memory_stats = staticmethod(
+        lambda: {"bytes_limit": int(12.0 * (1 << 30))})
+    assert detect_hbm_gb() == 12.0
+
+
 def test_tier16_selects_4b_w8a8():
     """16 GB tier auto-selects the 4B planner at w8a8 (reference >=16 GB
     tiers run 4B, gpu_config.py:268-311), with a downgrade ladder ending

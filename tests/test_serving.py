@@ -221,6 +221,59 @@ def test_jobstore_persistence_and_restart(tmp_path):
     assert {l["status"] for l in lines} == {"succeeded"}
 
 
+def test_schema_coerces_string_list_fields():
+    from acestep_tpu.serving.schemas import GenerateMusicRequest
+
+    req = GenerateMusicRequest.from_dict(
+        {"task_type": "complete", "track_classes": "drums"})
+    assert req.track_classes == ["drums"]     # not per-character iteration
+    req = GenerateMusicRequest.from_dict(
+        {"track_classes": "drums, bass , vocals"})
+    assert req.track_classes == ["drums", "bass", "vocals"]
+    req = GenerateMusicRequest.from_dict({"track_classes": ["guitar"]})
+    assert req.track_classes == ["guitar"]    # real lists pass through
+
+
+def test_upload_format_sniffed_from_magic_bytes(tmp_path):
+    """One shared upload_audio_format covers both src and ref uploads; the
+    server corrects a wrong/missing claim from the container magic."""
+    import base64
+
+    from acestep_tpu.serving.openrouter import (
+        base64_to_temp_file, sniff_audio_format)
+
+    wav = b"RIFF\x24\x00\x00\x00WAVEfmt " + bytes(24)
+    flac = b"fLaC" + bytes(16)
+    ogg = b"OggS" + bytes(16)
+    m4a = bytes(4) + b"ftypM4A " + bytes(8)
+    mp3_id3 = b"ID3\x04\x00" + bytes(16)
+    mp3_sync = b"\xff\xfb\x90\x00" + bytes(16)
+    aac_adts = b"\xff\xf1\x50\x80" + bytes(16)
+    assert sniff_audio_format(wav) == "wav"
+    assert sniff_audio_format(flac) == "flac"
+    assert sniff_audio_format(ogg) == "ogg"
+    assert sniff_audio_format(m4a) == "m4a"
+    assert sniff_audio_format(mp3_id3) == "mp3"
+    assert sniff_audio_format(mp3_sync) == "mp3"
+    assert sniff_audio_format(aac_adts) == "aac"
+    assert sniff_audio_format(b"garbage") is None
+
+    # an mp3 upload claiming "wav" (studio's single format field) lands
+    # with the extension the decoder actually needs
+    path = base64_to_temp_file(
+        base64.b64encode(mp3_id3).decode(), "wav")
+    try:
+        assert path.endswith(".mp3")
+    finally:
+        os.unlink(path)
+    # unrecognized bytes fall back to the claimed format
+    path = base64_to_temp_file(base64.b64encode(b"garbage").decode(), "wav")
+    try:
+        assert path.endswith(".wav")
+    finally:
+        os.unlink(path)
+
+
 def test_jobstore_terminal_fields_set_before_status_flip(tmp_path):
     """Lock-free readers of the live record (SSE loops) key on
     status=='succeeded'; result/error must already be visible then."""
