@@ -170,6 +170,37 @@ def test_dice_endpoint_serves_examples(live):
 # ------------------------------------------------------------------
 
 
+def test_numeric_inputs_preserve_explicit_zero(page):
+    """`parseFloat(x) || default` eats a legitimate 0 (greedy temperature,
+    uncond guidance); the numOr helper must be used for those fields."""
+    assert "const numOr" in page
+    for field in ('numOr($("guidance").value',
+                  'numOr($("shift").value',
+                  'numOr($("lm-temp").value',
+                  'numOr($("lm-cfg").value'):
+        assert field in page, f"{field} not using numOr"
+    # the || pattern must not survive on these fields
+    assert 'parseFloat($("lm-temp").value) ||' not in page
+    assert 'parseFloat($("guidance").value) ||' not in page
+
+
+def test_poll_loop_guards_error_responses(page):
+    """An error-shaped /query_result body must stop the poll interval
+    (previously res.data[0] threw every tick with Generate disabled)."""
+    i = page.index('api("/query_result"')
+    window = page[i:i + 700]
+    assert "res && res.data && res.data[0]" in window
+    assert "clearInterval(polling)" in window
+
+
+def test_ref_only_upload_stamps_format(page):
+    """A reference-audio upload with no src file must still set
+    upload_audio_format (server sniffs magic bytes as the backstop)."""
+    i = page.index("reference_audio_b64")
+    window = page[i:i + 300]
+    assert "upload_audio_format" in window
+
+
 def test_js_dom_ids_wired(page):
     """Every getElementById/querySelector('#...') target in the UI's JS
     exists in the DOM (or is created by the JS itself)."""
