@@ -759,6 +759,40 @@ class AceStepHandler:
                 src_audio = load_audio(src_audio)
             src_latent_single = self.encode_audio(np.asarray(src_audio))
 
+        # a negative repainting_end means "to the end" (reference
+        # padding_utils.py:42-44 treats None and <0 identically)
+        if repainting_end is not None and repainting_end < 0:
+            repainting_end = None
+
+        # ---- outpainting (reference padding_utils.py:37-67 + the
+        # coordinate shift of conditioning_masks.py:39-41): a negative
+        # repainting_start extends the song LEFT of the source audio, an
+        # end beyond the source duration extends it RIGHT — the source is
+        # padded with silence latents and the repaint span shifts into the
+        # padded timeline, so only the new material is regenerated
+        if src_latent_single is not None and (
+                repainting_start is not None or repainting_end is not None):
+            rs0 = float(repainting_start or 0.0)
+            src_T0 = src_latent_single.shape[0]
+            src_dur = src_T0 / LATENT_RATE
+            left_s = max(0.0, -rs0)
+            actual_end = repainting_end if repainting_end is not None \
+                else src_dur
+            right_s = max(0.0, actual_end - src_dur)
+            left_f = int(left_s * LATENT_RATE)
+            right_f = int(right_s * LATENT_RATE)
+            if left_f or right_f:
+                sil = np.asarray(self._silence(max(left_f, right_f)),
+                                 np.float32)
+                src_latent_single = np.concatenate(
+                    [sil[:left_f],
+                     np.asarray(src_latent_single, np.float32),
+                     sil[:right_f]], axis=0)
+            if left_s > 0:
+                repainting_start = rs0 + left_s        # == 0.0
+                if repainting_end is not None:
+                    repainting_end = repainting_end + left_s
+
         if audio_duration and audio_duration > 0:
             T_req = int(audio_duration * LATENT_RATE)
         elif src_latent_single is not None:

@@ -139,6 +139,36 @@ def test_repaint_span(handler):
     assert 0 <= s < e <= res.pred_latents.shape[1]
 
 
+def test_repaint_outpainting_extends_timeline(handler):
+    """Reference padding_utils.py:37-67: a negative repainting_start
+    extends the song left of the src audio, an end past the src duration
+    extends it right; the repaint span shifts into the padded timeline so
+    only the NEW material regenerates."""
+    hop = handler.vae_cfg.hop_length
+    src = np.random.RandomState(0).randn(20 * hop, 2).astype(np.float32) * .1
+
+    # extend LEFT by 0.8 s (20 frames): new span covers only the new head
+    res = handler.generate_music(
+        "intro extension", "la", src_audio=src,
+        repainting_start=-0.8, repainting_end=0.0, seeds=3)
+    assert res.extra["frames"] == 40            # 20 new + 20 src
+    assert res.extra["spans"][0] == ("repainting", 0, 20)
+
+    # extend RIGHT to 1.6 s: span covers only the new tail
+    res = handler.generate_music(
+        "outro extension", "la", src_audio=src,
+        repainting_start=0.8, repainting_end=1.6, seeds=3)
+    assert res.extra["frames"] == 40
+    assert res.extra["spans"][0] == ("repainting", 20, 40)
+
+    # a negative end means "to the end of the source" (no extension)
+    res = handler.generate_music(
+        "tail repaint", "la", src_audio=src,
+        repainting_start=0.4, repainting_end=-1, seeds=3)
+    assert res.extra["frames"] == 20
+    assert res.extra["spans"][0] == ("repainting", 10, 20)
+
+
 def test_refer_audio_conditioning(handler):
     rng = np.random.default_rng(0)
     ref = (rng.standard_normal((handler.vae_cfg.hop_length * 12, 2)) * 0.1
