@@ -682,19 +682,20 @@ def prepare_condition(params: dict, cfg: DiTConfig, *,
                       tokenize_latents=None,
                       precomputed_lm_hints_25hz=None,
                       audio_codes=None,
-                      audio_codes_row_mask=None,
+                      audio_codes_valid_frames=None,
                       max_refer_count: int = 1):
     """Build (encoder_hidden_states, encoder_attention_mask, context_latents).
 
     LM-hint source precedence mirrors the reference: precomputed 25 Hz hints
     > audio codes > tokenize(src)->detokenize roundtrip.
 
-    audio_codes_row_mask (B,) marks which rows actually carry code hints in
-    a MIXED batch: hint-less cover rows take the tokenize-roundtrip hints of
-    their own src/silence latents instead of detokenized all-zero codes —
-    the reference's service path decodes hints per row up front
-    (conditioning_target.py:42, service_generate_execute.py:30 discards the
-    batched codes tensor), which this mask reproduces in one program.
+    audio_codes_valid_frames (B,) int32 gives the per-row number of hint
+    frames actually backed by codes; frames beyond it take the SILENCE
+    latent. This reproduces the reference's precomputed-hints assembly
+    (conditioning_text.py:33-55): short code hints are silence-padded to
+    the batch length, and a hint-less row in a mixed batch gets silence
+    hints — never the detokenization of its all-zero padding in the
+    batched codes matrix.
     """
     enc, enc_mask = condition_encoder(
         params, cfg,
@@ -736,10 +737,13 @@ def prepare_condition(params: dict, cfg: DiTConfig, *,
     elif audio_codes is not None:
         q = audio_codes_to_quantized(params, cfg, audio_codes)
         lm_hints = fit_to_T(audio_detokenize(params, cfg, q))
-        if audio_codes_row_mask is not None:
-            has_row = audio_codes_row_mask.reshape(-1, 1, 1)
-            lm_hints = jnp.where(has_row > 0, lm_hints,
-                                 roundtrip_hints().astype(lm_hints.dtype))
+        if audio_codes_valid_frames is not None and silence_latent is not None:
+            valid = (jnp.arange(T)[None, :]
+                     < audio_codes_valid_frames[:, None])          # (B, T)
+            sil = jnp.broadcast_to(
+                silence_latent[:1, :T, :].astype(lm_hints.dtype),
+                lm_hints.shape)
+            lm_hints = jnp.where(valid[..., None], lm_hints, sil)
     else:
         lm_hints = roundtrip_hints()
 

@@ -545,9 +545,9 @@ class AceStepHandler:
             )
             if "audio_codes" in inputs:
                 cond_inputs["audio_codes"] = inputs["audio_codes"]
-                if "audio_codes_row_mask" in inputs:
-                    cond_inputs["audio_codes_row_mask"] = \
-                        inputs["audio_codes_row_mask"]
+                if "audio_codes_valid_frames" in inputs:
+                    cond_inputs["audio_codes_valid_frames"] = \
+                        inputs["audio_codes_valid_frames"]
             if "precomputed_lm_hints_25hz" in inputs:
                 cond_inputs["precomputed_lm_hints_25hz"] = \
                     inputs["precomputed_lm_hints_25hz"]
@@ -754,6 +754,18 @@ class AceStepHandler:
         # ---- source audio -> latents & frame geometry
         t0 = time.time()
         src_latent_single = None
+        if (src_audio is not None and task == "text2music"
+                and repainting_start is None and repainting_end is None):
+            # reference generate_music_request.py:118: text2music does not
+            # use src_audio — conditioning on it anyway would silently turn
+            # a pure-text request into a quasi-cover. (Repaint coordinates
+            # signal repaint intent here even under the default task; the
+            # reference requires task_type="repaint" for those.)
+            src_audio = None
+        if src_audio is not None and has_codes:
+            # reference :121: audio codes win over src_audio (encoding the
+            # src would also waste a VAE pass and change the derived length)
+            src_audio = None
         if src_audio is not None:
             if isinstance(src_audio, str):
                 src_audio = load_audio(src_audio)
@@ -876,18 +888,18 @@ class AceStepHandler:
         if has_codes:
             T5 = T // cfg.pool_window_size
             codes_mat = np.zeros((B, T5), np.int64)
+            valid_frames = np.zeros((B,), np.int32)
             for i, c in enumerate(codes_arrays):
                 if c is not None:
-                    codes_mat[i, : min(len(c), T5)] = c[:T5]
+                    n = min(len(c), T5)
+                    codes_mat[i, :n] = c[:n]
+                    valid_frames[i] = n * cfg.pool_window_size
             extra_inputs["audio_codes"] = codes_mat.astype(np.int32)
-            if not all(c is not None and len(c) for c in codes_arrays):
-                # MIXED batch: hint-less cover rows must take the tokenize
-                # roundtrip of their own src/silence, not detokenized
-                # all-zero codes (reference decodes hints per row —
-                # conditioning_target.py:42)
-                extra_inputs["audio_codes_row_mask"] = np.asarray(
-                    [c is not None and len(c) > 0 for c in codes_arrays],
-                    np.bool_)
+            # frames beyond each row's real codes take the silence latent
+            # (reference conditioning_text.py:33-55 silence-pads short
+            # hints and gives hint-less rows full silence — never the
+            # detokenization of the zero padding in this matrix)
+            extra_inputs["audio_codes_valid_frames"] = valid_frames
 
         # ---- text conditioning
         actual_captions, actual_languages = textlib.extract_caption_and_language(

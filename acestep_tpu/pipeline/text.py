@@ -15,7 +15,7 @@ import re
 from typing import Any, Dict, List, Optional, Sequence, Union
 
 from acestep_tpu.constants import (
-    DEFAULT_DIT_INSTRUCTION, SFT_GEN_PROMPT, TASK_INSTRUCTIONS, TRACK_NAMES,
+    DEFAULT_DIT_INSTRUCTION, SFT_GEN_PROMPT, TASK_INSTRUCTIONS,
 )
 
 MetaLike = Union[str, Dict[str, Any], None]
@@ -126,14 +126,21 @@ def resolve_instruction(task: str, *, track_name: Optional[str] = None,
     (the reference realizes 'vocal2bgm'-style tasks this way,
     constants.py:117-136)."""
     task = (task or "text2music").lower()
+    # formatting matches the reference EXACTLY (task_utils.py:66-100):
+    # UPPERCASED names and " | " separators are the strings the model was
+    # trained on — ", ".join(lowercase) conditions on out-of-distribution
+    # instruction text. No TRACK_NAMES membership gate either: the
+    # reference formats whatever name the caller passes.
     if task in ("extract", "lego"):
-        if track_name and track_name in TRACK_NAMES:
-            return TASK_INSTRUCTIONS[task].format(TRACK_NAME=track_name)
+        if track_name:
+            return TASK_INSTRUCTIONS[task].format(
+                TRACK_NAME=str(track_name).upper())
         return TASK_INSTRUCTIONS[f"{task}_default"]
     if task == "complete":
         if track_classes:
             return TASK_INSTRUCTIONS[task].format(
-                TRACK_CLASSES=", ".join(track_classes))
+                TRACK_CLASSES=" | ".join(
+                    str(t).upper() for t in track_classes))
         return TASK_INSTRUCTIONS["complete_default"]
     return TASK_INSTRUCTIONS.get(task, DEFAULT_DIT_INSTRUCTION)
 

@@ -80,6 +80,40 @@ def test_tokenize_detokenize_roundtrip_shapes(params, batch):
     np.testing.assert_allclose(np.asarray(q), np.asarray(q2), atol=1e-5)
 
 
+def test_code_hints_silence_padded_per_row(params, batch):
+    """Reference conditioning_text.py:33-55: hint frames beyond each row's
+    real codes take the SILENCE latent — a hint-less row in a mixed batch
+    gets full-silence hints, and a short hint row gets a silence tail,
+    never the detokenization of the zero padding in the codes matrix."""
+    T5 = T // CFG.pool_window_size
+    codes = jnp.asarray(
+        np.random.RandomState(0).randint(1, 50, (B, T5)), jnp.int32)
+    half_frames = (T5 // 2) * CFG.pool_window_size
+    valid = jnp.asarray([half_frames, 0], jnp.int32)   # row1: no hints
+
+    b = dict(batch, is_covers=jnp.asarray([1, 1]))
+    kw = {k: b[k] for k in (
+        "text_hidden_states", "text_attention_mask", "lyric_hidden_states",
+        "lyric_attention_mask", "refer_audio_packed", "refer_order_mask",
+        "src_latents", "chunk_masks", "is_covers", "silence_latent")}
+    _, _, ctx = dit.prepare_condition(
+        params, CFG, audio_codes=codes, audio_codes_valid_frames=valid, **kw)
+    D = CFG.audio_acoustic_hidden_dim
+    hints = np.asarray(ctx[..., :D])      # is_cover rows: src == lm hints
+    sil = np.asarray(b["silence_latent"][0])
+    # row 1 (no codes): silence everywhere
+    np.testing.assert_allclose(hints[1], sil, rtol=1e-5, atol=1e-5)
+    # row 0: silence beyond its real half-length hints, NOT silence within
+    np.testing.assert_allclose(hints[0, half_frames:], sil[half_frames:],
+                               rtol=1e-5, atol=1e-5)
+    assert not np.allclose(hints[0, :half_frames], sil[:half_frames])
+    # without the mask, zero-code detokenization leaks into both regions
+    _, _, ctx_raw = dit.prepare_condition(
+        params, CFG, audio_codes=codes, **kw)
+    raw = np.asarray(ctx_raw[..., :D])
+    assert not np.allclose(raw[1], sil)
+
+
 def test_decoder_forward_and_kv_cache_equivalence(params, batch):
     enc, mask, ctx = dit.prepare_condition(
         params, CFG, max_refer_count=2,

@@ -112,6 +112,7 @@ def test_mixed_code_hint_batch_roundtrips_hintless_rows(handler):
     (conditioning_target.py:42 decodes hints per row) — NOT from
     detokenizing its all-zero padding in the batched codes matrix."""
     codes = "".join(f"<|audio_code_{i * 10}|>" for i in range(4))
+    codes_b = "".join(f"<|audio_code_{i * 11 + 3}|>" for i in range(4))
     kw = dict(audio_duration=0.8, normalize=False)
     res = handler.generate_music(
         ["with codes", "without codes"], ["la", "la"],
@@ -119,13 +120,31 @@ def test_mixed_code_hint_batch_roundtrips_hintless_rows(handler):
     assert res.extra["task"] == "cover"          # batch-level auto-switch
     assert res.extra["is_covers"] == [True, True]
     assert np.all(np.isfinite(res.pred_latents))
-    # the hint-less row must equal the same request run WITHOUT any codes
-    # in the batch (cover task, roundtrip hints), which it would not if it
-    # were conditioned on zero-codes embeddings
-    ref = handler.generate_music(
-        ["without codes"], ["la"], task="cover", seeds=[2], **kw)
-    np.testing.assert_allclose(res.pred_latents[1], ref.pred_latents[0],
-                               rtol=2e-4, atol=2e-4)
+    # the hint-less row is conditioned on silence hints of its own — fully
+    # independent of what codes the OTHER row carries (the dit-level test
+    # pins the silence semantics itself)
+    res2 = handler.generate_music(
+        ["with codes", "without codes"], ["la", "la"],
+        audio_code_hints=[codes_b, None], seeds=[1, 2], batch_size=2, **kw)
+    np.testing.assert_array_equal(res.pred_latents[1], res2.pred_latents[1])
+    assert not np.allclose(res.pred_latents[0], res2.pred_latents[0])
+
+
+def test_text2music_ignores_src_audio(handler):
+    """Reference generate_music_request.py:118: text2music does not use
+    src_audio — and codes win over src when both are present (:121)."""
+    hop = handler.vae_cfg.hop_length
+    src = np.random.RandomState(1).randn(20 * hop, 2).astype(np.float32)
+    kw = dict(audio_duration=0.8, seeds=11, normalize=False)
+    pure = handler.generate_music("a song", "la", **kw)
+    with_src = handler.generate_music("a song", "la", src_audio=src, **kw)
+    np.testing.assert_array_equal(with_src.pred_latents, pure.pred_latents)
+    # codes + src: identical to codes alone (src is ignored, not encoded)
+    codes = "".join(f"<|audio_code_{i * 7}|>" for i in range(4))
+    a = handler.generate_music("a song", "la", audio_code_hints=codes, **kw)
+    b = handler.generate_music("a song", "la", audio_code_hints=codes,
+                               src_audio=src, **kw)
+    np.testing.assert_array_equal(b.pred_latents, a.pred_latents)
 
 
 def test_repaint_span(handler):
@@ -139,6 +158,26 @@ def test_repaint_span(handler):
     assert 0 <= s < e <= res.pred_latents.shape[1]
 
 
+def test_track_instructions_match_reference_formatting():
+    """The model is trained on the reference's exact instruction strings:
+    UPPERCASED track names/classes, ' | ' separators, and no membership
+    gate on track_name (reference task_utils.py:66-100)."""
+    from acestep_tpu.pipeline import text as textlib
+
+    assert textlib.resolve_instruction("extract", track_name="vocals") == \
+        "Extract the VOCALS track from the audio:"
+    assert textlib.resolve_instruction("lego", track_name="guitar") == \
+        "Generate the GUITAR track based on the audio context:"
+    assert textlib.resolve_instruction(
+        "complete", track_classes=["drums", "bass"]) == \
+        "Complete the input track with DRUMS | BASS:"
+    # arbitrary names format rather than silently falling to the default
+    assert "THEREMIN" in textlib.resolve_instruction(
+        "extract", track_name="theremin")
+    assert textlib.resolve_instruction("extract") == \
+        "Extract the track from the audio:"
+
+
 def test_repaint_outpainting_extends_timeline(handler):
     """Reference padding_utils.py:37-67: a negative repainting_start
     extends the song left of the src audio, an end past the src duration
@@ -149,21 +188,21 @@ def test_repaint_outpainting_extends_timeline(handler):
 
     # extend LEFT by 0.8 s (20 frames): new span covers only the new head
     res = handler.generate_music(
-        "intro extension", "la", src_audio=src,
+        "intro extension", "la", src_audio=src, task="repaint",
         repainting_start=-0.8, repainting_end=0.0, seeds=3)
     assert res.extra["frames"] == 40            # 20 new + 20 src
     assert res.extra["spans"][0] == ("repainting", 0, 20)
 
     # extend RIGHT to 1.6 s: span covers only the new tail
     res = handler.generate_music(
-        "outro extension", "la", src_audio=src,
+        "outro extension", "la", src_audio=src, task="repaint",
         repainting_start=0.8, repainting_end=1.6, seeds=3)
     assert res.extra["frames"] == 40
     assert res.extra["spans"][0] == ("repainting", 20, 40)
 
     # a negative end means "to the end of the source" (no extension)
     res = handler.generate_music(
-        "tail repaint", "la", src_audio=src,
+        "tail repaint", "la", src_audio=src, task="repaint",
         repainting_start=0.4, repainting_end=-1, seeds=3)
     assert res.extra["frames"] == 20
     assert res.extra["spans"][0] == ("repainting", 10, 20)
