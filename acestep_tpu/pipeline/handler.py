@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import random
 import time
 from typing import Any, Dict, List, Optional, Sequence, Union
 
@@ -674,8 +675,8 @@ class AceStepHandler:
         refer_audios: Union[None, str, np.ndarray,
                             Sequence[Union[str, np.ndarray]]] = None,
         audio_code_hints: Union[None, str, Sequence[Optional[str]]] = None,
-        repainting_start: Optional[float] = None,
-        repainting_end: Optional[float] = None,
+        repainting_start: Union[None, float, Sequence[Optional[float]]] = None,
+        repainting_end: Union[None, float, Sequence[Optional[float]]] = None,
         audio_cover_strength: float = 1.0,
         cover_noise_strength: float = 0.0,
         # sampler controls
@@ -753,9 +754,28 @@ class AceStepHandler:
 
         # ---- source audio -> latents & frame geometry
         t0 = time.time()
+
+        # normalize repaint coordinates to per-row lists (the reference
+        # service API accepts per-item lists, service_generate_request.py:
+        # 86-101; scalars broadcast). A negative end means "to the end"
+        # (padding_utils.py:42-44 treats None and <0 identically).
+        def _norm_repaint(v):
+            if v is None:
+                return [None] * B
+            if isinstance(v, (int, float)):
+                v = [float(v)]
+            v = [None if x is None else float(x) for x in v]
+            return (list(v) * B)[:B]
+
+        rs_list = _norm_repaint(repainting_start)
+        re_list = [None if (x is not None and x < 0) else x
+                   for x in _norm_repaint(repainting_end)]
+        repaint_any = any(s is not None or e is not None
+                          for s, e in zip(rs_list, re_list))
+
         src_latent_single = None
         if (src_audio is not None and task == "text2music"
-                and repainting_start is None and repainting_end is None):
+                and not repaint_any):
             # reference generate_music_request.py:118: text2music does not
             # use src_audio — conditioning on it anyway would silently turn
             # a pure-text request into a quasi-cover. (Repaint coordinates
@@ -771,26 +791,22 @@ class AceStepHandler:
                 src_audio = load_audio(src_audio)
             src_latent_single = self.encode_audio(np.asarray(src_audio))
 
-        # a negative repainting_end means "to the end" (reference
-        # padding_utils.py:42-44 treats None and <0 identically)
-        if repainting_end is not None and repainting_end < 0:
-            repainting_end = None
-
         # ---- outpainting (reference padding_utils.py:37-67 + the
         # coordinate shift of conditioning_masks.py:39-41): a negative
         # repainting_start extends the song LEFT of the source audio, an
         # end beyond the source duration extends it RIGHT — the source is
-        # padded with silence latents and the repaint span shifts into the
-        # padded timeline, so only the new material is regenerated
-        if src_latent_single is not None and (
-                repainting_start is not None or repainting_end is not None):
-            rs0 = float(repainting_start or 0.0)
+        # padded with silence latents and every row's repaint span shifts
+        # into the padded timeline, so only the new material regenerates.
+        # The padding itself is batch-global (one src), sized by the
+        # extremes across rows, like the reference's single padded target.
+        if src_latent_single is not None and repaint_any:
             src_T0 = src_latent_single.shape[0]
             src_dur = src_T0 / LATENT_RATE
-            left_s = max(0.0, -rs0)
-            actual_end = repainting_end if repainting_end is not None \
-                else src_dur
-            right_s = max(0.0, actual_end - src_dur)
+            left_s = max((max(0.0, -(s or 0.0)) for s in rs_list),
+                         default=0.0)
+            right_s = max(
+                (max(0.0, (e if e is not None else src_dur) - src_dur)
+                 for e in re_list), default=0.0)
             left_f = int(left_s * LATENT_RATE)
             right_f = int(right_s * LATENT_RATE)
             if left_f or right_f:
@@ -801,9 +817,10 @@ class AceStepHandler:
                      np.asarray(src_latent_single, np.float32),
                      sil[:right_f]], axis=0)
             if left_s > 0:
-                repainting_start = rs0 + left_s        # == 0.0
-                if repainting_end is not None:
-                    repainting_end = repainting_end + left_s
+                rs_list = [None if s is None else s + left_s
+                           for s in rs_list]
+                re_list = [None if e is None else e + left_s
+                           for e in re_list]
 
         if audio_duration and audio_duration > 0:
             T_req = int(audio_duration * LATENT_RATE)
@@ -813,7 +830,9 @@ class AceStepHandler:
             T_req = max(len(c) for c in codes_arrays if c is not None) * \
                 cfg.pool_window_size
         else:
-            T_req = 30 * LATENT_RATE
+            # an unspecified length draws a random 10-120 s song, like the
+            # reference (padding_utils.py:78-81) — not a fixed default
+            T_req = int(random.uniform(10.0, 120.0) * LATENT_RATE)
         # the tier duration ceiling applies however the length was derived
         # (explicit duration, src-audio length, or code hints) — a 600 s
         # upload on a small tier must not bypass the guard and OOM the
@@ -848,31 +867,35 @@ class AceStepHandler:
                     and "based on the given conditions" in instr)
         target_latents = np.stack(target_rows)                        # (B,T,64)
 
-        # ---- chunk masks + repaint spans (reference conditioning_masks.py)
+        # ---- chunk masks + repaint spans, per row (reference
+        # conditioning_masks.py:35-64 — repaint coordinates are per item;
+        # rows without coordinates keep the full span and their normal
+        # is_cover classification)
         chunk = np.ones((B, T), np.float32)
         src_rows = []
         spans = []
-        if repainting_start is not None or repainting_end is not None:
-            rs = 0.0 if repainting_start is None else max(0.0, repainting_start)
-            re_ = repainting_end if repainting_end is not None else T_req / LATENT_RATE
-            s_lat = int(rs * SAMPLE_RATE // VAE_HOP)
-            e_lat = int(re_ * SAMPLE_RATE // VAE_HOP)
-            s_lat = max(0, min(s_lat, T - 1))
-            e_lat = max(s_lat + 1, min(e_lat, T))
-            chunk[:] = 0.0
-            chunk[:, s_lat:e_lat] = 1.0
-            spans = [("repainting", s_lat, e_lat)] * B
-            for i in range(B):
+        for i in range(B):
+            rs_i, re_i = rs_list[i], re_list[i]
+            if rs_i is not None or re_i is not None:
+                rs = max(0.0, rs_i if rs_i is not None else 0.0)
+                re_ = re_i if re_i is not None else T_req / LATENT_RATE
+                s_lat = int(rs * SAMPLE_RATE // VAE_HOP)
+                e_lat = int(re_ * SAMPLE_RATE // VAE_HOP)
+                s_lat = max(0, min(s_lat, T - 1))
+                e_lat = max(s_lat + 1, min(e_lat, T))
+                chunk[i] = 0.0
+                chunk[i, s_lat:e_lat] = 1.0
+                spans.append(("repainting", s_lat, e_lat))
                 row = target_latents[i].copy()
                 row[s_lat:e_lat] = silence_T[s_lat:e_lat]
                 src_rows.append(row)
-            is_cover_rows = [False] * B
-        else:
-            spans = [("full", 0, T)] * B
-            for i in range(B):
+                is_cover_rows[i] = False
+            else:
+                spans.append(("full", 0, T))
                 has_target = (codes_arrays[i] is not None
                               or src_latent_single is not None)
-                src_rows.append(target_latents[i] if has_target else silence_T)
+                src_rows.append(target_latents[i] if has_target
+                                else silence_T)
         src_latents = np.stack(src_rows)
         chunk_masks = np.broadcast_to(
             chunk[..., None],
@@ -961,8 +984,8 @@ class AceStepHandler:
         # the text2music hot path sends only constants for src/chunk/silence:
         # use the device-cached copies (zero link traffic after first shape)
         plain_src = (not has_codes and src_latent_single is None
-                     and repainting_start is None and repainting_end is None)
-        chunk_all_ones = (repainting_start is None and repainting_end is None)
+                     and not repaint_any)
+        chunk_all_ones = not repaint_any
 
         # host numpy (one transfer into the jitted program, zero eager ops)
         # EXCEPT device-resident embeddings (kept on device via _femb) and
@@ -1312,6 +1335,14 @@ class AceStepHandler:
                 if isinstance(ra, str):
                     ra = load_audio(ra)
                 ra = np.asarray(ra)
+                if ra.size == 0 or np.all(np.abs(ra) < 1e-6):
+                    # reference generate_music_request.py:99-110: a silent/
+                    # empty reference upload fails the request explicitly
+                    # instead of silently conditioning on nothing
+                    raise ValueError(
+                        "Reference audio is invalid, unreadable, or "
+                        "silent. Please upload a valid audible audio "
+                        "file.")
                 ra = self._sample_reference_segments(ra)
                 z = self.encode_audio(ra)[:RF]
                 if z.shape[0] < RF:

@@ -130,6 +130,23 @@ def test_mixed_code_hint_batch_roundtrips_hintless_rows(handler):
     assert not np.allclose(res.pred_latents[0], res2.pred_latents[0])
 
 
+def test_unspecified_duration_is_random_10_to_120s(handler, monkeypatch):
+    """Reference padding_utils.py:78-81: no duration, no src, no codes ->
+    a random 10-120 s song, not a fixed default."""
+    import random as _random
+
+    drawn = {}
+
+    def fake_uniform(a, b):
+        drawn["range"] = (a, b)
+        return 11.0
+
+    monkeypatch.setattr(_random, "uniform", fake_uniform)
+    res = handler.generate_music("surprise me", "la", seeds=1)
+    assert drawn["range"] == (10.0, 120.0)
+    assert res.extra["frames"] == int(11.0 * 25)
+
+
 def test_text2music_ignores_src_audio(handler):
     """Reference generate_music_request.py:118: text2music does not use
     src_audio — and codes win over src when both are present (:121)."""
@@ -156,6 +173,21 @@ def test_repaint_span(handler):
     kind, s, e = res.extra["spans"][0]
     assert kind == "repainting"
     assert 0 <= s < e <= res.pred_latents.shape[1]
+
+
+def test_per_item_repaint_spans(handler):
+    """Reference service API takes per-item repaint lists
+    (service_generate_request.py:86-101, conditioning_masks.py:35-64):
+    each row gets its own span; a None row keeps the full span."""
+    res = handler.generate_music(
+        ["fix head", "fix tail", "leave alone"], ["la"] * 3,
+        task="repaint", audio_duration=0.8, batch_size=3,
+        repainting_start=[0.0, 0.4, None],
+        repainting_end=[0.4, 0.8, None], seeds=[1, 2, 3])
+    assert res.extra["spans"][0] == ("repainting", 0, 10)
+    assert res.extra["spans"][1] == ("repainting", 10, 20)
+    assert res.extra["spans"][2][0] == "full"
+    assert np.all(np.isfinite(res.pred_latents))
 
 
 def test_track_instructions_match_reference_formatting():
@@ -217,6 +249,16 @@ def test_refer_audio_conditioning(handler):
     b = handler.generate_music("with ref", "la", audio_duration=0.8, seeds=9,
                                normalize=False)
     assert not np.allclose(a.pred_latents, b.pred_latents)
+
+
+def test_silent_reference_audio_rejected(handler):
+    """Reference generate_music_request.py:99-110: a silent/empty
+    reference upload fails the request with an explicit message instead
+    of silently conditioning on nothing."""
+    silent = np.zeros((handler.vae_cfg.hop_length * 12, 2), np.float32)
+    with pytest.raises(ValueError, match="silent"):
+        handler.generate_music("with ref", "la", refer_audios=silent,
+                               audio_duration=0.8, seeds=9)
 
 
 def test_save_audio(handler, tmp_path):
