@@ -317,6 +317,11 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
         for i, path in enumerate(res.audio_paths or [None] * len(res.audios)):
             p_dict = params.to_dict()
             p_dict["seed"] = res.seeds[i]
+            if dit_handler.lora is not None:
+                # LoRA state distinguishes result keys (reference
+                # audio_utils_uuid_test: same request, different adapter/
+                # scale -> different uuid)
+                p_dict["lora"] = dit_handler.lora.signature()
             entry = {
                 "path": path,
                 "key": generate_uuid_from_params(p_dict),

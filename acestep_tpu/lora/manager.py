@@ -200,6 +200,17 @@ class LoraManager:
                 ],
             }
 
+    def signature(self) -> str:
+        """Compact state string for output uuids (reference
+        audio_utils_uuid_test.py: same request under different adapters or
+        scales must produce different uuids). Empty when disabled."""
+        with self._lock:
+            if not self._enabled or not self._adapters:
+                return ""
+            return "|".join(
+                f"{n}@{self._scales.get(n, 1.0):g}"
+                for n in sorted(self._adapters))
+
     # -- params ------------------------------------------------------------
 
     def effective_params(self) -> dict:

@@ -701,6 +701,12 @@ class AceStepHandler:
     ) -> GenerationResult:
         if not self.initialized:
             raise RuntimeError("call initialize_service() first")
+        if infer_method not in ("ode", "sde"):
+            # reference diffusion.py rejects unknown methods rather than
+            # silently sampling with a different one
+            raise ValueError(
+                f"invalid infer_method {infer_method!r}: expected 'ode' or "
+                f"'sde'")
         t_start = time.time()
         time_costs: Dict[str, float] = {}
         cfg = self.cfg
@@ -1093,9 +1099,16 @@ class AceStepHandler:
             paths = []
             for i, a in enumerate(audios):
                 from acestep_tpu.utils.audio import generate_uuid_from_params
+                # active LoRA state feeds the uuid (reference
+                # audio_utils_uuid_test.py): otherwise the same request
+                # under different adapters/scales collides on one filename
+                lora_sig = ""
+                if self.lora is not None:
+                    lora_sig = self.lora.signature()
                 uid = generate_uuid_from_params({
                     "caption": captions[i], "lyrics": lyrics[i],
                     "meta": meta_strs[i], "seed": seeds_list[i], "task": task,
+                    "lora": lora_sig,
                 })
                 paths.append(saver.save_audio(a, uid, audio_format))
 

@@ -251,6 +251,14 @@ def test_refer_audio_conditioning(handler):
     assert not np.allclose(a.pred_latents, b.pred_latents)
 
 
+def test_invalid_infer_method_rejected(handler):
+    """Unknown sampler methods fail loudly (reference diffusion.py) rather
+    than silently falling back to ODE."""
+    with pytest.raises(ValueError, match="infer_method"):
+        handler.generate_music("x", "la", audio_duration=0.8,
+                               infer_method="euler", seeds=1)
+
+
 def test_silent_reference_audio_rejected(handler):
     """Reference generate_music_request.py:99-110: a silent/empty
     reference upload fails the request with an explicit message instead

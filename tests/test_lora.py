@@ -136,6 +136,26 @@ def test_manager_lifecycle(tiny, tmp_path):
     assert manager.effective_params() is params
 
 
+def test_manager_signature_tracks_adapters_and_scales(tiny, tmp_path):
+    """Output uuids embed the LoRA state (reference audio_utils_uuid_test):
+    different adapters or scales -> different signatures; disabled -> ''."""
+    cfg, params = tiny
+    mgr = LoraManager(params)
+    assert mgr.signature() == ""
+    adapter = init_lora(jax.random.PRNGKey(0), params, rank=2)
+    path = str(tmp_path / "sig.npz")
+    save_adapter(path, {"meta": adapter["meta"],
+                        "weights": jax.tree.map(np.asarray,
+                                                adapter["weights"])})
+    mgr.load(path, adapter_name="styleA")
+    sig_a = mgr.signature()
+    assert "styleA" in sig_a
+    mgr.set_scale(0.5, adapter_name="styleA")
+    assert mgr.signature() != sig_a          # scale changes the signature
+    mgr.toggle(False)
+    assert mgr.signature() == ""             # disabled state signs empty
+
+
 def test_peft_sidecar_alpha_respected(tmp_path):
     """adapter_config.json lora_alpha must scale foreign PEFT adapters."""
     import json
