@@ -84,7 +84,19 @@ class TrainingService:
             batches = make_batches(
                 dataset.train_files, tcfg.batch_size,
                 latent_dim=self.handler.cfg.audio_acoustic_hidden_dim)
-            trainer = LoRATrainer(self.handler.params, self.handler.cfg, tcfg)
+            base_params = self.handler.params
+            if getattr(self.handler, "quantization", None):
+                # a server running an int8/fp8/w8a8 DiT cannot train against
+                # quantized leaves — dequantize to bf16 for the trainer (the
+                # reference reinitializes to its unquantized "training
+                # preset", training_preset.py; this is the in-place analog)
+                import jax.numpy as jnp
+
+                from acestep_tpu.ops.quant import dequantize_params
+                base_params = dequantize_params(
+                    base_params, jnp.bfloat16, materialize_w8a8=True)
+                self._update(dequantized_base=True)
+            trainer = LoRATrainer(base_params, self.handler.cfg, tcfg)
             self._update(status="training")
             metrics_path = os.path.join(tcfg.output_dir, "metrics.jsonl")
 

@@ -76,6 +76,35 @@ def test_training_lifecycle_over_http(tiny_server):
     assert lst["data"]["active_adapter"] == "api_adapter"
 
 
+def test_training_on_quantized_service_dequantizes_base(tmp_path):
+    """A server running a quantized DiT must train against dequantized
+    weights (reference switches to its unquantized training preset,
+    training_preset.py) — training on int8 leaves would break the step."""
+    from acestep_tpu.serving.training_service import TrainingService
+
+    handler = AceStepHandler(
+        dit_config=DiTConfig.tiny(fsq_dim=64),
+        vae_config=VAEConfig.tiny(decoder_input_channels=64),
+        frame_bucket=8, min_frames=8)
+    handler.initialize_service(quantization="int8")
+    tensor_dir = _make_tensor_dir(handler, tmp_path / "tensors")
+    svc = TrainingService(handler)
+    svc.start(dataset_dir=tensor_dir,
+              config={"rank": 2, "max_steps": 2, "batch_size": 1,
+                      "checkpoint_every": 0, "log_every": 1,
+                      "output_dir": str(tmp_path / "q_out"),
+                      "adapter_name": "q_adapter"})
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        st = svc.status()
+        if st["status"] in ("completed", "failed"):
+            break
+        time.sleep(0.3)
+    assert st["status"] == "completed", st
+    assert st.get("dequantized_base") is True
+    assert st["step"] == 2
+
+
 def test_training_stop_and_restart(tiny_server):
     handler, state, port, tmp_path = tiny_server
     tensor_dir = _make_tensor_dir(handler, tmp_path / "tensors2")
