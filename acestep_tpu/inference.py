@@ -193,7 +193,12 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
         # skip_lm_tasks, inference.py:390) — edit tasks must not have the
         # LM overwrite the user's caption/metadata (or pay LM latency)
         skip_lm = params.task_type in ("cover", "repaint")
-        if llm_handler is not None and params.thinking and not skip_lm:
+        # CoT knobs request LM planning even with thinking off (reference
+        # inference.py:397-398: use_lm = thinking OR need_lm_for_cot)
+        need_lm_for_cot = (params.use_cot_caption or params.use_cot_language
+                           or params.use_cot_metas)
+        if llm_handler is not None and not skip_lm and (
+                params.thinking or need_lm_for_cot):
             t_lm = time.time()
             plan_kwargs = dict(
                 caption=params.caption, lyrics=lyrics,
@@ -214,8 +219,14 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
                               if params.vocal_language not in ("", "unknown")
                               else None),
                 ),
-                infer_type=("dit" if params.task_type != "text2music"
-                            or audio_codes else "llm_dit"),
+                # codes generation only when thinking is on for a plain
+                # text2music request without user codes (reference
+                # inference.py:447: llm_dit iff need_audio_codes AND
+                # thinking); CoT-only runs (thinking off, use_cot_* on)
+                # plan metadata without generating codes
+                infer_type=("llm_dit" if (params.thinking
+                                          and params.task_type == "text2music"
+                                          and not audio_codes) else "dit"),
                 constrained=params.use_constrained_decoding,
             )
             # per-item plans when allowed: each song in a batch gets its own
@@ -317,7 +328,7 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
         for i, path in enumerate(res.audio_paths or [None] * len(res.audios)):
             p_dict = params.to_dict()
             p_dict["seed"] = res.seeds[i]
-            if dit_handler.lora is not None:
+            if getattr(dit_handler, "lora", None) is not None:
                 # LoRA state distinguishes result keys (reference
                 # audio_utils_uuid_test: same request, different adapter/
                 # scale -> different uuid)

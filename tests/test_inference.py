@@ -79,6 +79,39 @@ def test_user_metadata_wins_over_lm(handler, tmp_path):
     assert res.audios[0]["params"]["bpm"] == 99
 
 
+def test_cot_knobs_plan_metadata_with_thinking_off(handler, tmp_path):
+    """Reference inference.py:397-398,447: use_cot_* request LM planning
+    even with thinking=False, but in metadata-only mode (infer_type='dit',
+    no codes generation)."""
+    llm = FakeLLM()
+    params = GenerationParams(caption="", lyrics="la", duration=0.8,
+                              thinking=False, seed=3)   # use_cot_* default on
+    config = GenerationConfig(batch_size=1, use_random_seed=False,
+                              output_dir=str(tmp_path))
+    res = generate_music(handler, llm, params, config)
+    assert res.success, res.error
+    assert llm.last_kwargs["infer_type"] == "dit"       # no codes phase
+    assert res.extra_outputs["lm_metadata"]["caption"] == "LM caption"
+
+    # all CoT knobs off + thinking off: the LM is never called
+    llm2 = FakeLLM()
+    params2 = GenerationParams(caption="x", lyrics="la", duration=0.8,
+                               thinking=False, seed=3,
+                               use_cot_caption=False, use_cot_language=False,
+                               use_cot_metas=False)
+    res2 = generate_music(handler, llm2, params2, config)
+    assert res2.success
+    assert not hasattr(llm2, "last_kwargs")
+
+    # thinking on (plain text2music, no user codes): codes phase requested
+    llm3 = FakeLLM()
+    params3 = GenerationParams(caption="x", lyrics="la", duration=0.8,
+                               thinking=True, seed=3)
+    res3 = generate_music(handler, llm3, params3, config)
+    assert res3.success
+    assert llm3.last_kwargs["infer_type"] == "llm_dit"
+
+
 def test_generate_music_error_payload(handler):
     params = GenerationParams(caption="x", duration=0.8,
                               infer_method="nonsense_method", thinking=False)
