@@ -228,6 +228,10 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
                                           and params.task_type == "text2music"
                                           and not audio_codes) else "dit"),
                 constrained=params.use_constrained_decoding,
+                # use_cot_caption/language=False drop the field from the
+                # CoT schema itself (reference llm_inference.py:1231-1232)
+                use_cot_caption=params.use_cot_caption,
+                use_cot_language=params.use_cot_language,
             )
             # per-item plans when allowed: each song in a batch gets its own
             # CoT + codes, decoded as ONE batched device program

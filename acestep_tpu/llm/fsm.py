@@ -233,6 +233,8 @@ class MetadataFSM:
     def __init__(self, tables: TokenTables, *,
                  user_metadata: Optional[dict] = None,
                  skip_genres: bool = True,
+                 skip_caption: bool = False,
+                 skip_language: bool = False,
                  genres_vocab: Optional[Sequence[str]] = None,
                  caption: Optional[str] = None,
                  max_duration: int = DURATION_MAX,
@@ -245,6 +247,11 @@ class MetadataFSM:
         self.user = {k: v for k, v in (user_metadata or {}).items()
                      if v not in (None, "", "N/A")}
         self.skip_genres = skip_genres and "genres" not in self.user
+        # use_cot_caption/use_cot_language=False in the reference set these
+        # (llm_inference.py:1231-1232): the field is dropped from the CoT
+        # schema entirely, not generated-then-discarded
+        self.skip_caption = skip_caption and "caption" not in self.user
+        self.skip_language = skip_language and "language" not in self.user
         self.max_duration = int(max_duration)
         self.codes_per_second = codes_per_second
         self.caption_max_tokens = caption_max_tokens
@@ -308,6 +315,10 @@ class MetadataFSM:
         fs = list(FIELD_ORDER)
         if self.skip_genres:
             fs.remove("genres")
+        if self.skip_caption:
+            fs.remove("caption")
+        if self.skip_language:
+            fs.remove("language")
         return fs
 
     def _next_field(self):

@@ -159,6 +159,8 @@ class _Builder:
 def build_cot_tables(tables: TokenTables, *,
                      user_metadata: Optional[dict] = None,
                      skip_genres: bool = True,
+                     skip_caption: bool = False,
+                     skip_language: bool = False,
                      genres_vocab: Optional[Sequence[str]] = None,
                      caption: Optional[str] = None,
                      max_duration: int = 600) -> DeviceFSMTables:
@@ -170,7 +172,9 @@ def build_cot_tables(tables: TokenTables, *,
     truth; tests replay device trajectories through it.
     """
     host = MetadataFSM(tables, user_metadata=user_metadata,
-                       skip_genres=skip_genres, genres_vocab=genres_vocab,
+                       skip_genres=skip_genres, skip_caption=skip_caption,
+                       skip_language=skip_language,
+                       genres_vocab=genres_vocab,
                        caption=caption, max_duration=max_duration)
     fields = host._fields()
     tries = host._tries

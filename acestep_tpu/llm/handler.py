@@ -362,9 +362,11 @@ class LLMHandler:
         return formatted
 
     def _cot_tables(self, user_metadata: Optional[dict], genres,
-                    caption: Optional[str] = None):
+                    caption: Optional[str] = None, *,
+                    skip_caption: bool = False,
+                    skip_language: bool = False):
         """Cached device-FSM tables per (user metadata, genres, caption
-        genre matches) shape."""
+        genre matches, skip flags) shape."""
         from acestep_tpu.llm.fsm import match_caption_genres
         from acestep_tpu.llm.fsm_device import build_cot_tables
 
@@ -373,7 +375,8 @@ class LLMHandler:
         matched = tuple(match_caption_genres(caption, genres)) if genres \
             else ()
         key = (tuple(sorted((k, str(v)) for k, v in user.items())),
-               tuple(genres) if genres else None, matched, self.max_duration)
+               tuple(genres) if genres else None, matched, self.max_duration,
+               skip_caption, skip_language)
         if not hasattr(self, "_cot_table_cache"):
             self._cot_table_cache = {}
         if key not in self._cot_table_cache:
@@ -383,7 +386,8 @@ class LLMHandler:
                 self._cot_table_cache.pop(next(iter(self._cot_table_cache)))
             self._cot_table_cache[key] = build_cot_tables(
                 self.tables, user_metadata=user,
-                skip_genres=not genres, genres_vocab=genres,
+                skip_genres=not genres, skip_caption=skip_caption,
+                skip_language=skip_language, genres_vocab=genres,
                 caption=caption, max_duration=self.max_duration)
         return self._cot_table_cache[key]
 
@@ -403,6 +407,8 @@ class LLMHandler:
         user_metadata: Optional[dict] = None,
         constrained: bool = True,
         target_duration: Optional[float] = None,
+        use_cot_caption: bool = True,
+        use_cot_language: bool = True,
         seed: int = 0,
         max_cot_tokens: int = 256,
         max_code_tokens: Optional[int] = None,
@@ -435,12 +441,16 @@ class LLMHandler:
                           genres_vocab=genres,
                           caption=caption,
                           skip_genres=not genres,
+                          skip_caption=not use_cot_caption,
+                          skip_language=not use_cot_language,
                           enabled=constrained)
         if constrained:
             # device-resident FSM: the whole CoT phase is one on-device
             # while_loop (fsm_device.py); replay tokens through the host FSM
             # afterwards to extract metadata.
-            tables = self._cot_tables(user_metadata, genres, caption)
+            tables = self._cot_tables(user_metadata, genres, caption,
+                                      skip_caption=not use_cot_caption,
+                                      skip_language=not use_cot_language)
             token_ids, prefix_state = self.engine.generate_cot_device(
                 prompt, unconditional_prompt=neg, cfg_scale=cfg_scale,
                 temperature=t_meta, top_k=top_k, top_p=top_p,
@@ -521,6 +531,8 @@ class LLMHandler:
         user_metadata: Optional[dict] = None,
         constrained: bool = True,
         target_duration: Optional[float] = None,
+        use_cot_caption: bool = True,
+        use_cot_language: bool = True,
         seed: int = 0,
         max_cot_tokens: int = 256,
         max_code_tokens: Optional[int] = None,
@@ -557,7 +569,9 @@ class LLMHandler:
                                           is_negative_prompt=True,
                                           negative_prompt=negative_prompt)
         genres = self.genres_vocab.get() if self.genres_vocab else None
-        tables = self._cot_tables(user_metadata, genres, caption)
+        tables = self._cot_tables(user_metadata, genres, caption,
+                                  skip_caption=not use_cot_caption,
+                                  skip_language=not use_cot_language)
         token_lists, prefix_state = self.engine.generate_cot_device_batch(
             [prompt] * n, unconditional_prompts=[neg] * n,
             cfg_scale=cfg_scale, temperature=t_meta, top_k=top_k,
@@ -571,7 +585,9 @@ class LLMHandler:
             fsm = MetadataFSM(self.tables, user_metadata=user_metadata,
                               max_duration=self.max_duration,
                               genres_vocab=genres, caption=caption,
-                              skip_genres=not genres)
+                              skip_genres=not genres,
+                              skip_caption=not use_cot_caption,
+                              skip_language=not use_cot_language)
             for t in ids:
                 fsm.advance(t)
             cot_raw = self.tokenizer.decode(ids)

@@ -61,6 +61,38 @@ def test_device_trajectory_valid_under_host_fsm(handler):
     assert text.startswith("<think>") and text.endswith("</think>")
 
 
+def test_skip_caption_and_language_drop_fields(handler):
+    """use_cot_caption/use_cot_language=False drop the field from the CoT
+    schema itself (reference llm_inference.py:1231-1232), on both the host
+    FSM and the compiled device tables."""
+    tables = handler._cot_tables(None, None, skip_caption=True,
+                                 skip_language=True)
+    tokens = handler.engine.generate_cot_device(
+        "write a song", fsm_tables=tables, max_tokens=256, seed=1,
+        temperature=0.9)
+    fsm = _host_replay_check(handler.tables, tokens,
+                             max_duration=handler.max_duration,
+                             skip_caption=True, skip_language=True)
+    meta = fsm.metadata()
+    assert "caption" not in meta and "language" not in meta
+    assert 30 <= int(meta["bpm"]) <= 300          # other fields intact
+    text = handler.tokenizer.decode(tokens)
+    assert "caption:" not in text and "language:" not in text
+
+    # a user-provided language is still injected even when CoT language
+    # detection is off (user metadata wins over the skip)
+    tables2 = handler._cot_tables({"language": "en"}, None,
+                                  skip_language=True)
+    tokens2 = handler.engine.generate_cot_device(
+        "write a song", fsm_tables=tables2, max_tokens=256, seed=1,
+        temperature=0.9)
+    fsm2 = _host_replay_check(handler.tables, tokens2,
+                              max_duration=handler.max_duration,
+                              user_metadata={"language": "en"},
+                              skip_language=True)
+    assert fsm2.metadata()["language"] == "en"
+
+
 def test_device_matches_host_loop_greedy(handler):
     """temperature=0 greedy: device while_loop == host per-token loop."""
     prompt = handler.build_formatted_prompt("happy tune", "[inst]")
