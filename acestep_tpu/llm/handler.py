@@ -409,6 +409,7 @@ class LLMHandler:
         target_duration: Optional[float] = None,
         use_cot_caption: bool = True,
         use_cot_language: bool = True,
+        use_cot_metas: bool = True,
         seed: int = 0,
         max_cot_tokens: int = 256,
         max_code_tokens: Optional[int] = None,
@@ -429,6 +430,30 @@ class LLMHandler:
             else temperature
         t_codes = codes_temperature if codes_temperature is not None \
             else temperature
+
+        # phase 1 is skipped entirely when the user pinned every required
+        # meta OR CoT metadata is disabled (reference llm_inference.py:
+        # 1192,1208,1262: metadata = user values, no LM decode)
+        user_clean = {k: v for k, v in (user_metadata or {}).items()
+                      if v not in (None, "", "N/A")}
+        skip_phase1 = (not use_cot_metas or all(
+            k in user_clean
+            for k in ("bpm", "keyscale", "timesignature", "duration")))
+        if skip_phase1:
+            metadata = dict(user_clean)
+            result: Dict[str, Any] = {
+                "metadata": metadata, "cot_text": "",
+                "audio_codes": "", "raw": ""}
+            if infer_type == "dit":
+                return result
+            return self._generate_codes_phase(
+                result, caption, lyrics, metadata,
+                target_duration=target_duration, cfg_scale=cfg_scale,
+                temperature=t_codes, top_k=top_k, top_p=top_p,
+                repetition_penalty=repetition_penalty,
+                negative_prompt=negative_prompt, constrained=constrained,
+                max_code_tokens=max_code_tokens, seed=seed,
+                prefix_state=None, cot_raw="")
 
         # --- phase 1: CoT
         prompt = self.build_formatted_prompt(caption, lyrics)
@@ -478,6 +503,22 @@ class LLMHandler:
             return result
 
         # --- phase 2: codes
+        return self._generate_codes_phase(
+            result, caption, lyrics, metadata,
+            target_duration=target_duration, cfg_scale=cfg_scale,
+            temperature=t_codes, top_k=top_k, top_p=top_p,
+            repetition_penalty=repetition_penalty,
+            negative_prompt=negative_prompt, constrained=constrained,
+            max_code_tokens=max_code_tokens, seed=seed,
+            prefix_state=prefix_state, cot_raw=cot_raw)
+
+    def _generate_codes_phase(self, result, caption, lyrics, metadata, *,
+                              target_duration, cfg_scale, temperature,
+                              top_k, top_p, repetition_penalty,
+                              negative_prompt, constrained,
+                              max_code_tokens, seed, prefix_state, cot_raw):
+        """Phase 2: duration*5 audio codes conditioned on the CoT text
+        (shared by the normal path and the phase-1-skip path)."""
         dur = target_duration or metadata.get("duration") or 30
         try:
             dur = float(dur)
@@ -498,7 +539,7 @@ class LLMHandler:
             # for the shared prefix (nano-vllm prefix-caching role)
             codes_idx = self.engine.generate_codes(
                 [p2], unconditional_prompts=[n2], cfg_scale=cfg_scale,
-                temperature=t_codes, top_k=top_k, top_p=top_p,
+                temperature=temperature, top_k=top_k, top_p=top_p,
                 repetition_penalty=repetition_penalty,
                 n_codes=n_codes, seed=seed + 1, prefix=prefix_state)[0]
             codes = "".join(f"<|audio_code_{c}|>" for c in codes_idx)
@@ -511,7 +552,7 @@ class LLMHandler:
         max_codes = max_code_tokens or (int(dur) * 5 + 8)
         out2 = self.engine.generate(
             [p2], unconditional_prompts=[n2], cfg_scale=cfg_scale,
-            temperature=t_codes, top_k=top_k, top_p=top_p,
+            temperature=temperature, top_k=top_k, top_p=top_p,
             repetition_penalty=repetition_penalty,
             max_new_tokens=max_codes, fsms=[fsm2], seed=seed + 1)
         _, codes = parse_lm_output(out2.texts[0])
@@ -533,6 +574,7 @@ class LLMHandler:
         target_duration: Optional[float] = None,
         use_cot_caption: bool = True,
         use_cot_language: bool = True,
+        use_cot_metas: bool = True,
         seed: int = 0,
         max_cot_tokens: int = 256,
         max_code_tokens: Optional[int] = None,
@@ -559,9 +601,38 @@ class LLMHandler:
                 codes_temperature=codes_temperature,
                 negative_prompt=negative_prompt,
                 user_metadata=user_metadata, constrained=constrained,
-                target_duration=target_duration, seed=seed + i,
+                target_duration=target_duration,
+                use_cot_caption=use_cot_caption,
+                use_cot_language=use_cot_language,
+                use_cot_metas=use_cot_metas, seed=seed + i,
                 max_cot_tokens=max_cot_tokens,
                 max_code_tokens=max_code_tokens) for i in range(n)]
+
+        # every required meta user-pinned, or CoT metadata disabled: no
+        # batched phase-1 decode (reference llm_inference.py:1208,1262)
+        user_clean = {k: v for k, v in (user_metadata or {}).items()
+                      if v not in (None, "", "N/A")}
+        skip_phase1 = (not use_cot_metas or all(
+            k in user_clean
+            for k in ("bpm", "keyscale", "timesignature", "duration")))
+        if skip_phase1:
+            results = [{"metadata": dict(user_clean), "cot_text": "",
+                        "audio_codes": "", "raw": ""} for _ in range(n)]
+            if infer_type == "dit":
+                return results
+            dur = target_duration or user_clean.get("duration") or 30
+            try:
+                dur = float(dur)
+            except (TypeError, ValueError):
+                dur = 30.0
+            durations = [dur] * n
+            prefix_state = None
+            return self._batched_codes_phase(
+                results, durations, caption, lyrics,
+                cfg_scale=cfg_scale, temperature=t_codes, top_k=top_k,
+                top_p=top_p, repetition_penalty=repetition_penalty,
+                negative_prompt=negative_prompt, seed=seed,
+                prefix_state=prefix_state)
 
         # --- phase 1: batched CoT
         prompt = self.build_formatted_prompt(caption, lyrics)
@@ -606,6 +677,17 @@ class LLMHandler:
             return results
 
         # --- phase 2: one batched codes scan at the longest row
+        return self._batched_codes_phase(
+            results, durations, caption, lyrics,
+            cfg_scale=cfg_scale, temperature=t_codes, top_k=top_k,
+            top_p=top_p, repetition_penalty=repetition_penalty,
+            negative_prompt=negative_prompt, seed=seed,
+            prefix_state=prefix_state)
+
+    def _batched_codes_phase(self, results, durations, caption, lyrics, *,
+                             cfg_scale, temperature, top_k, top_p,
+                             repetition_penalty, negative_prompt, seed,
+                             prefix_state):
         p2s, n2s, n_codes = [], [], []
         for r, dur in zip(results, durations):
             cot_text = format_metadata_as_cot(r["metadata"])
@@ -617,7 +699,7 @@ class LLMHandler:
             n_codes.append(max(1, int(dur * 5)))
         codes_rows = self.engine.generate_codes(
             p2s, unconditional_prompts=n2s, cfg_scale=cfg_scale,
-            temperature=t_codes, top_k=top_k, top_p=top_p,
+            temperature=temperature, top_k=top_k, top_p=top_p,
             repetition_penalty=repetition_penalty,
             n_codes=max(n_codes), seed=seed + 1, prefix=prefix_state)
         for r, row, k in zip(results, codes_rows, n_codes):

@@ -149,6 +149,52 @@ def test_format_metadata_as_cot():
 # ------------------------------------------------------------------
 
 
+def test_phase1_skipped_when_all_metas_pinned(handler, monkeypatch):
+    """Reference llm_inference.py:1192,1208,1262: user-pinned
+    bpm+keyscale+timesignature+duration (or use_cot_metas=False) skip the
+    CoT decode entirely — metadata comes straight from the user and phase 2
+    still emits duration*5 codes."""
+    calls = []
+    orig = handler.engine.generate_cot_device
+    monkeypatch.setattr(
+        handler.engine, "generate_cot_device",
+        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    user = {"bpm": 120, "keyscale": "C major", "timesignature": 4,
+            "duration": 3}
+    out = handler.generate_with_stop_condition(
+        "a song", "la", user_metadata=user, seed=1)
+    assert not calls                         # no phase-1 decode ran
+    assert out["metadata"]["bpm"] == 120
+    assert out["cot_text"] == ""
+    assert out["audio_codes"].count("<|audio_code_") == 15   # 3 s * 5 Hz
+
+    # use_cot_metas=False skips phase 1 even with partial user metadata
+    out2 = handler.generate_with_stop_condition(
+        "a song", "la", infer_type="dit", user_metadata={"bpm": 99},
+        use_cot_metas=False, seed=1)
+    assert not calls
+    assert out2["metadata"] == {"bpm": 99}
+
+    # partial metadata with CoT metas on: phase 1 DOES run
+    out3 = handler.generate_with_stop_condition(
+        "a song", "la", infer_type="dit", user_metadata={"bpm": 99},
+        seed=1)
+    assert calls
+    assert out3["metadata"]["bpm"] == 99
+
+
+def test_plan_batch_skips_phase1_when_pinned(handler):
+    user = {"bpm": 100, "keyscale": "D minor", "timesignature": 3,
+            "duration": 2}
+    plans = handler.plan_batch("a song", "la", n=3, user_metadata=user,
+                               seed=5)
+    assert len(plans) == 3
+    for p in plans:
+        assert p["metadata"]["duration"] == 2
+        assert p["cot_text"] == ""
+        assert p["audio_codes"].count("<|audio_code_") == 10  # 2 s * 5 Hz
+
+
 def test_two_phase_generation(handler):
     res = handler.generate_with_stop_condition(
         "an upbeat track", "la la",
