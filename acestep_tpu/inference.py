@@ -232,6 +232,7 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
                 # CoT schema itself (reference llm_inference.py:1231-1232)
                 use_cot_caption=params.use_cot_caption,
                 use_cot_language=params.use_cot_language,
+                use_cot_metas=params.use_cot_metas,
             )
             # per-item plans when allowed: each song in a batch gets its own
             # CoT + codes, decoded as ONE batched device program

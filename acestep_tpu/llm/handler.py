@@ -391,6 +391,23 @@ class LLMHandler:
                 caption=caption, max_duration=self.max_duration)
         return self._cot_table_cache[key]
 
+    @staticmethod
+    def _phase1_skip(user_metadata, use_cot_metas):
+        """(user_clean, skip?) — phase 1 is skipped when the user pinned
+        every required meta OR CoT metadata is disabled (reference
+        llm_inference.py:1192,1208,1262)."""
+        user_clean = {k: v for k, v in (user_metadata or {}).items()
+                      if v not in (None, "", "N/A")}
+        skip = (not use_cot_metas or all(
+            k in user_clean
+            for k in ("bpm", "keyscale", "timesignature", "duration")))
+        return user_clean, skip
+
+    @staticmethod
+    def _skipped_result(user_clean):
+        return {"metadata": dict(user_clean), "cot_text": "",
+                "audio_codes": "", "raw": ""}
+
     # --------------------------------------------------------------
     # Two-phase generation (reference generate_with_stop_condition)
     # --------------------------------------------------------------
@@ -431,19 +448,11 @@ class LLMHandler:
         t_codes = codes_temperature if codes_temperature is not None \
             else temperature
 
-        # phase 1 is skipped entirely when the user pinned every required
-        # meta OR CoT metadata is disabled (reference llm_inference.py:
-        # 1192,1208,1262: metadata = user values, no LM decode)
-        user_clean = {k: v for k, v in (user_metadata or {}).items()
-                      if v not in (None, "", "N/A")}
-        skip_phase1 = (not use_cot_metas or all(
-            k in user_clean
-            for k in ("bpm", "keyscale", "timesignature", "duration")))
+        user_clean, skip_phase1 = self._phase1_skip(user_metadata,
+                                                     use_cot_metas)
         if skip_phase1:
             metadata = dict(user_clean)
-            result: Dict[str, Any] = {
-                "metadata": metadata, "cot_text": "",
-                "audio_codes": "", "raw": ""}
+            result: Dict[str, Any] = self._skipped_result(user_clean)
             if infer_type == "dit":
                 return result
             return self._generate_codes_phase(
@@ -610,14 +619,10 @@ class LLMHandler:
 
         # every required meta user-pinned, or CoT metadata disabled: no
         # batched phase-1 decode (reference llm_inference.py:1208,1262)
-        user_clean = {k: v for k, v in (user_metadata or {}).items()
-                      if v not in (None, "", "N/A")}
-        skip_phase1 = (not use_cot_metas or all(
-            k in user_clean
-            for k in ("bpm", "keyscale", "timesignature", "duration")))
+        user_clean, skip_phase1 = self._phase1_skip(user_metadata,
+                                                    use_cot_metas)
         if skip_phase1:
-            results = [{"metadata": dict(user_clean), "cot_text": "",
-                        "audio_codes": "", "raw": ""} for _ in range(n)]
+            results = [self._skipped_result(user_clean) for _ in range(n)]
             if infer_type == "dit":
                 return results
             dur = target_duration or user_clean.get("duration") or 30

@@ -191,9 +191,9 @@ class TrainingService:
                 "or use /v1/training/metrics for the JSONL loss curve")
         metrics_path = os.path.join(logdir, "metrics.jsonl")
         exported = None
-        if not tfevents.has_event_files(logdir):
+        if self._needs_tfevents_export(logdir, metrics_path):
             exported = tfevents.export_metrics_jsonl(metrics_path, logdir)
-            if exported is None:
+            if exported is None and not tfevents.has_event_files(logdir):
                 raise RuntimeError(
                     f"no tfevents and no plottable metrics.jsonl under "
                     f"{logdir}; use /v1/training/metrics for the JSONL "
@@ -213,20 +213,49 @@ class TrainingService:
             proc = getattr(self, "_tb_proc", None)
             if proc is not None and proc.poll() is None:
                 return {"status": "already_running", "url": self._tb_url}
-            proc = subprocess.Popen(
-                cmd + ["--logdir", logdir, "--port", str(port),
-                       "--bind_all"],
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-            time.sleep(3.0)     # catch instant deaths (broken TB install)
-            if proc.poll() is not None:
-                raise RuntimeError(
-                    f"tensorboard exited immediately (rc={proc.returncode});"
-                    " use /v1/training/metrics for the JSONL loss curve"
-                    " instead")
+        # launch + liveness grace OUTSIDE the lock: holding it through
+        # Popen+sleep would stall the training loop's per-step updates and
+        # every status poll for seconds
+        proc = subprocess.Popen(
+            cmd + ["--logdir", logdir, "--port", str(port), "--bind_all"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        time.sleep(3.0)         # catch instant deaths (broken TB install)
+        if proc.poll() is not None:
+            raise RuntimeError(
+                f"tensorboard exited immediately (rc={proc.returncode});"
+                " use /v1/training/metrics for the JSONL loss curve"
+                " instead")
+        with self._lock:
+            other = getattr(self, "_tb_proc", None)
+            if other is not None and other.poll() is None:
+                proc.terminate()    # lost a concurrent-start race
+                return {"status": "already_running", "url": self._tb_url}
             self._tb_proc = proc
             self._tb_url = f"http://localhost:{port}"
         return {"status": "started", "url": self._tb_url, "logdir": logdir,
                 "exported_events": exported}
+
+    @staticmethod
+    def _needs_tfevents_export(logdir: str, metrics_path: str) -> bool:
+        """Export when there are no event files yet OR metrics.jsonl has
+        newer data than the newest event file (a second run into the same
+        output_dir must not leave the dashboard showing the first run)."""
+        from acestep_tpu.utils import tfevents
+
+        if not os.path.exists(metrics_path):
+            return False
+        if not tfevents.has_event_files(logdir):
+            return True
+        newest = 0.0
+        for root, _dirs, files in os.walk(logdir):
+            for name in files:
+                if "tfevents" in name:
+                    try:
+                        newest = max(newest, os.path.getmtime(
+                            os.path.join(root, name)))
+                    except OSError:
+                        pass
+        return os.path.getmtime(metrics_path) > newest
 
     def tensorboard_stop(self) -> Dict[str, Any]:
         with self._lock:

@@ -131,7 +131,10 @@ def export_metrics_jsonl(metrics_path: str, logdir: str,
         return None
     if not records:
         return None
-    path = os.path.join(logdir, f"events.out.tfevents.{int(time.time())}.jsonl-export")
+    # stable filename: a re-export (second run into the same output_dir)
+    # REPLACES the previous file — two event files in one logdir would be
+    # merged by TensorBoard into a confusing overlay of both runs
+    path = os.path.join(logdir, "events.out.tfevents.0.jsonl-export")
     return write_scalar_events(path, records)
 
 

@@ -93,6 +93,53 @@ def test_tensorboard_start_exports_before_launch(tmp_path, monkeypatch):
     assert "--logdir" in launched["cmd"]
 
 
+def test_tensorboard_reexports_when_metrics_newer(tmp_path, monkeypatch):
+    """A second run into the same output_dir must refresh the export —
+    stale event files would silently show the previous run's curve."""
+    import subprocess
+    import time as _time
+
+    from acestep_tpu.serving.training_service import TrainingService
+
+    metrics = tmp_path / "metrics.jsonl"
+    metrics.write_text('{"step": 1, "loss": 0.5, "ts": 1.0}\n')
+
+    class FakeProc:
+        def poll(self):
+            return None
+
+        def terminate(self):
+            pass
+
+    monkeypatch.setattr(subprocess, "Popen", lambda *a, **k: FakeProc())
+    svc = TrainingService(dit_handler=None)
+    out1 = svc.tensorboard_start(logdir=str(tmp_path), port=16009)
+    first = out1["exported_events"]
+    assert first
+    svc.tensorboard_stop()
+
+    # "second run": metrics gains rows and becomes newer than the export
+    _time.sleep(0.05)
+    metrics.write_text('{"step": 1, "loss": 0.5, "ts": 1.0}\n'
+                       '{"step": 2, "loss": 0.25, "ts": 2.0}\n')
+    os.utime(metrics)
+    out2 = svc.tensorboard_start(logdir=str(tmp_path), port=16009)
+    # stable filename: the export is REPLACED (TB would merge two event
+    # files into one overlaid run), now carrying both rows
+    assert out2["exported_events"] == first
+    with open(first, "rb") as f:
+        data = f.read()
+    import struct
+
+    events = 0
+    off = 0
+    while off < len(data):
+        (length,) = struct.unpack_from("<Q", data, off)
+        events += 1
+        off += 8 + 4 + length + 4
+    assert events == 3      # version stamp + 2 scalar rows
+
+
 def test_training_service_start_validates_up_front():
     from acestep_tpu.serving.training_service import TrainingService
 
