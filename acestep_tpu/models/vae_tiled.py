@@ -119,6 +119,8 @@ def tiled_encode(params: dict, cfg: VAEConfig, audio: jnp.ndarray, *,
         mean, std = vae_encode_moments(params, cfg, audio)
         return _sample(mean, std, key)
 
+    while chunk_size - 2 * overlap <= 0 and overlap > 0:
+        overlap //= 2       # reference's adaptive-overlap guard (encode side)
     stride_s, overlap_s = (chunk_size - 2 * overlap) * hop, overlap * hop
     wins, n = _windows(audio, stride_s, overlap_s)
 

@@ -86,6 +86,27 @@ def test_tiled_encode_unaligned_length_pads(vae):
     assert z.shape == (1, 34, cfg.decoder_input_channels)
 
 
+def test_tiled_invalid_overlap_degrades(vae):
+    """chunk_size <= 2*overlap would give a non-positive stride: both tiled
+    paths halve the overlap until valid (reference's adaptive-overlap
+    guard, vae_encode_chunks/vae_decode_chunks tests)."""
+    import numpy as np
+
+    from acestep_tpu.models.vae_tiled import tiled_decode, tiled_encode
+
+    params, cfg = vae
+    hop = cfg.hop_length
+    audio = jnp.asarray(
+        np.random.RandomState(0).randn(1, 40 * hop, 2), jnp.float32)
+    z = tiled_encode(params, cfg, audio, chunk_size=8, overlap=8,
+                     parallel_windows=2)
+    assert z.shape[1] == 40
+    out = tiled_decode(params, cfg, z, chunk_size=8, overlap=8,
+                       parallel_windows=2)
+    assert out.shape[1] == 40 * hop
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
 def test_decode_jit_and_grad(vae):
     """Decoder is jittable and differentiable (training path uses encode grads)."""
     params, cfg = vae
