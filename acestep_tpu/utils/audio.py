@@ -90,7 +90,9 @@ def load_audio(path: str, *, target_sr: int = SAMPLE_RATE,
     data = to_channels(data, target_channels)
     if sr != target_sr:
         data = resample(data, sr, target_sr)
-    return data
+    # reference io_audio.py:37 clamps after resampling (polyphase filters
+    # can overshoot +-1, and float wavs may carry out-of-range samples)
+    return np.clip(data, -1.0, 1.0)
 
 
 def to_channels(data: np.ndarray, channels: int) -> np.ndarray:
@@ -98,6 +100,8 @@ def to_channels(data: np.ndarray, channels: int) -> np.ndarray:
         return data
     if channels == 2 and data.shape[1] == 1:
         return np.repeat(data, 2, axis=1)
+    if data.shape[1] > channels >= 2:
+        return data[:, :channels]   # reference truncates extra channels
     if channels == 1:
         return data.mean(axis=1, keepdims=True)
     return np.tile(data.mean(axis=1, keepdims=True), (1, channels))

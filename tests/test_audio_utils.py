@@ -51,6 +51,22 @@ def test_to_channels():
     assert to_channels(x, 2).shape == (10, 2)
     y = np.ones((10, 2), np.float32)
     assert to_channels(y, 1).shape == (10, 1)
+    # 5.1 -> stereo keeps the first two channels (reference io_audio.py:31)
+    z = np.arange(60, dtype=np.float32).reshape(10, 6)
+    out = to_channels(z, 2)
+    np.testing.assert_array_equal(out, z[:, :2])
+
+
+def test_load_audio_clamps_to_unit_range(tmp_path):
+    """Reference io_audio.py:37: loaded audio is clamped to [-1, 1] (a
+    resample can overshoot around hard transients)."""
+    from acestep_tpu.utils.audio import load_audio, save_wav
+
+    # square wave at full scale, then resample 44.1k -> 48k (overshoots)
+    sq = np.tile(np.repeat(np.array([1.0, -1.0], np.float32), 50), 40)
+    save_wav(str(tmp_path / "sq.wav"), np.stack([sq, sq], 1), 44100)
+    out = load_audio(str(tmp_path / "sq.wav"))
+    assert float(np.max(np.abs(out))) <= 1.0
 
 
 def test_uuid_stable_and_distinct():
