@@ -1370,10 +1370,17 @@ class AceStepHandler:
     def _sample_reference_segments(audio: np.ndarray,
                                    budget_s: int = 30, seg_s: int = 10,
                                    sr: int = SAMPLE_RATE) -> np.ndarray:
-        """30 s timbre budget: 10 s from head/middle/tail of longer audio
-        (reference io_audio.py)."""
+        """30 s timbre budget: 10 s from head/middle/tail of longer audio;
+        shorter audio LOOPS to fill the budget (reference io_audio.py:92-93
+        repeats it) — silence-padding instead would dilute the timbre
+        conditioning to mostly-silence for short references."""
         n = audio.shape[0]
-        if n <= budget_s * sr:
+        budget = budget_s * sr
+        if n < budget:
+            reps = -(-budget // n)
+            audio = np.tile(audio, (reps, 1))[:budget]
+            n = audio.shape[0]
+        if n <= budget:
             return audio
         seg = seg_s * sr
         mid = (n - seg) // 2

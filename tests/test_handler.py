@@ -259,6 +259,22 @@ def test_invalid_infer_method_rejected(handler):
                                infer_method="euler", seeds=1)
 
 
+def test_short_reference_audio_loops_to_budget(handler):
+    """Reference io_audio.py:92-93 tiles short reference audio to the 30 s
+    timbre budget — silence-padding would dilute the timbre signal."""
+    sr = 48000
+    short = np.random.RandomState(2).randn(sr * 2, 2).astype(np.float32) * .1
+    out = handler._sample_reference_segments(short)
+    assert out.shape[0] == 30 * sr
+    np.testing.assert_array_equal(out[: sr * 2], short)   # looped content
+    np.testing.assert_array_equal(out[sr * 2: sr * 4], short)
+    # long audio still samples head/middle/tail
+    long = np.random.RandomState(3).randn(sr * 45, 2).astype(np.float32)
+    out2 = handler._sample_reference_segments(long)
+    assert out2.shape[0] == 30 * sr
+    np.testing.assert_array_equal(out2[: sr * 10], long[: sr * 10])
+
+
 def test_silent_reference_audio_rejected(handler):
     """Reference generate_music_request.py:99-110: a silent/empty
     reference upload fails the request with an explicit message instead
