@@ -344,9 +344,10 @@ class AppState:
                 want_lrc=req.want_lrc,
             )
 
-            if req.analysis_only or req.full_analysis_only:
-                # audio understanding instead of generation (ref api_server
-                # analysis branch): src audio -> 5 Hz codes -> LM understand
+            if req.full_analysis_only:
+                # deep audio understanding (ref api_server.py:1852-1885):
+                # src audio -> 5 Hz codes -> LM understand at the fixed
+                # analysis temperature 0.3
                 try:
                     if not req.src_audio_path:
                         raise ValueError("analysis requires src audio")
@@ -358,9 +359,8 @@ class AppState:
                     with self.reinit_lock:
                         codes = dit_handler.audio_to_codes(audio)
                     analysis = inference.understand_music(
-                        llm_handler, codes,
-                        temperature=req.lm_temperature).to_dict()
-                    analysis["audio_codes"] = codes if req.full_analysis_only else ""
+                        llm_handler, codes, temperature=0.3).to_dict()
+                    analysis["audio_codes"] = codes
                     if analysis.get("success"):
                         self.job_store.mark_succeeded(job_id, {
                             "audios": [], "prompt": analysis.get("caption", ""),
@@ -372,6 +372,31 @@ class AppState:
                     else:
                         self.job_store.mark_failed(
                             job_id, analysis.get("error") or "analysis failed")
+                except Exception as e:
+                    self.job_store.mark_failed(job_id, str(e))
+                self._cache_result(job_id)
+                return
+
+            if req.analysis_only:
+                # metadata planning over caption/lyrics — NO src audio and
+                # no codes phase (ref api_server.py:1887-1899: the LM runs
+                # infer_type='dit' on the text inputs)
+                try:
+                    plan = llm_handler.generate_with_stop_condition(
+                        params.caption or "", params.lyrics or "",
+                        infer_type="dit",
+                        temperature=req.lm_temperature,
+                        top_p=req.lm_top_p or 0.9,
+                        use_cot_caption=req.use_cot_caption,
+                        use_cot_language=req.use_cot_language)
+                    meta = plan.get("metadata", {})
+                    self.job_store.mark_succeeded(job_id, {
+                        "audios": [], "prompt": meta.get("caption", ""),
+                        "lyrics": meta.get("lyrics", ""),
+                        "status_message": "analysis",
+                        "extra_outputs": {"analysis": meta,
+                                          "lm_metadata": meta},
+                    })
                 except Exception as e:
                     self.job_store.mark_failed(job_id, str(e))
                 self._cache_result(job_id)

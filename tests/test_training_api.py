@@ -134,8 +134,10 @@ def test_studio_ui_served(tiny_server):
     assert b"ACE-Step" in raw and b"/release_task" in raw
 
 
-def test_analysis_only_flow(tmp_path):
-    """analysis_only: src audio -> codes -> LM understand via REST."""
+def test_analysis_flows(tmp_path):
+    """analysis_only is caption/lyrics metadata planning (NO src audio,
+    ref api_server.py:1887-1899); full_analysis_only is src audio -> codes
+    -> LM understand at the fixed 0.3 temperature (:1852-1885)."""
     import wave
 
     from acestep_tpu.llm.handler import LLMHandler
@@ -151,25 +153,40 @@ def test_analysis_only_flow(tmp_path):
     server = create_server(state, "127.0.0.1", 0)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     port = server.server_address[1]
-    try:
-        wav_path = str(tmp_path / "src.wav")
-        with wave.open(wav_path, "wb") as f:
-            f.setnchannels(2); f.setsampwidth(2); f.setframerate(48000)
-            f.writeframes(b"\x01\x00" * 2 * 9600)
-        _, out = _post(port, "/release_task", {
-            "analysis_only": True, "src_audio_path": wav_path,
-            "thinking": False})
+
+    def run(body):
+        _, out = _post(port, "/release_task", body)
         task_id = out["data"]["task_id"]
         deadline = time.time() + 120
         while time.time() < deadline:
             _, res = _post(port, "/query_result", {"task_id_list": [task_id]})
             entry = res["data"][0]
             if entry["status"] != 0:
-                break
+                return entry
             time.sleep(0.3)
+        raise TimeoutError
+
+    try:
+        # text-only metadata planning: no src audio required
+        entry = run({"analysis_only": True, "prompt": "a jazz waltz",
+                     "thinking": False})
         assert entry["status"] == 1, entry
         payload = json.loads(entry["result"])[0]
         assert payload["stage"] == "succeeded"
+
+        # deep audio analysis still requires src audio
+        wav_path = str(tmp_path / "src.wav")
+        with wave.open(wav_path, "wb") as f:
+            f.setnchannels(2); f.setsampwidth(2); f.setframerate(48000)
+            f.writeframes(b"\x01\x00" * 2 * 9600)
+        entry = run({"full_analysis_only": True, "src_audio_path": wav_path,
+                     "thinking": False})
+        assert entry["status"] == 1, entry
+        payload = json.loads(entry["result"])[0]
+        assert payload["stage"] == "succeeded"
+
+        entry = run({"full_analysis_only": True, "thinking": False})
+        assert entry["status"] == 2      # no src: explicit failure
     finally:
         state.shutdown()
         server.shutdown()
