@@ -178,6 +178,72 @@ def _merge_metadata(params: GenerationParams, lm_meta: Dict[str, Any]) -> Dict[s
 # ------------------------------------------------------------------
 
 
+def _build_plan_kwargs(params: GenerationParams, *, lyrics: str,
+                       infer_type: str) -> Dict[str, Any]:
+    """LM planning kwargs from request params — the ONE place the request's
+    LM knob surface maps onto the planner (generate_music and the server's
+    analysis_only route share it). Mirrors reference inference.py:468-487.
+
+    infer_type: 'llm_dit' generates metadata AND codes; 'dit' is
+    metadata-only (reference :447: llm_dit iff need_audio_codes AND
+    thinking). CoT-only runs (thinking off, use_cot_* on) plan metadata
+    without generating codes. use_cot_caption/language=False drop the
+    field from the CoT schema itself (llm_inference.py:1231-1232)."""
+    return dict(
+        caption=params.caption, lyrics=lyrics,
+        temperature=params.lm_temperature,
+        metadata_temperature=params.lm_metadata_temperature,
+        codes_temperature=params.lm_codes_temperature,
+        repetition_penalty=params.lm_repetition_penalty,
+        cfg_scale=params.lm_cfg_scale,
+        top_k=params.lm_top_k, top_p=params.lm_top_p,
+        negative_prompt=params.lm_negative_prompt,
+        user_metadata=dict(
+            bpm=params.bpm or params.cot_bpm,
+            keyscale=params.keyscale or params.cot_keyscale,
+            timesignature=params.timesignature or params.cot_timesignature,
+            duration=(params.duration if params.duration and
+                      params.duration > 0 else params.cot_duration),
+            language=(params.vocal_language
+                      if params.vocal_language not in ("", "unknown")
+                      else None),
+        ),
+        infer_type=infer_type,
+        constrained=params.use_constrained_decoding,
+        use_cot_caption=params.use_cot_caption,
+        use_cot_language=params.use_cot_language,
+        use_cot_metas=params.use_cot_metas,
+    )
+
+
+def _plan_seed(params: GenerationParams) -> int:
+    """Plan seed follows the request seed (fixed -> reproducible plan;
+    unset/random -> varied plans across requests)."""
+    if params.seed is not None and params.seed >= 0:
+        return int(params.seed)
+    import random as _random
+
+    return _random.randrange(2 ** 31)
+
+
+def analyze_input(llm_handler, params: GenerationParams) -> Dict[str, Any]:
+    """analysis_only mode: metadata planning over caption/lyrics — no
+    audio, no codes phase (reference api_server.py:1887-1899). Honors the
+    full LM knob surface (pinned metadata, constrained toggle, sampling
+    knobs, seed) exactly like the generation planning path."""
+    if llm_handler is None:
+        return {"success": False, "error": "LLM handler not initialized"}
+    try:
+        plan = llm_handler.plan(
+            seed=_plan_seed(params),
+            **_build_plan_kwargs(params, lyrics=params.lyrics or "",
+                                 infer_type="dit"))
+        return {"success": True, "metadata": plan.get("metadata", {}),
+                "cot_text": plan.get("cot_text", "")}
+    except Exception as e:
+        return {"success": False, "error": str(e)}
+
+
 def generate_music(dit_handler, llm_handler, params: GenerationParams,
                    config: Optional[GenerationConfig] = None) -> GenerationResult:
     """Full pipeline: optional LM planning phase -> DiT render -> save."""
@@ -200,40 +266,11 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
         if llm_handler is not None and not skip_lm and (
                 params.thinking or need_lm_for_cot):
             t_lm = time.time()
-            plan_kwargs = dict(
-                caption=params.caption, lyrics=lyrics,
-                temperature=params.lm_temperature,
-                metadata_temperature=params.lm_metadata_temperature,
-                codes_temperature=params.lm_codes_temperature,
-                repetition_penalty=params.lm_repetition_penalty,
-                cfg_scale=params.lm_cfg_scale,
-                top_k=params.lm_top_k, top_p=params.lm_top_p,
-                negative_prompt=params.lm_negative_prompt,
-                user_metadata=dict(
-                    bpm=params.bpm or params.cot_bpm,
-                    keyscale=params.keyscale or params.cot_keyscale,
-                    timesignature=params.timesignature or params.cot_timesignature,
-                    duration=(params.duration if params.duration and
-                              params.duration > 0 else params.cot_duration),
-                    language=(params.vocal_language
-                              if params.vocal_language not in ("", "unknown")
-                              else None),
-                ),
-                # codes generation only when thinking is on for a plain
-                # text2music request without user codes (reference
-                # inference.py:447: llm_dit iff need_audio_codes AND
-                # thinking); CoT-only runs (thinking off, use_cot_* on)
-                # plan metadata without generating codes
+            plan_kwargs = _build_plan_kwargs(
+                params, lyrics=lyrics,
                 infer_type=("llm_dit" if (params.thinking
                                           and params.task_type == "text2music"
-                                          and not audio_codes) else "dit"),
-                constrained=params.use_constrained_decoding,
-                # use_cot_caption/language=False drop the field from the
-                # CoT schema itself (reference llm_inference.py:1231-1232)
-                use_cot_caption=params.use_cot_caption,
-                use_cot_language=params.use_cot_language,
-                use_cot_metas=params.use_cot_metas,
-            )
+                                          and not audio_codes) else "dit"))
             # per-item plans when allowed: each song in a batch gets its own
             # CoT + codes, decoded as ONE batched device program
             # (plan_batch). When the plan produces no codes
@@ -242,14 +279,7 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
                        if config.allow_lm_batch and config.batch_size > 1
                        and plan_kwargs["infer_type"] == "llm_dit"
                        else 1)
-            # plan seed follows the request seed (fixed seed -> reproducible
-            # plan; unset/random -> varied plans across requests)
-            if params.seed is not None and params.seed >= 0:
-                lm_seed = int(params.seed)
-            else:
-                import random as _random
-
-                lm_seed = _random.randrange(2 ** 31)
+            lm_seed = _plan_seed(params)
             if n_plans > 1 and hasattr(llm_handler, "plan_batch"):
                 phases = llm_handler.plan_batch(n=n_plans, seed=lm_seed,
                                                 **plan_kwargs)

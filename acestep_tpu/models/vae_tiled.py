@@ -32,6 +32,14 @@ DEFAULT_ENCODE_CHUNK = 1024  # latent-frame-equivalents per core for encoding
 DEFAULT_ENCODE_OVERLAP = 8
 
 
+def _fit_overlap(chunk_size: int, overlap: int) -> int:
+    """Halve the overlap until the stride (chunk - 2*overlap) is positive
+    (the reference's adaptive-overlap guard; shared by encode and decode)."""
+    while chunk_size - 2 * overlap <= 0 and overlap > 0:
+        overlap //= 2
+    return overlap
+
+
 def _windows(x: jnp.ndarray, stride: int, overlap: int):
     """Pad (B, L, C) along axis 1 and return (n, B, stride + 2*overlap, C)."""
     B, L, C = x.shape
@@ -77,10 +85,8 @@ def tiled_decode(params: dict, cfg: VAEConfig, latents: jnp.ndarray, *,
     degenerates to the fully sequential reference-style loop."""
     B, T, _ = latents.shape
     hop = cfg.hop_length
+    overlap = _fit_overlap(chunk_size, overlap)
     stride = chunk_size - 2 * overlap
-    while stride <= 0 and overlap > 0:  # reference's adaptive-overlap guard
-        overlap //= 2
-        stride = chunk_size - 2 * overlap
     if T <= chunk_size:
         return vae_decode(params, cfg, latents)
 
@@ -119,8 +125,7 @@ def tiled_encode(params: dict, cfg: VAEConfig, audio: jnp.ndarray, *,
         mean, std = vae_encode_moments(params, cfg, audio)
         return _sample(mean, std, key)
 
-    while chunk_size - 2 * overlap <= 0 and overlap > 0:
-        overlap //= 2       # reference's adaptive-overlap guard (encode side)
+    overlap = _fit_overlap(chunk_size, overlap)
     stride_s, overlap_s = (chunk_size - 2 * overlap) * hop, overlap * hop
     wins, n = _windows(audio, stride_s, overlap_s)
 

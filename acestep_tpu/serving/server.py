@@ -379,26 +379,24 @@ class AppState:
 
             if req.analysis_only:
                 # metadata planning over caption/lyrics — NO src audio and
-                # no codes phase (ref api_server.py:1887-1899: the LM runs
-                # infer_type='dit' on the text inputs)
-                try:
-                    plan = llm_handler.generate_with_stop_condition(
-                        params.caption or "", params.lyrics or "",
-                        infer_type="dit",
-                        temperature=req.lm_temperature,
-                        top_p=req.lm_top_p or 0.9,
-                        use_cot_caption=req.use_cot_caption,
-                        use_cot_language=req.use_cot_language)
+                # no codes phase (ref api_server.py:1887-1899); the facade
+                # helper honors the full LM knob surface (pinned metadata,
+                # constrained toggle, sampling knobs, request seed)
+                plan = inference.analyze_input(llm_handler, params)
+                if plan.get("success"):
                     meta = plan.get("metadata", {})
                     self.job_store.mark_succeeded(job_id, {
                         "audios": [], "prompt": meta.get("caption", ""),
-                        "lyrics": meta.get("lyrics", ""),
+                        # planning doesn't transcribe lyrics: echo back the
+                        # client's own lyrics rather than dropping them
+                        "lyrics": meta.get("lyrics") or params.lyrics or "",
                         "status_message": "analysis",
                         "extra_outputs": {"analysis": meta,
                                           "lm_metadata": meta},
                     })
-                except Exception as e:
-                    self.job_store.mark_failed(job_id, str(e))
+                else:
+                    self.job_store.mark_failed(
+                        job_id, plan.get("error") or "analysis failed")
                 self._cache_result(job_id)
                 return
 

@@ -75,15 +75,16 @@ def load_audio(path: str, *, target_sr: int = SAMPLE_RATE,
                 [_ffmpeg(), "-v", "error", "-i", str(p), "-f", "f32le",
                  "-ac", str(target_channels), "-ar", str(target_sr), "-"],
                 capture_output=True, check=True)
-            return np.frombuffer(out.stdout, dtype="<f4").reshape(
-                -1, target_channels).copy()
+            data = np.frombuffer(out.stdout, dtype="<f4").reshape(
+                -1, target_channels)
+            return np.clip(data, -1.0, 1.0)   # ffmpeg resampler overshoots too
     elif _ffmpeg():
         out = subprocess.run(
             [_ffmpeg(), "-v", "error", "-i", str(p), "-f", "f32le",
              "-ac", str(target_channels), "-ar", str(target_sr), "-"],
             capture_output=True, check=True)
         data = np.frombuffer(out.stdout, dtype="<f4").reshape(-1, target_channels)
-        return data.copy()
+        return np.clip(data, -1.0, 1.0)
     else:
         raise ValueError(
             f"cannot load {p.suffix} without ffmpeg; provide a .wav file")

@@ -112,6 +112,27 @@ def test_cot_knobs_plan_metadata_with_thinking_off(handler, tmp_path):
     assert llm3.last_kwargs["infer_type"] == "llm_dit"
 
 
+def test_analyze_input_honors_knobs():
+    """analysis_only planning shares the generation path's knob mapping:
+    pinned metadata reaches the planner and a missing LM fails cleanly."""
+    from acestep_tpu.inference import analyze_input
+
+    llm = FakeLLM()
+    params = GenerationParams(caption="a waltz", bpm=123, keyscale="A minor",
+                              seed=7, use_constrained_decoding=False)
+    out = analyze_input(llm, params)
+    assert out["success"]
+    kw = llm.last_kwargs
+    assert kw["infer_type"] == "dit"
+    assert kw["user_metadata"]["bpm"] == 123
+    assert kw["user_metadata"]["keyscale"] == "A minor"
+    assert kw["constrained"] is False
+    assert kw["seed"] == 7
+
+    out2 = analyze_input(None, params)
+    assert not out2["success"] and "not initialized" in out2["error"]
+
+
 def test_generate_music_error_payload(handler):
     params = GenerationParams(caption="x", duration=0.8,
                               infer_method="nonsense_method", thinking=False)
