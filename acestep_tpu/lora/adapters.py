@@ -147,7 +147,18 @@ def merge_weights(params: dict, weights: dict, scale, meta: dict) -> dict:
             delta = lokr_delta(weights, name, meta.get("alpha", 1.0))
         node = _get(new_layers, path[:-1])
         leaf = dict(node[path[-1]])
-        leaf["w"] = leaf["w"] + (scale * delta).astype(leaf["w"].dtype)
+        merged = leaf["w"] + (scale * delta).astype(leaf["w"].dtype)
+        if "dora_m" in weights[name]:
+            # DoRA weight decomposition (PEFT use_dora / LyCORIS dora_wd,
+            # reference lora/lifecycle.py:131-147): the learned magnitude
+            # vector m replaces the merged weight's per-output-column norm
+            # — W' = m * (W + scale*delta) / ||W + scale*delta||_col
+            m = weights[name]["dora_m"].astype(merged.dtype)   # (L, out)
+            norm = jnp.sqrt(jnp.sum(
+                merged.astype(jnp.float32) ** 2, axis=1, keepdims=True))
+            merged = (merged / jnp.maximum(norm, 1e-8).astype(merged.dtype)
+                      * m[:, None, :])
+        leaf["w"] = merged
         node[path[-1]] = leaf
 
     new_params = dict(params)

@@ -81,7 +81,9 @@ def _load_safetensors_adapter(path: str) -> dict:
     rank = None
     with safe_open(path, framework="np") as f:
         for key in f.keys():
-            m = re.search(r"layers\.(\d+)\.(.+?)\.(lora_[AB])", key)
+            m = re.search(
+                r"layers\.(\d+)\.(.+?)\."
+                r"(lora_[AB]|lora_magnitude_vector)", key)
             if not m:
                 continue
             idx, target, part = int(m.group(1)), m.group(2), m.group(3)
@@ -94,9 +96,13 @@ def _load_safetensors_adapter(path: str) -> dict:
                 arr = arr.T          # (in, r)
                 rank = arr.shape[1]
                 slot = "down"
-            else:
+            elif part == "lora_B":
                 arr = arr.T          # (r, out)
                 slot = "up"
+            else:
+                # DoRA (PEFT use_dora=True): per-output magnitude vector
+                slot = "dora_m"
+                arr = arr.reshape(-1)                       # (out,)
             per_layer.setdefault(target, {}).setdefault(idx, {})[slot] = arr
     weights = {}
     for target, by_layer in per_layer.items():
@@ -105,6 +111,9 @@ def _load_safetensors_adapter(path: str) -> dict:
             "down": jnp.stack([jnp.asarray(by_layer[i]["down"]) for i in idxs]),
             "up": jnp.stack([jnp.asarray(by_layer[i]["up"]) for i in idxs]),
         }
+        if all("dora_m" in by_layer[i] for i in idxs):
+            weights[target]["dora_m"] = jnp.stack(
+                [jnp.asarray(by_layer[i]["dora_m"]) for i in idxs])
     rank = sidecar_rank or rank or 16
     alpha = sidecar_alpha if sidecar_alpha is not None else rank
     return {"meta": {"kind": "lora", "rank": rank, "alpha": alpha},

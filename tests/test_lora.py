@@ -156,6 +156,57 @@ def test_manager_signature_tracks_adapters_and_scales(tiny, tmp_path):
     assert mgr.signature() == ""             # disabled state signs empty
 
 
+def test_dora_magnitude_reshapes_merged_weight(tiny):
+    """DoRA (PEFT use_dora / LyCORIS dora_wd, reference lora/
+    lifecycle.py:131-147): the adapter's magnitude vector replaces the
+    merged weight's per-output-column norm."""
+    from acestep_tpu.lora.adapters import merge_weights, target_paths
+
+    cfg, params = tiny
+    adapter = init_lora(jax.random.PRNGKey(1), params, rank=2)
+    name = "self_attn.q_proj"
+    w = target_paths(params)[name]
+    L, d_in, d_out = w.shape
+    aw = dict(adapter["weights"][name])
+    aw["up"] = jnp.ones_like(aw["up"]) * 0.05     # nonzero delta
+    aw["dora_m"] = jnp.full((L, d_out), 0.7, jnp.float32)
+    weights = {name: aw}
+    merged = merge_weights(params, weights, 1.0, adapter["meta"])
+    w2 = target_paths(merged)[name]
+    norms = np.linalg.norm(np.asarray(w2, np.float64), axis=1)
+    np.testing.assert_allclose(norms, 0.7, rtol=1e-4)
+    # without the magnitude, norms differ (decomposition actually applied)
+    plain = merge_weights(params, {name: {k: v for k, v in aw.items()
+                                          if k != "dora_m"}},
+                          1.0, adapter["meta"])
+    norms_plain = np.linalg.norm(
+        np.asarray(target_paths(plain)[name], np.float64), axis=1)
+    assert not np.allclose(norms_plain, 0.7, rtol=1e-3)
+
+
+def test_peft_dora_import_attaches_magnitude(tmp_path):
+    """A PEFT use_dora=True checkpoint's lora_magnitude_vector keys import
+    as the per-target dora_m stack."""
+    from safetensors.numpy import save_file
+
+    from acestep_tpu.lora.manager import load_adapter_file
+
+    rng = np.random.default_rng(0)
+    tensors = {}
+    for layer in range(2):
+        base = f"base.layers.{layer}.self_attn.q_proj"
+        tensors[f"{base}.lora_A.weight"] = \
+            rng.standard_normal((4, 16)).astype(np.float32)
+        tensors[f"{base}.lora_B.weight"] = \
+            rng.standard_normal((16, 4)).astype(np.float32)
+        tensors[f"{base}.lora_magnitude_vector.weight"] = \
+            rng.standard_normal((16,)).astype(np.float32)
+    path = str(tmp_path / "adapter_model.safetensors")
+    save_file(tensors, path)
+    adapter = load_adapter_file(path)
+    assert adapter["weights"]["self_attn.q_proj"]["dora_m"].shape == (2, 16)
+
+
 def test_peft_sidecar_alpha_respected(tmp_path):
     """adapter_config.json lora_alpha must scale foreign PEFT adapters."""
     import json
