@@ -42,6 +42,22 @@ def load_adapter_file(path: str) -> dict:
     Safetensors support reads `lora_A`/`lora_B`-style pairs and stacks
     per-layer tensors along a leading layer axis when the key encodes a
     layer index (`...layers.N...`)."""
+    if os.path.isdir(path):
+        # directory form (reference lora/lifecycle._resolve_lokr_weights:
+        # a PEFT/LyCORIS dump dir): prefer the conventional filenames,
+        # then any single adapter file inside
+        for name in ("adapter_model.safetensors", "adapter.npz",
+                     "pytorch_lora_weights.safetensors"):
+            cand = os.path.join(path, name)
+            if os.path.exists(cand):
+                return load_adapter_file(cand)
+        cands = [n for n in sorted(os.listdir(path))
+                 if n.endswith((".safetensors", ".npz"))]
+        if len(cands) == 1:
+            return load_adapter_file(os.path.join(path, cands[0]))
+        raise ValueError(
+            f"cannot resolve an adapter file in directory {path}: "
+            f"candidates={cands}")
     if path.endswith(".npz"):
         with np.load(path) as data:
             meta = json.loads(bytes(data["__meta__"]).decode())

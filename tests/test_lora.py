@@ -156,6 +156,33 @@ def test_manager_signature_tracks_adapters_and_scales(tiny, tmp_path):
     assert mgr.signature() == ""             # disabled state signs empty
 
 
+def test_load_adapter_from_directory(tmp_path):
+    """A PEFT dump DIRECTORY resolves to the adapter file inside it
+    (reference lora/lifecycle._resolve_lokr_weights directory form)."""
+    from safetensors.numpy import save_file
+
+    from acestep_tpu.lora.manager import load_adapter_file
+
+    rng = np.random.default_rng(0)
+    tensors = {
+        "base.layers.0.self_attn.q_proj.lora_A.weight":
+            rng.standard_normal((4, 16)).astype(np.float32),
+        "base.layers.0.self_attn.q_proj.lora_B.weight":
+            rng.standard_normal((16, 4)).astype(np.float32),
+    }
+    d = tmp_path / "adapter_dir"
+    d.mkdir()
+    save_file(tensors, str(d / "adapter_model.safetensors"))
+    adapter = load_adapter_file(str(d))
+    assert adapter["weights"]["self_attn.q_proj"]["down"].shape == (1, 16, 4)
+    # ambiguous directories fail loudly
+    save_file(tensors, str(d / "other.safetensors"))
+    save_file(tensors, str(d / "more.safetensors"))
+    (d / "adapter_model.safetensors").unlink()
+    with pytest.raises(ValueError, match="cannot resolve"):
+        load_adapter_file(str(d))
+
+
 def test_dora_magnitude_reshapes_merged_weight(tiny):
     """DoRA (PEFT use_dora / LyCORIS dora_wd, reference lora/
     lifecycle.py:131-147): the adapter's magnitude vector replaces the
