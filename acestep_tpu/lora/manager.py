@@ -95,8 +95,35 @@ def _load_safetensors_adapter(path: str) -> dict:
 
     per_layer: Dict[str, Dict[int, Dict[str, np.ndarray]]] = {}
     rank = None
+    lokr_layers: Dict[str, Dict[int, Dict[str, np.ndarray]]] = {}
     with safe_open(path, framework="np") as f:
-        for key in f.keys():
+        all_keys = list(f.keys())
+        for key in all_keys:
+            # LyCORIS LoKr dumps (the reference's trained-LoKr format,
+            # training/lokr_utils.save_lokr_weights): underscore-mangled
+            # module names + lokr_w1/lokr_w2 (optionally factored _a/_b)
+            lm = re.search(
+                r"layers[._](\d+)[._](.+?)\."
+                r"(lokr_w[12](?:_[ab])?|alpha)$", key)
+            if lm:
+                idx, raw_target, part = (int(lm.group(1)), lm.group(2),
+                                         lm.group(3))
+                target = (raw_target.replace("_", ".", 1)
+                          if raw_target.startswith(("self_attn_",
+                                                    "cross_attn_",
+                                                    "mlp_"))
+                          else raw_target).replace(
+                    "gate_proj", "gate").replace("up_proj", "up").replace(
+                    "down_proj", "down").replace("_", ".")
+                # normalize e.g. 'self.attn.q.proj' artifacts back
+                target = target.replace("self.attn", "self_attn").replace(
+                    "cross.attn", "cross_attn").replace(
+                    "q.proj", "q_proj").replace("k.proj", "k_proj").replace(
+                    "v.proj", "v_proj").replace("o.proj", "o_proj")
+                lokr_layers.setdefault(target, {}).setdefault(
+                    idx, {})[part] = f.get_tensor(key)
+                continue
+        for key in all_keys:
             m = re.search(
                 r"layers\.(\d+)\.(.+?)\."
                 r"(lora_[AB]|lora_magnitude_vector)", key)
@@ -130,9 +157,53 @@ def _load_safetensors_adapter(path: str) -> dict:
         if all("dora_m" in by_layer[i] for i in idxs):
             weights[target]["dora_m"] = jnp.stack(
                 [jnp.asarray(by_layer[i]["dora_m"]) for i in idxs])
+    if lokr_layers and not weights:
+        return _assemble_lokr_adapter(lokr_layers)
+    if not weights:
+        raise ValueError(
+            f"no recognizable adapter keys in {path}: expected PEFT "
+            f"lora_A/lora_B or LyCORIS lokr_w1/lokr_w2 layer keys")
     rank = sidecar_rank or rank or 16
     alpha = sidecar_alpha if sidecar_alpha is not None else rank
     return {"meta": {"kind": "lora", "rank": rank, "alpha": alpha},
+            "weights": weights}
+
+
+def _assemble_lokr_adapter(lokr_layers) -> dict:
+    """LyCORIS lokr_w1/lokr_w2 tensors -> our stacked {a, b} factors.
+
+    Torch factors are (out, in)-oriented: delta = kron(w1, w2). Our
+    lokr_delta computes kron over (in, out)-oriented factors, and
+    kron(A,B)^T == kron(A^T,B^T), so transposing each factor suffices.
+    Factored w1_a/w1_b (resp. w2) compose by matmul first. The per-module
+    LyCORIS alpha (when stored) maps onto meta alpha; LyCORIS applies
+    scale=1 for lokr by default."""
+    weights: Dict[str, dict] = {}
+    alpha_val = None
+    for target, by_layer in lokr_layers.items():
+        idxs = sorted(by_layer)
+        a_rows, b_rows = [], []
+        for i in idxs:
+            parts = by_layer[i]
+            if "alpha" in parts:
+                alpha_val = float(np.asarray(parts["alpha"]))
+            w1 = parts.get("lokr_w1")
+            if w1 is None and "lokr_w1_a" in parts:
+                w1 = np.asarray(parts["lokr_w1_a"]) @ \
+                    np.asarray(parts["lokr_w1_b"])
+            w2 = parts.get("lokr_w2")
+            if w2 is None and "lokr_w2_a" in parts:
+                w2 = np.asarray(parts["lokr_w2_a"]) @ \
+                    np.asarray(parts["lokr_w2_b"])
+            if w1 is None or w2 is None:
+                raise ValueError(
+                    f"incomplete LoKr factors for {target} layer {i}")
+            a_rows.append(np.asarray(w1).T)      # (i1, o1)
+            b_rows.append(np.asarray(w2).T)      # (i2, o2)
+        weights[target] = {"a": jnp.stack([jnp.asarray(x) for x in a_rows]),
+                           "b": jnp.stack([jnp.asarray(x) for x in b_rows])}
+    return {"meta": {"kind": "lokr",
+                     "alpha": alpha_val if alpha_val is not None else 1.0},
             "weights": weights}
 
 

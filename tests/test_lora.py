@@ -156,6 +156,46 @@ def test_manager_signature_tracks_adapters_and_scales(tiny, tmp_path):
     assert mgr.signature() == ""             # disabled state signs empty
 
 
+def test_lycoris_lokr_import(tmp_path):
+    """LyCORIS lokr_w1/lokr_w2 safetensors (the reference's trained-LoKr
+    format, lokr_utils.save_lokr_weights) import as our stacked (in,out)
+    Kronecker factors with the correct delta orientation; unrecognized
+    formats fail loudly instead of producing an empty no-op adapter."""
+    from safetensors.numpy import save_file
+
+    from acestep_tpu.lora.adapters import lokr_delta
+    from acestep_tpu.lora.manager import load_adapter_file
+
+    rng = np.random.default_rng(0)
+    w1 = rng.standard_normal((2, 4)).astype(np.float32)    # (o1, i1)
+    w2a = rng.standard_normal((8, 3)).astype(np.float32)
+    w2b = rng.standard_normal((3, 4)).astype(np.float32)   # w2 = w2a@w2b
+    tensors = {
+        # underscore-mangled module names, as LyCORIS emits them
+        "lycoris_base_layers_0_self_attn_q_proj.lokr_w1": w1,
+        "lycoris_base_layers_0_self_attn_q_proj.lokr_w2_a": w2a,
+        "lycoris_base_layers_0_self_attn_q_proj.lokr_w2_b": w2b,
+        "lycoris_base_layers_0_self_attn_q_proj.alpha":
+            np.asarray(1.0, np.float32),
+    }
+    path = str(tmp_path / "lokr_weights.safetensors")
+    save_file(tensors, path)
+    adapter = load_adapter_file(path)
+    assert adapter["meta"]["kind"] == "lokr"
+    aw = adapter["weights"]["self_attn.q_proj"]
+    assert aw["a"].shape == (1, 4, 2) and aw["b"].shape == (1, 4, 8)
+    # delta equals the torch-oriented kron, transposed to (in, out)
+    delta = np.asarray(lokr_delta(adapter["weights"], "self_attn.q_proj",
+                                  adapter["meta"]["alpha"]))[0]
+    np.testing.assert_allclose(delta, np.kron(w1, w2a @ w2b).T,
+                               rtol=1e-5, atol=1e-5)
+
+    # junk safetensors: loud error, not an empty adapter
+    save_file({"something.unrelated": w1}, str(tmp_path / "junk.safetensors"))
+    with pytest.raises(ValueError, match="no recognizable adapter keys"):
+        load_adapter_file(str(tmp_path / "junk.safetensors"))
+
+
 def test_load_adapter_from_directory(tmp_path):
     """A PEFT dump DIRECTORY resolves to the adapter file inside it
     (reference lora/lifecycle._resolve_lokr_weights directory form)."""
