@@ -60,10 +60,10 @@ def test_endpoints_referenced(page):
 
 
 def test_i18n_coverage(page):
-    # every data-i18n key must exist in all four language tables
+    # every data-i18n key must exist in all five language tables
     keys = set(re.findall(r'data-i18n="([a-z_0-9]+)"', page))
     assert len(keys) > 30
-    for lang in ("en", "zh", "ja", "he"):
+    for lang in ("en", "zh", "ja", "ko", "he"):
         block = re.search(lang + r":\s*\{(.*?)\n\s*\}", page, re.DOTALL)
         assert block, f"missing i18n table {lang}"
         lang_keys = set(re.findall(r"(\w+)\s*:", block.group(1)))
