@@ -154,11 +154,21 @@ def _load_safetensors_adapter(path: str) -> dict:
             "down": jnp.stack([jnp.asarray(by_layer[i]["down"]) for i in idxs]),
             "up": jnp.stack([jnp.asarray(by_layer[i]["up"]) for i in idxs]),
         }
-        if all("dora_m" in by_layer[i] for i in idxs):
+        n_dora = sum("dora_m" in by_layer[i] for i in idxs)
+        if n_dora == len(idxs):
             weights[target]["dora_m"] = jnp.stack(
                 [jnp.asarray(by_layer[i]["dora_m"]) for i in idxs])
+        elif n_dora:
+            raise ValueError(
+                f"{path}: {target} has lora_magnitude_vector for only "
+                f"{n_dora}/{len(idxs)} layers; refusing to silently drop "
+                f"DoRA on the rest")
     if lokr_layers and not weights:
         return _assemble_lokr_adapter(lokr_layers)
+    if lokr_layers and weights:
+        raise ValueError(
+            f"{path} mixes PEFT lora_A/lora_B and LyCORIS lokr_w1/lokr_w2 "
+            f"keys; split the adapters into separate files")
     if not weights:
         raise ValueError(
             f"no recognizable adapter keys in {path}: expected PEFT "

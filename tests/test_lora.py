@@ -299,3 +299,40 @@ def test_peft_sidecar_alpha_respected(tmp_path):
     assert adapter["meta"]["alpha"] == 32
     assert adapter["weights"]["self_attn.q_proj"]["down"].shape == (2, 16, 4)
     assert adapter["weights"]["self_attn.q_proj"]["up"].shape == (2, 4, 16)
+
+def test_partial_dora_and_mixed_format_fail_loudly(tmp_path):
+    """A file with lora_magnitude_vector on only some layers, or one that
+    mixes PEFT LoRA and LyCORIS LoKr keys, must error rather than silently
+    dropping half the adapter."""
+    from safetensors.numpy import save_file
+
+    from acestep_tpu.lora.manager import load_adapter_file
+
+    rng = np.random.default_rng(0)
+
+    def lora_pair(layer):
+        base = f"base.layers.{layer}.self_attn.q_proj"
+        return {
+            f"{base}.lora_A.weight":
+                rng.standard_normal((4, 16)).astype(np.float32),
+            f"{base}.lora_B.weight":
+                rng.standard_normal((16, 4)).astype(np.float32),
+        }
+
+    partial = {**lora_pair(0), **lora_pair(1),
+               "base.layers.0.self_attn.q_proj.lora_magnitude_vector.weight":
+                   rng.standard_normal((16,)).astype(np.float32)}
+    p = str(tmp_path / "partial_dora.safetensors")
+    save_file(partial, p)
+    with pytest.raises(ValueError, match="only 1/2 layers"):
+        load_adapter_file(p)
+
+    mixed = {**lora_pair(0),
+             "lycoris_base_layers_0_mlp_gate_proj.lokr_w1":
+                 rng.standard_normal((2, 4)).astype(np.float32),
+             "lycoris_base_layers_0_mlp_gate_proj.lokr_w2":
+                 rng.standard_normal((8, 6)).astype(np.float32)}
+    m = str(tmp_path / "mixed.safetensors")
+    save_file(mixed, m)
+    with pytest.raises(ValueError, match="mixes PEFT"):
+        load_adapter_file(m)
