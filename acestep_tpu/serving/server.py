@@ -675,6 +675,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._create_random_sample(body)
             elif route == "/format_input":
                 self._format_input(body)
+            elif route == "/lrc_to_vtt":
+                self._lrc_to_vtt(body)
             elif route == "/v1/lora/load":
                 self._lora_load(body)
             elif route == "/v1/lora/unload":
@@ -857,6 +859,17 @@ class _Handler(BaseHTTPRequestHandler):
                                       body.get("lyrics", ""))
         code = 200 if out.get("success") else 500
         self._send_json(wrap_response(out, code, out.get("error")), code)
+
+    def _lrc_to_vtt(self, body: Dict[str, Any]) -> None:
+        """LRC text -> WebVTT cues for the studio's synced-lyrics track
+        (reference results UI lrc_utils.py:131-185: parse, 2 s merge,
+        VTT file for the player's subtitle track). Stateless — the studio
+        posts the LRC it already holds plus the audio duration."""
+        from acestep_tpu.utils.lrc import lrc_to_vtt
+        duration = body.get("duration")
+        vtt = lrc_to_vtt(body.get("lrc", ""),
+                         float(duration) if duration is not None else None)
+        self._send_json(wrap_response({"vtt": vtt}, 200, None), 200)
 
     # -- LoRA (delegates to the default DiT handler's LoRA service) ---------
 
