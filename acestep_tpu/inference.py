@@ -377,6 +377,7 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
             }
             if config.want_lrc and lyrics.strip().lower() not in (
                     "", "[inst]", "[instrumental]"):
+                t_lrc = time.time()
                 try:
                     lrc = dit_handler.generate_lrc(
                         res.pred_latents[i], meta.get("caption", ""), lyrics,
@@ -387,6 +388,11 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
                     entry["alignment_score"] = lrc["score"]
                 except Exception as e:   # best-effort decoration
                     entry["lrc_error"] = str(e)
+                # LRC detection cost, accumulated over the batch (the
+                # reference's `auto_lrc_time` generation-info block)
+                time_costs["auto_lrc_time"] = (
+                    time_costs.get("auto_lrc_time", 0.0)
+                    + (time.time() - t_lrc))
             audios.append(entry)
         return GenerationResult(
             audios=audios,

@@ -1094,6 +1094,7 @@ class AceStepHandler:
             audios.append(a)
 
         paths = None
+        t_save = time.time()
         if save_dir:
             saver = AudioSaver(save_dir)
             paths = []
@@ -1112,7 +1113,15 @@ class AceStepHandler:
                 })
                 paths.append(saver.save_audio(a, uid, audio_format))
 
+        if save_dir:
+            # encoding/writing the output files (reference generation_info
+            # block 2 `audio_conversion_time`)
+            time_costs["audio_conversion_time"] = time.time() - t_save
         time_costs["total_time_cost"] = time.time() - t_start
+        # the whole DiT service call, under the reference's key name so the
+        # generation-info summary can split LM vs DiT phases
+        # (reference generation_info.py:59-71)
+        time_costs["dit_total_time_cost"] = time_costs["total_time_cost"]
         return GenerationResult(
             audios=audios, pred_latents=pred[:, :T_req], seeds=seeds_list,
             time_costs=time_costs, audio_paths=paths,

@@ -39,6 +39,7 @@ from acestep_tpu.serving.jobstore import (
     LocalResultCache,
 )
 from acestep_tpu.serving.schemas import GenerateMusicRequest
+from acestep_tpu.utils.geninfo import build_generation_info
 
 QUEUE_MAXSIZE = 200
 INITIAL_AVG_JOB_SECONDS = 30.0
@@ -425,6 +426,7 @@ class AppState:
                 if llm_handler is not self.llm_handler else "")
             payload["prompt"] = params.caption
             payload["lyrics"] = params.lyrics
+            payload["audio_format"] = config.audio_format
             if result.success:
                 self.job_store.mark_succeeded(job_id, payload)
             else:
@@ -480,6 +482,12 @@ class AppState:
             metas = extra.get("lm_metadata", {}) or {}
             entries = []
             audios = result.get("audios") or [{}]
+            # timing summary shipped with every result (reference
+            # api_server.py:2028-2056 builds it with _build_generation_info)
+            time_costs = extra.get("time_costs") or {}
+            gen_info = build_generation_info(
+                time_costs, len([a for a in audios if a]),
+                result.get("audio_format", "flac"))
             for audio in audios:
                 entry = {
                     "file": audio.get("path") or "",
@@ -490,7 +498,9 @@ class AppState:
                     "prompt": result.get("prompt", ""),
                     "lyrics": result.get("lyrics", ""),
                     "metas": metas,
-                    "generation_info": result.get("status_message", ""),
+                    "generation_info": gen_info,
+                    "time_costs": time_costs,
+                    "status_message": result.get("status_message", ""),
                     "seed_value": str(audio.get("seed", "")),
                     "lm_model": result.get("lm_model", ""),
                     "dit_model": result.get("dit_model", ""),
