@@ -104,7 +104,7 @@ def _load_safetensors_adapter(path: str) -> dict:
             # module names + lokr_w1/lokr_w2 (optionally factored _a/_b)
             lm = re.search(
                 r"layers[._](\d+)[._](.+?)\."
-                r"(lokr_w[12](?:_[ab])?|alpha)$", key)
+                r"(lokr_w[12](?:_[ab])?|alpha|dora_scale)$", key)
             if lm:
                 idx, raw_target, part = (int(lm.group(1)), lm.group(2),
                                          lm.group(3))
@@ -185,36 +185,57 @@ def _assemble_lokr_adapter(lokr_layers) -> dict:
     Torch factors are (out, in)-oriented: delta = kron(w1, w2). Our
     lokr_delta computes kron over (in, out)-oriented factors, and
     kron(A,B)^T == kron(A^T,B^T), so transposing each factor suffices.
-    Factored w1_a/w1_b (resp. w2) compose by matmul first. The per-module
-    LyCORIS alpha (when stored) maps onto meta alpha; LyCORIS applies
-    scale=1 for lokr by default."""
+    Factored w1_a/w1_b (resp. w2) compose by matmul first.
+
+    Scale follows LyCORIS lokr semantics (lycoris/modules/lokr.py): with
+    both factors stored full, alpha is ignored (scale 1); with a rank-
+    factored pair, scale = alpha / lora_dim where lora_dim is the factored
+    pair's inner rank. The per-module scale is baked into the `a` factor
+    here (modules can carry different alphas), so `meta.alpha` stays 1.
+
+    `dora_scale` magnitude tensors (LyCORIS dora_wd) map onto our per-
+    target `dora_m` stack, which merge_weights applies kind-agnostically."""
     weights: Dict[str, dict] = {}
-    alpha_val = None
     for target, by_layer in lokr_layers.items():
         idxs = sorted(by_layer)
-        a_rows, b_rows = [], []
+        a_rows, b_rows, dora_rows = [], [], []
         for i in idxs:
             parts = by_layer[i]
-            if "alpha" in parts:
-                alpha_val = float(np.asarray(parts["alpha"]))
             w1 = parts.get("lokr_w1")
+            rank = None
             if w1 is None and "lokr_w1_a" in parts:
-                w1 = np.asarray(parts["lokr_w1_a"]) @ \
-                    np.asarray(parts["lokr_w1_b"])
+                w1a = np.asarray(parts["lokr_w1_a"])
+                w1 = w1a @ np.asarray(parts["lokr_w1_b"])
+                rank = w1a.shape[1]
             w2 = parts.get("lokr_w2")
             if w2 is None and "lokr_w2_a" in parts:
-                w2 = np.asarray(parts["lokr_w2_a"]) @ \
-                    np.asarray(parts["lokr_w2_b"])
+                w2a = np.asarray(parts["lokr_w2_a"])
+                w2 = w2a @ np.asarray(parts["lokr_w2_b"])
+                rank = w2a.shape[1]
             if w1 is None or w2 is None:
                 raise ValueError(
                     f"incomplete LoKr factors for {target} layer {i}")
-            a_rows.append(np.asarray(w1).T)      # (i1, o1)
-            b_rows.append(np.asarray(w2).T)      # (i2, o2)
+            if rank is None:
+                scale = 1.0          # both factors full: lycoris drops alpha
+            else:
+                alpha = parts.get("alpha")
+                scale = (float(np.asarray(alpha)) / rank
+                         if alpha is not None else 1.0)
+            a_rows.append(np.asarray(w1).T * scale)   # (i1, o1), scaled
+            b_rows.append(np.asarray(w2).T)           # (i2, o2)
+            if "dora_scale" in parts:
+                dora_rows.append(
+                    np.asarray(parts["dora_scale"]).reshape(-1))
+        if dora_rows and len(dora_rows) != len(idxs):
+            raise ValueError(
+                f"{target} has dora_scale for only {len(dora_rows)}/"
+                f"{len(idxs)} layers; refusing to silently drop DoRA")
         weights[target] = {"a": jnp.stack([jnp.asarray(x) for x in a_rows]),
                            "b": jnp.stack([jnp.asarray(x) for x in b_rows])}
-    return {"meta": {"kind": "lokr",
-                     "alpha": alpha_val if alpha_val is not None else 1.0},
-            "weights": weights}
+        if dora_rows:
+            weights[target]["dora_m"] = jnp.stack(
+                [jnp.asarray(x) for x in dora_rows])
+    return {"meta": {"kind": "lokr", "alpha": 1.0}, "weights": weights}
 
 
 class LoraManager:

@@ -1118,10 +1118,13 @@ class AceStepHandler:
             # block 2 `audio_conversion_time`)
             time_costs["audio_conversion_time"] = time.time() - t_save
         time_costs["total_time_cost"] = time.time() - t_start
-        # the whole DiT service call, under the reference's key name so the
-        # generation-info summary can split LM vs DiT phases
-        # (reference generation_info.py:59-71)
-        time_costs["dit_total_time_cost"] = time_costs["total_time_cost"]
+        # the DiT service call under the reference's key name so the
+        # generation-info summary can split LM vs DiT phases (reference
+        # generation_info.py:59-71). File conversion is reported in its own
+        # processing block, so subtract it here or the summary double-counts.
+        time_costs["dit_total_time_cost"] = (
+            time_costs["total_time_cost"]
+            - time_costs.get("audio_conversion_time", 0.0))
         return GenerationResult(
             audios=audios, pred_latents=pred[:, :T_req], seeds=seeds_list,
             time_costs=time_costs, audio_paths=paths,

@@ -875,11 +875,16 @@ class _Handler(BaseHTTPRequestHandler):
         (reference results UI lrc_utils.py:131-185: parse, 2 s merge,
         VTT file for the player's subtitle track). Stateless — the studio
         posts the LRC it already holds plus the audio duration."""
-        from acestep_tpu.utils.lrc import lrc_to_vtt
-        duration = body.get("duration")
-        vtt = lrc_to_vtt(body.get("lrc", ""),
-                         float(duration) if duration is not None else None)
-        self._send_json(wrap_response({"vtt": vtt}, 200, None), 200)
+        from acestep_tpu.utils.lrc import lrc_to_vtt, parse_lrc_to_subtitles
+        try:
+            # duration may be LM metadata ("180", "180s", 180.0, garbage)
+            duration = float(str(body.get("duration")).rstrip("s"))
+        except (TypeError, ValueError):
+            duration = None
+        lrc = body.get("lrc", "")
+        self._send_json(wrap_response(
+            {"vtt": lrc_to_vtt(lrc, duration),
+             "cues": parse_lrc_to_subtitles(lrc, duration)}, 200, None), 200)
 
     # -- LoRA (delegates to the default DiT handler's LoRA service) ---------
 

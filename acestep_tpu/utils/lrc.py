@@ -98,11 +98,13 @@ def parse_lrc_to_subtitles(lrc_text: str,
 
 
 def format_vtt_timestamp(seconds: float) -> str:
-    """``HH:MM:SS.mmm`` (reference lrc_utils.py:121-127)."""
-    hours = int(seconds // 3600)
-    minutes = int((seconds % 3600) // 60)
-    secs = int(seconds % 60)
-    millis = int((seconds % 1) * 1000)
+    """``HH:MM:SS.mmm`` (reference lrc_utils.py:121-127; we round the
+    millisecond field instead of truncating so binary-inexact
+    centisecond tags like 65.07 don't land 1 ms low)."""
+    total_ms = round(seconds * 1000)
+    hours, rem = divmod(total_ms, 3_600_000)
+    minutes, rem = divmod(rem, 60_000)
+    secs, millis = divmod(rem, 1000)
     return f"{hours:02d}:{minutes:02d}:{secs:02d}.{millis:03d}"
 
 

@@ -184,10 +184,11 @@ def test_lycoris_lokr_import(tmp_path):
     assert adapter["meta"]["kind"] == "lokr"
     aw = adapter["weights"]["self_attn.q_proj"]
     assert aw["a"].shape == (1, 4, 2) and aw["b"].shape == (1, 4, 8)
-    # delta equals the torch-oriented kron, transposed to (in, out)
+    # delta equals the torch-oriented kron, transposed to (in, out), at
+    # the LyCORIS scale alpha/rank (w2 factored at rank 3, alpha 1)
     delta = np.asarray(lokr_delta(adapter["weights"], "self_attn.q_proj",
                                   adapter["meta"]["alpha"]))[0]
-    np.testing.assert_allclose(delta, np.kron(w1, w2a @ w2b).T,
+    np.testing.assert_allclose(delta, np.kron(w1, w2a @ w2b).T * (1.0 / 3),
                                rtol=1e-5, atol=1e-5)
 
     # junk safetensors: loud error, not an empty adapter
@@ -336,3 +337,48 @@ def test_partial_dora_and_mixed_format_fail_loudly(tmp_path):
     save_file(mixed, m)
     with pytest.raises(ValueError, match="mixes PEFT"):
         load_adapter_file(m)
+
+def test_lokr_scale_and_dora_semantics(tmp_path):
+    """LyCORIS lokr scale rules (lycoris/modules/lokr.py): both factors
+    full -> alpha ignored (scale 1); rank-factored -> alpha/rank. Per-
+    module alphas stay per-module (baked into the factors), and
+    dora_scale tensors import as the dora_m magnitude stack."""
+    from safetensors.numpy import save_file
+
+    from acestep_tpu.lora.adapters import lokr_delta
+    from acestep_tpu.lora.manager import load_adapter_file
+
+    rng = np.random.default_rng(1)
+    w1_full = rng.standard_normal((2, 4)).astype(np.float32)
+    w2_full = rng.standard_normal((8, 6)).astype(np.float32)
+    w1b = rng.standard_normal((2, 4)).astype(np.float32)
+    w2a = rng.standard_normal((8, 2)).astype(np.float32)   # rank 2
+    w2b = rng.standard_normal((2, 6)).astype(np.float32)
+    dora = np.abs(rng.standard_normal((16, 1))).astype(np.float32)
+    tensors = {
+        # module A: both full + alpha stored -> alpha must be IGNORED
+        "lycoris_base_layers_0_self_attn_q_proj.lokr_w1": w1_full,
+        "lycoris_base_layers_0_self_attn_q_proj.lokr_w2": w2_full,
+        "lycoris_base_layers_0_self_attn_q_proj.alpha":
+            np.asarray(4.0, np.float32),
+        "lycoris_base_layers_0_self_attn_q_proj.dora_scale": dora,
+        # module B: w2 factored at rank 2 with alpha 8 -> scale 4
+        "lycoris_base_layers_0_mlp_gate_proj.lokr_w1": w1b,
+        "lycoris_base_layers_0_mlp_gate_proj.lokr_w2_a": w2a,
+        "lycoris_base_layers_0_mlp_gate_proj.lokr_w2_b": w2b,
+        "lycoris_base_layers_0_mlp_gate_proj.alpha":
+            np.asarray(8.0, np.float32),
+    }
+    path = str(tmp_path / "lokr_mixed.safetensors")
+    save_file(tensors, path)
+    adapter = load_adapter_file(path)
+    assert adapter["meta"]["alpha"] == 1.0
+    d_q = np.asarray(lokr_delta(adapter["weights"], "self_attn.q_proj", 1.0))[0]
+    np.testing.assert_allclose(d_q, np.kron(w1_full, w2_full).T,
+                               rtol=1e-5, atol=1e-5)
+    d_g = np.asarray(lokr_delta(adapter["weights"], "mlp.gate", 1.0))[0]
+    np.testing.assert_allclose(d_g, np.kron(w1b, w2a @ w2b).T * 4.0,
+                               rtol=1e-4, atol=1e-4)
+    # dora_scale -> per-target magnitude stack
+    assert adapter["weights"]["self_attn.q_proj"]["dora_m"].shape == (1, 16)
+    assert "dora_m" not in adapter["weights"]["mlp.gate"]

@@ -113,6 +113,18 @@ def test_lrc_to_vtt_route(server_env):
     assert vtt.startswith("WEBVTT")
     assert "00:00:01.000 --> 00:00:04.000" in vtt
     assert "sync me" in vtt
+    # JSON cue list rides alongside for the studio player
+    assert out["data"]["cues"] == [
+        {"text": "sync me", "timestamp": [1.0, 4.0]}]
+    # duration may be LM-metadata strings; bad values fall back to None
+    for dur in ("4", "4s", "N/A", None):
+        status, out = _post(port, "/lrc_to_vtt",
+                            {"lrc": "[00:01.00]x", "duration": dur})
+        assert status == 200 and out["data"]["vtt"].startswith("WEBVTT")
     # empty LRC clears the track
     status, out = _post(port, "/lrc_to_vtt", {"lrc": ""})
     assert status == 200 and out["data"]["vtt"] is None
+
+def test_vtt_timestamp_rounds_not_truncates():
+    # 65.07 is not exactly representable; truncation yields .069
+    assert format_vtt_timestamp(65.07) == "00:01:05.070"
