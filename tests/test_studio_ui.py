@@ -313,3 +313,30 @@ def test_lora_panel_roundtrip_over_http(live, tmp_path):
     _, out = _get(port, "/v1/lora/status")
     assert not any(a.get("name") == "studio_t"
                    for a in out["data"].get("adapters", []))
+
+def test_help_sections_cover_all_languages(page):
+    """The in-app help system (reference help_content.py modals): every
+    language carries the same help sections, and every anchor key the
+    wiring references exists in the English table."""
+    m = re.search(r"const HELP = \{(.*?)\n\}\};", page, re.S)
+    assert m, "HELP table missing"
+    block = m.group(1)
+    langs = re.findall(r"^(\w+): \{", block, re.M)
+    assert set(langs) == {"en", "zh", "ja", "ko", "he"}
+    keysets = {}
+    for chunk, lang in zip(re.split(r"^\w+: \{", block, flags=re.M)[1:],
+                           langs):
+        keysets[lang] = set(re.findall(r"^\s{2}(\w+):", chunk, re.M))
+    for lang in langs[1:]:
+        assert keysets[lang] == keysets["en"], (
+            f"{lang} help keys diverge: "
+            f"{keysets[lang] ^ keysets['en']}")
+    # anchors reference existing sections
+    anchor_keys = set(re.findall(r'", "(\w+)"\]', page))
+    wired = {k for k in anchor_keys if k in keysets["en"]}
+    assert {"modes", "caption", "lyrics", "advanced", "results", "lora",
+            "training", "dataset", "service",
+            "getting_started"} <= wired
+    # modal DOM ids exist
+    for el_id in ("help-modal", "help-body", "help-close"):
+        assert f'id="{el_id}"' in page
