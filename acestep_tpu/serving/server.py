@@ -40,6 +40,24 @@ from acestep_tpu.serving.jobstore import (
 )
 from acestep_tpu.serving.schemas import GenerateMusicRequest
 from acestep_tpu.utils.geninfo import build_generation_info
+from acestep_tpu.utils.path_safety import safe_path
+
+
+class PathRejected(ValueError):
+    """A user-supplied filesystem path escaped the safe root (400)."""
+
+
+def _user_path(p: Optional[str]) -> Optional[str]:
+    """Validate a path arriving over HTTP against the safe root (the
+    reference routes every training-module path through
+    path_safety.safe_path; here the HTTP body is the trust boundary).
+    None/empty passes through — presence checks stay with the route."""
+    if not p:
+        return p
+    try:
+        return safe_path(p)
+    except ValueError as e:
+        raise PathRejected(str(e)) from None
 
 QUEUE_MAXSIZE = 200
 INITIAL_AVG_JOB_SECONDS = 30.0
@@ -710,10 +728,12 @@ class _Handler(BaseHTTPRequestHandler):
                     config = base
                 if route.endswith("lokr"):
                     config.setdefault("kind", "lokr")
+                if config.get("output_dir"):
+                    config["output_dir"] = _user_path(config["output_dir"])
                 try:
                     out = self.state.training.start(
-                        dataset_dir=body.get("dataset_dir"),
-                        manifest_path=body.get("manifest_path"),
+                        dataset_dir=_user_path(body.get("dataset_dir")),
+                        manifest_path=_user_path(body.get("manifest_path")),
                         config=config)
                     self._send_json(wrap_response(out))
                 except ValueError as e:
@@ -725,7 +745,7 @@ class _Handler(BaseHTTPRequestHandler):
             elif route == "/v1/training/tensorboard/start":
                 try:
                     out = self.state.training.tensorboard_start(
-                        logdir=body.get("logdir"),
+                        logdir=_user_path(body.get("logdir")),
                         port=int(body.get("port", 6006)))
                     self._send_json(wrap_response(out))
                 except RuntimeError as e:
@@ -736,9 +756,9 @@ class _Handler(BaseHTTPRequestHandler):
             elif route == "/v1/dataset/build":
                 try:
                     out = self.state.dataset.start(
-                        body.get("audio_dir", ""),
-                        body.get("out_dir") or os.path.join(
-                            body.get("audio_dir", ""), "_dataset"),
+                        _user_path(body.get("audio_dir", "")),
+                        _user_path(body.get("out_dir") or os.path.join(
+                            body.get("audio_dir", ""), "_dataset")),
                         val_fraction=float(body.get("val_fraction", 0.0)),
                         use_llm_labels=bool(body.get("use_llm_labels", True)))
                     self._send_json(wrap_response(out))
@@ -752,6 +772,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._training_export(body)
             else:
                 self._send_json(wrap_response(None, 404, "Not found"), 404)
+        except PathRejected as e:
+            self._send_json(wrap_response(None, 400, str(e)), 400)
         except Exception as e:
             self._send_json(wrap_response(None, 500, str(e)), 500)
 
@@ -896,9 +918,9 @@ class _Handler(BaseHTTPRequestHandler):
         return service
 
     def _lora_load(self, body: Dict[str, Any]) -> None:
+        path = _user_path(body["lora_path"])   # validate before service lookup
         service = self._lora_service()
-        info = service.load(body["lora_path"],
-                            adapter_name=body.get("adapter_name"))
+        info = service.load(path, adapter_name=body.get("adapter_name"))
         self._send_json(wrap_response(info))
 
     def _lora_unload(self, body: Dict[str, Any]) -> None:
@@ -999,7 +1021,8 @@ class _Handler(BaseHTTPRequestHandler):
         """Stats for a preprocessed tensor dir (ref /v1/training/load_tensor_info)."""
         import numpy as np
 
-        tensor_dir = body.get("dataset_dir") or body.get("tensor_dir", "")
+        tensor_dir = _user_path(
+            body.get("dataset_dir") or body.get("tensor_dir", ""))
         try:
             from acestep_tpu.training.data import PreprocessedDataset
 
@@ -1021,7 +1044,8 @@ class _Handler(BaseHTTPRequestHandler):
     def _training_export(self, body: Dict[str, Any]) -> None:
         """Report the exported adapter artifact for a finished run."""
         status = self.state.training.status()
-        output_dir = body.get("output_dir") or status.get("output_dir")
+        output_dir = (_user_path(body.get("output_dir"))
+                      or status.get("output_dir"))
         if not output_dir or not os.path.isdir(output_dir):
             self._send_json(wrap_response(None, 404, "no training output"), 404)
             return

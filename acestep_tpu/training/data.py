@@ -23,11 +23,51 @@ def _bucket_len(n: int, bucket: int, cap: Optional[int] = None) -> int:
 
 
 class PreprocessedDataset:
-    """Directory of sample_*.npz files from training.preprocess."""
+    """Directory of sample_*.npz files from training.preprocess.
+
+    When the directory carries a ``manifest.json`` (``{"samples": [...]}``),
+    the listed paths are used instead of the fallback ``*.npz`` scan. Each
+    entry resolves relative to the tensor dir first, then against the
+    global safe root for legacy cwd-relative manifests; entries that
+    escape both roots or do not exist are skipped with a warning — the
+    reference's data_module traversal discipline
+    (`training/data_module.py:57-128`, path_safety.safe_path)."""
 
     def __init__(self, tensor_dir: str, val_fraction: float = 0.0,
                  seed: int = 0):
-        self.files = sorted(glob.glob(os.path.join(tensor_dir, "*.npz")))
+        if not os.path.isdir(tensor_dir):
+            raise FileNotFoundError(
+                f"not an existing directory: {tensor_dir}")
+        self.tensor_dir = os.path.abspath(tensor_dir)
+        manifest = os.path.join(self.tensor_dir, "manifest.json")
+        if os.path.exists(manifest):
+            import json
+
+            from acestep_tpu.utils.path_safety import safe_path
+            with open(manifest, "r", encoding="utf-8") as f:
+                raw_paths = (json.load(f) or {}).get("samples", [])
+            files = []
+            for raw in raw_paths:
+                resolved = None
+                for base in (self.tensor_dir, None):
+                    try:
+                        cand = safe_path(raw, base=base) if base else \
+                            safe_path(raw)
+                        if os.path.exists(cand):
+                            resolved = cand
+                            break
+                    except ValueError:
+                        continue
+                if resolved is None:
+                    import warnings
+                    warnings.warn(
+                        f"skipping unresolvable manifest path: {raw!r}")
+                    continue
+                files.append(resolved)
+            self.files = sorted(files)
+        else:
+            self.files = sorted(glob.glob(
+                os.path.join(self.tensor_dir, "*.npz")))
         if not self.files:
             raise FileNotFoundError(f"no .npz samples in {tensor_dir}")
         rng = np.random.default_rng(seed)

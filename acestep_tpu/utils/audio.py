@@ -190,10 +190,12 @@ class AudioSaver:
     without ffmpeg); mp3/opus/aac/ogg via ffmpeg when available."""
 
     NATIVE = {"wav", "wav32", "flac"}
-    FFMPEG = {"mp3", "opus", "aac", "ogg"}
+    FFMPEG = {"mp3", "opus", "aac", "ogg", "m4a"}
 
-    def __init__(self, output_dir: str = "outputs"):
+    def __init__(self, output_dir: str = "outputs",
+                 default_format: str = "flac"):
         self.output_dir = Path(output_dir)
+        self.default_format = default_format
 
     def available_formats(self):
         fmts = sorted(self.NATIVE)
@@ -203,7 +205,12 @@ class AudioSaver:
 
     def save_audio(self, audio: np.ndarray, name: str, fmt: str = "wav",
                    sr: int = SAMPLE_RATE) -> str:
-        fmt = fmt.lower()
+        fmt = (fmt or "").lower()
+        if fmt not in self.NATIVE and fmt not in self.FFMPEG:
+            # unknown formats fall back to the saver default instead of
+            # failing the whole job (reference audio_utils_test
+            # test_save_audio_invalid_format_fallback)
+            fmt = self.default_format
         self.output_dir.mkdir(parents=True, exist_ok=True)
         if fmt == "wav":
             return save_wav(self.output_dir / f"{name}.wav", audio, sr)

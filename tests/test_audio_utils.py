@@ -86,3 +86,23 @@ def test_audio_saver_wav(tmp_path):
     back, sr = load_wav(out)
     assert back.shape == (1000, 2)
     assert "wav" in saver.available_formats()
+
+def test_saver_invalid_format_falls_back_to_default(tmp_path):
+    """Unknown formats fall back to the saver default instead of failing
+    the job (reference audio_utils_test
+    test_save_audio_invalid_format_fallback)."""
+    from acestep_tpu.utils.audio import AudioSaver
+
+    saver = AudioSaver(str(tmp_path), default_format="flac")
+    audio = np.zeros((480, 2), np.float32)
+    out = saver.save_audio(audio, "t", "invalid_format", sr=48000)
+    assert out.endswith("t.flac")
+    # m4a is recognized (AAC container); needs ffmpeg like the reference
+    from acestep_tpu.utils.audio import _ffmpeg
+    if _ffmpeg():
+        out = saver.save_audio(audio, "t2", "m4a", sr=48000)
+        assert out.endswith("t2.m4a")
+    else:
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="requires ffmpeg"):
+            saver.save_audio(audio, "t2", "m4a", sr=48000)

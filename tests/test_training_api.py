@@ -340,7 +340,10 @@ def test_dataset_build_over_http(tiny_server):
     assert st["data"]["status"] == "completed", st["data"]
     assert st["data"]["result"]["num_samples"] == 2
     assert st["data"]["progress"]["encoded"] == 2
-    # unknown dir -> 404; double build while idle is fine
+    # a missing dir inside the safe root -> 404; outside it -> 400
+    status, _ = _post(port, "/v1/dataset/build",
+                      {"audio_dir": str(tmp_path / "no_such_dir")})
+    assert status == 404
     status, _ = _post(port, "/v1/dataset/build",
                       {"audio_dir": "/no/such/dir"})
-    assert status == 404
+    assert status == 400
