@@ -156,12 +156,17 @@ class AppState:
                  persist_dir: Optional[str] = None,
                  examples_dir: Optional[str] = None,
                  api_key: Optional[str] = None,
-                 worker_count: int = 1) -> None:
+                 worker_count: int = 1,
+                 lazy_init=None) -> None:
         if not dit_handlers:
             raise ValueError("at least one DiT handler is required")
         self.dit_handlers = dict(dit_handlers)
         self.default_model = next(iter(self.dit_handlers))
         self.llm_handler = llm_handler
+        # deferred model load (ACESTEP_NO_INIT lazy startup, reference
+        # api_server.py:2167): a zero-arg callable run once, on the first
+        # request that needs weights, under the reinit lock
+        self._lazy_init = lazy_init
         self.output_dir = os.path.abspath(output_dir)
         self.api_key = api_key
         self.job_store = JobStore(persist_dir=persist_dir)
@@ -192,6 +197,20 @@ class AppState:
         self._llm_inuse: Dict[str, int] = {}
         self.max_cached_llms = 2
 
+    def ensure_initialized(self) -> None:
+        """Run the deferred model load exactly once (--no-init /
+        ACESTEP_NO_INIT, reference api_server.py:2167): the server binds
+        its port instantly and weights load on the first request that
+        needs them. Held under the reinit lock so generation, weight
+        swaps, and the load itself serialize; a failed load stays armed
+        and the next request retries."""
+        if self._lazy_init is None:
+            return
+        with self.reinit_lock:
+            if self._lazy_init is not None:
+                self._lazy_init()
+                self._lazy_init = None
+
     def _select_llm(self, lm_model_path: Optional[str]):
         """Per-request LM model swap (reference api_server.py:623
         _temporary_llm_model). TPU redesign: instead of re-init + restore
@@ -204,6 +223,7 @@ class AppState:
         Checkpoint download + initialize run OUTSIDE the cache lock (they
         can take minutes); concurrent requests for the same model wait on
         one builder instead of initializing twice."""
+        self.ensure_initialized()   # lazy startup: LM loads on first use
         desired = (lm_model_path or "").strip()
         if not desired:
             return self.llm_handler, lambda: None
@@ -326,6 +346,7 @@ class AppState:
 
     def _run_one_job(self, job_id: str, req: GenerateMusicRequest) -> None:
         t0 = time.time()
+        self.ensure_initialized()   # lazy startup: weights load on first job
         self.job_store.mark_running(job_id)
         self._cache_progress(job_id, 0.01, "running")
 
@@ -719,6 +740,7 @@ class _Handler(BaseHTTPRequestHandler):
                 self._chat_completions(body)
             elif route in ("/v1/training/start", "/v1/training/start_lora",
                            "/v1/training/start_lokr"):
+                self.state.ensure_initialized()   # trainer needs weights
                 config = dict(body.get("config") or {})
                 preset = body.get("preset")
                 if preset:
@@ -754,6 +776,7 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send_json(wrap_response(
                     self.state.training.tensorboard_stop()))
             elif route == "/v1/dataset/build":
+                self.state.ensure_initialized()   # builder encodes audio
                 try:
                     out = self.state.dataset.start(
                         _user_path(body.get("audio_dir", "")),
@@ -911,6 +934,7 @@ class _Handler(BaseHTTPRequestHandler):
     # -- LoRA (delegates to the default DiT handler's LoRA service) ---------
 
     def _lora_service(self):
+        self.state.ensure_initialized()
         handler = self.state.dit_handlers[self.state.default_model]
         service = getattr(handler, "lora", None)
         if service is None:
@@ -962,6 +986,9 @@ class _Handler(BaseHTTPRequestHandler):
                 None, 400, "checkpoint_dir required (or allow_random_init)"),
                 400)
             return
+        # flush any pending lazy startup load first: it covers every model
+        # (other DiT variants, the LM), not just the handler reinit targets
+        self.state.ensure_initialized()
         with self.state.reinit_lock:    # don't swap weights mid-generation
             handler.initialize_service(
                 checkpoint_dir=ckpt,
@@ -1111,6 +1138,32 @@ def create_server(state: AppState, host: str = "127.0.0.1",
     return server
 
 
+def _env_bool(name: str, default: bool = False) -> bool:
+    """Reference api_server.py _env_bool: true/1/yes/on (case-insensitive)."""
+    raw = os.environ.get(name, "").strip().lower()
+    if not raw:
+        return default
+    return raw in ("1", "true", "yes", "on")
+
+
+def _resolve_lm_env(value: Optional[str]):
+    """Map ACESTEP_LM_MODEL_PATH onto (--lm-checkpoint-dir, --lm-size).
+
+    The reference accepts a model name like 'acestep-5Hz-lm-1.7B' or a
+    path here (api_server.py:1528, 2349). A directory resolves as an
+    explicit checkpoint; anything else is scanned for a size token and
+    falls back to tier-auto selection."""
+    value = (value or "").strip()
+    if not value:
+        return None, None
+    if os.path.isdir(value):
+        return value, None
+    import re
+
+    m = re.search(r"(0\.6|1\.7|4)\s*B", value, re.IGNORECASE)
+    return None, (m.group(1) + "B" if m else "auto")
+
+
 def main(argv: Optional[List[str]] = None) -> None:
     """CLI launcher: initialize real handlers and serve forever."""
     import argparse
@@ -1119,8 +1172,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     from acestep_tpu.pipeline.handler import AceStepHandler
 
     parser = argparse.ArgumentParser(description="ACE-Step TPU API server")
-    parser.add_argument("--host", default="0.0.0.0")
-    parser.add_argument("--port", type=int, default=8019)
+    parser.add_argument("--host",
+                        default=os.environ.get("SERVER_NAME", "0.0.0.0"))
+    parser.add_argument("--port", type=int,
+                        default=int(os.environ.get("PORT", "8019")))
     parser.add_argument("--checkpoint-dir",
                         default=os.environ.get("ACESTEP_CONFIG_PATH"))
     # multi-model: up to three DiT variants (reference ACESTEP_CONFIG_PATH2/3,
@@ -1171,7 +1226,55 @@ def main(argv: Optional[List[str]] = None) -> None:
                         help="tensor-parallel degree for the LM planner "
                              "(reference nano-vllm tensor_parallel_size, "
                              "nanovllm/config.py:17)")
+    parser.add_argument("--no-init", action="store_true",
+                        default=_env_bool("ACESTEP_NO_INIT"),
+                        help="bind the port immediately and load models "
+                             "lazily on the first request that needs them "
+                             "(env: ACESTEP_NO_INIT; reference "
+                             "api_server.py:2167); warmup is skipped")
     args = parser.parse_args(argv)
+
+    # ACESTEP_LM_MODEL_PATH supplies the LM when no CLI flag does
+    # (reference api_server.py:2349: env names the model, auto-detection
+    # decides whether it loads)
+    if not args.lm_checkpoint_dir and not args.lm_size:
+        env_dir, env_size = _resolve_lm_env(
+            os.environ.get("ACESTEP_LM_MODEL_PATH"))
+        args.lm_checkpoint_dir = env_dir
+        args.lm_size = env_size
+
+    # ACESTEP_INIT_LLM: auto (tier + local-checkpoint detection decides),
+    # true (force enable), false (force disable) — reference
+    # api_server.py:2316-2343
+    init_llm = os.environ.get("ACESTEP_INIT_LLM", "").strip().lower()
+    if init_llm in ("false", "0", "no", "off"):
+        if args.lm_checkpoint_dir or args.lm_size:
+            print("[acestep_tpu] ACESTEP_INIT_LLM=false: LM planner "
+                  "disabled (overriding LM flags)")
+        args.lm_checkpoint_dir = args.lm_size = None
+    elif init_llm in ("true", "1", "yes", "on"):
+        if not args.lm_checkpoint_dir and not args.lm_size:
+            args.lm_size = "auto"    # force enable at the tier's size
+    lm_auto_probe = (init_llm not in ("true", "1", "yes", "on")
+                     and not args.lm_checkpoint_dir and not args.lm_size)
+
+    def maybe_auto_lm():
+        """INIT_LLM=auto: enable only when the tier budgets an LM AND its
+        checkpoint is already local (never block startup on a multi-GB
+        download the operator didn't ask for). Tier detection touches the
+        device, so --no-init defers this into the lazy load."""
+        if not lm_auto_probe:
+            return
+        from acestep_tpu.runtime_config import get_global_config
+        from acestep_tpu.utils.downloads import resolve_local
+
+        tier = get_global_config()
+        if tier.lm_size and resolve_local(
+                f"acestep-5Hz-lm-{tier.lm_size}", args.lm_checkpoint_root):
+            args.lm_size = "auto"
+            print(f"[acestep_tpu] LM planner auto-enabled "
+                  f"({tier.lm_size} found locally; set "
+                  "ACESTEP_INIT_LLM=false to disable)")
 
     from acestep_tpu.parallel import parse_mesh_spec
 
@@ -1203,9 +1306,10 @@ def main(argv: Optional[List[str]] = None) -> None:
                         version = v
         return DiTConfig(model_version=version)
 
+    # handler objects are cheap to construct (no weights); initialization
+    # is factored out so --no-init can defer it to the first request
     handlers = {}
-    shared_vae = None
-    shared_embedder = None
+    ckpts = {}
     for idx, ckpt in enumerate([args.checkpoint_dir, args.checkpoint_dir2,
                                 args.checkpoint_dir3]):
         if idx > 0 and not ckpt:
@@ -1214,50 +1318,66 @@ def main(argv: Optional[List[str]] = None) -> None:
                 else "acestep-v15-turbo")
         while name in handlers:      # basename collision: disambiguate
             name += "+"
-        dit = AceStepHandler(dit_config=variant_config(ckpt))
-        dit.initialize_service(checkpoint_dir=ckpt,
-                               quantization=args.quantization,
-                               vae_params=shared_vae,
-                               text_embedder=shared_embedder)
-        shared_vae = dit.vae_params          # one VAE across variants
-        shared_embedder = dit.text_embedder
-        if mesh_spec:
-            dit.enable_mesh(dp=mesh_spec[0], tp=mesh_spec[1])
-        handlers[name] = dit
-    if mesh_spec:
-        print(f"[acestep_tpu] mesh enabled: dp={mesh_spec[0]} "
-              f"x tp={mesh_spec[1]} over {mesh_spec[0] * mesh_spec[1]} "
-              "devices")
-    if args.warmup:
-        durations = [float(d) for d in args.warmup.split(",") if d]
-        print(f"[acestep_tpu] warming {durations} x {list(handlers)}...")
-        for name, dit in handlers.items():
-            print(f"[acestep_tpu] warmup {name}: {dit.warmup(durations)}")
-    llm = None
-    kvq = {"auto": None, "on": True, "off": False}[args.lm_kv_quant]
-    if args.lm_checkpoint_dir:
-        llm = LLMHandler()
-        llm.initialize(checkpoint_dir=args.lm_checkpoint_dir,
-                       quantization=args.lm_quantization,
-                       tensor_parallel=args.lm_tensor_parallel,
-                       kv_quant=kvq)
-    elif args.lm_size:
-        llm = LLMHandler()
-        info = llm.initialize_auto(size=args.lm_size,
-                                   checkpoint_root=args.lm_checkpoint_root,
-                                   quantization=args.lm_quantization,
-                                   tensor_parallel=args.lm_tensor_parallel,
-                                   kv_quant=kvq)
-        print(f"[acestep_tpu] LM planner: {info['size']}"
-              f" quant={info['quantization']}"
-              f"{' (downgraded)' if info['downgraded'] else ''}")
+        handlers[name] = AceStepHandler(dit_config=variant_config(ckpt))
+        ckpts[name] = ckpt
 
-    state = AppState(handlers, llm,
+    state = AppState(handlers, None,
                      output_dir=args.output_dir,
                      persist_dir=args.persist_dir,
                      examples_dir=args.examples_dir,
                      api_key=args.api_key,
                      worker_count=args.workers)
+
+    def load_models():
+        maybe_auto_lm()
+        shared_vae = None
+        shared_embedder = None
+        for name, dit in handlers.items():
+            dit.initialize_service(checkpoint_dir=ckpts[name],
+                                   quantization=args.quantization,
+                                   vae_params=shared_vae,
+                                   text_embedder=shared_embedder)
+            shared_vae = dit.vae_params      # one VAE across variants
+            shared_embedder = dit.text_embedder
+            if mesh_spec:
+                dit.enable_mesh(dp=mesh_spec[0], tp=mesh_spec[1])
+        if mesh_spec:
+            print(f"[acestep_tpu] mesh enabled: dp={mesh_spec[0]} "
+                  f"x tp={mesh_spec[1]} over {mesh_spec[0] * mesh_spec[1]} "
+                  "devices")
+        if args.warmup and not args.no_init:   # lazy startup skips warmup
+            durations = [float(d) for d in args.warmup.split(",") if d]
+            print(f"[acestep_tpu] warming {durations} x {list(handlers)}...")
+            for name, dit in handlers.items():
+                print(f"[acestep_tpu] warmup {name}: "
+                      f"{dit.warmup(durations)}")
+        llm = None
+        kvq = {"auto": None, "on": True, "off": False}[args.lm_kv_quant]
+        if args.lm_checkpoint_dir:
+            llm = LLMHandler()
+            llm.initialize(checkpoint_dir=args.lm_checkpoint_dir,
+                           quantization=args.lm_quantization,
+                           tensor_parallel=args.lm_tensor_parallel,
+                           kv_quant=kvq)
+        elif args.lm_size:
+            llm = LLMHandler()
+            info = llm.initialize_auto(
+                size=args.lm_size,
+                checkpoint_root=args.lm_checkpoint_root,
+                quantization=args.lm_quantization,
+                tensor_parallel=args.lm_tensor_parallel,
+                kv_quant=kvq)
+            print(f"[acestep_tpu] LM planner: {info['size']}"
+                  f" quant={info['quantization']}"
+                  f"{' (downgraded)' if info['downgraded'] else ''}")
+        state.llm_handler = llm
+        state.dataset.llm = llm      # the builder labels with the planner
+
+    if args.no_init:
+        state._lazy_init = load_models
+        print("[acestep_tpu] --no-init: models load on first request")
+    else:
+        load_models()
     server = create_server(state, args.host, args.port)
     print(f"[acestep_tpu] serving on http://{args.host}:{args.port}")
     try:

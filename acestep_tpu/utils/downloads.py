@@ -153,7 +153,13 @@ def smart_download(repo_id: str, target: str,
     Returns (source_used, message); raises when both sources fail.
     Mirrors the reference's _smart_download (model_downloader.py:210-279):
     explicit preference wins, otherwise a reachability probe picks the
-    primary, and the alternative is tried on failure."""
+    primary, and the alternative is tried on failure. With no explicit
+    preference the ACESTEP_DOWNLOAD_SOURCE env var decides (reference
+    api_server.py:194; 'auto'/'' keeps the probe)."""
+    if prefer_source is None:
+        env = os.environ.get("ACESTEP_DOWNLOAD_SOURCE", "").strip().lower()
+        if env in ("huggingface", "modelscope"):
+            prefer_source = env
     if prefer_source == "huggingface":
         hf_first = True
     elif prefer_source == "modelscope":
@@ -174,6 +180,17 @@ def smart_download(repo_id: str, target: str,
     raise RuntimeError(
         f"all download sources failed for {repo_id}:\n  "
         + "\n  ".join(errors))
+
+
+def resolve_local(name: str, root: Optional[str] = None) -> Optional[str]:
+    """Return the local directory holding `name` if one already exists,
+    without downloading or hashing — the cheap existence probe behind
+    ACESTEP_INIT_LLM=auto (reference api_server.py:2316-2349: auto-detect
+    decides whether the LM loads at startup)."""
+    for path in candidate_dirs(name, root):
+        if _looks_like_checkpoint(path):
+            return path
+    return None
 
 
 def ensure_model(name: str, root: Optional[str] = None,

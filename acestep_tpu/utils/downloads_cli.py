@@ -21,6 +21,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                         help="checkpoint root (default ./checkpoints)")
     parser.add_argument("--no-download", action="store_true",
                         help="only resolve locally")
+    parser.add_argument("--source", default=None,
+                        choices=["auto", "huggingface", "modelscope"],
+                        help="download hub preference (default: "
+                             "ACESTEP_DOWNLOAD_SOURCE env or reachability "
+                             "probe; reference api_server.py:3282)")
     parser.add_argument("--verify", action="store_true",
                         help="check weight files against the SHA-256 "
                              "manifest (reference code-file hash sync)")
@@ -31,8 +36,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     status = 0
     for name in args.models:
         try:
+            source = None if args.source in (None, "auto") else args.source
             path = ensure_model(name, root=args.root,
-                                allow_download=not args.no_download)
+                                allow_download=not args.no_download,
+                                prefer_source=source)
             print(f"{name}: {path}")
             if args.write_manifest:
                 manifest = write_manifest(path)
