@@ -771,6 +771,8 @@ class AceStepHandler:
             if isinstance(v, (int, float)):
                 v = [float(v)]
             v = [None if x is None else float(x) for x in v]
+            if not v:                 # [] means "no repaint", not a crash
+                return [None] * B
             return (list(v) * B)[:B]
 
         rs_list = _norm_repaint(repainting_start)
@@ -822,6 +824,18 @@ class AceStepHandler:
                     [sil[:left_f],
                      np.asarray(src_latent_single, np.float32),
                      sil[:right_f]], axis=0)
+                # the timeline just grew for EVERY row, but implicit
+                # coordinates mean "start/end of MY source": pin each
+                # repaint row's None sides to the source window before
+                # shifting, or a row that never asked to outpaint would
+                # repaint the padding another row created
+                for i in range(B):
+                    if rs_list[i] is None and re_list[i] is None:
+                        continue                    # not a repaint row
+                    if rs_list[i] is None:
+                        rs_list[i] = 0.0
+                    if re_list[i] is None:
+                        re_list[i] = src_dur
             if left_s > 0:
                 rs_list = [None if s is None else s + left_s
                            for s in rs_list]

@@ -74,6 +74,18 @@ def _map_status(status: str) -> int:
     return STATUS_MAP.get(status, 2)
 
 
+def _actual_audio_format(requested: Optional[str], first_path: str) -> str:
+    """Label the format that was actually written: AudioSaver falls back
+    to its default on unknown formats, so the requested string can lie —
+    the delivered file's extension can't. wav/wav32 share an extension,
+    so a .wav keeps the requested distinction when plausible."""
+    fmt = str(requested or "flac")
+    ext = os.path.splitext(first_path)[1].lstrip(".").lower()
+    if ext == "wav":
+        return fmt if fmt.lower() in ("wav", "wav32") else "wav"
+    return ext or fmt
+
+
 def parse_timesteps(s: Optional[str]) -> Optional[List[float]]:
     if not s or not str(s).strip():
         return None
@@ -373,6 +385,19 @@ class AppState:
                 req.src_audio_path = openrouter.base64_to_temp_file(
                     req.src_audio_b64, req.upload_audio_format)
                 temp_files.append(req.src_audio_path)
+            # user-supplied audio paths (NOT our own materialized temp
+            # files): the reference passes them through unvalidated
+            # (api_server.py:1755), so unconditional jailing would break
+            # local-deployment parity — but an operator who pins
+            # ACESTEP_SAFE_ROOT gets the same boundary the training
+            # routes enforce
+            if os.environ.get("ACESTEP_SAFE_ROOT"):
+                from acestep_tpu.utils.path_safety import safe_path
+
+                for attr in ("reference_audio_path", "src_audio_path"):
+                    p = getattr(req, attr, None)
+                    if p and p not in temp_files:
+                        safe_path(p)   # raises -> job fails with message
             params = request_to_params(req)
             config = GenerationConfig(
                 batch_size=req.batch_size or 1,
@@ -524,9 +549,11 @@ class AppState:
             # timing summary shipped with every result (reference
             # api_server.py:2028-2056 builds it with _build_generation_info)
             time_costs = extra.get("time_costs") or {}
+            first_path = next(
+                (a.get("path") for a in audios if a and a.get("path")), "")
             gen_info = build_generation_info(
                 time_costs, len([a for a in audios if a]),
-                result.get("audio_format", "flac"))
+                _actual_audio_format(result.get("audio_format"), first_path))
             for audio in audios:
                 entry = {
                     "file": audio.get("path") or "",
@@ -899,6 +926,7 @@ class _Handler(BaseHTTPRequestHandler):
         if examples:
             self._send_json(wrap_response(random.choice(examples)))
             return
+        self.state.ensure_initialized()   # lazy startup: LM on first use
         sample = inference.create_sample(self.state.llm_handler,
                                          body.get("query", ""))
         if sample.get("success"):
@@ -909,6 +937,7 @@ class _Handler(BaseHTTPRequestHandler):
                             503)
 
     def _format_input(self, body: Dict[str, Any]) -> None:
+        self.state.ensure_initialized()   # lazy startup: LM on first use
         out = inference.format_sample(self.state.llm_handler,
                                       body.get("caption", body.get("prompt", "")),
                                       body.get("lyrics", ""))
@@ -1255,7 +1284,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     elif init_llm in ("true", "1", "yes", "on"):
         if not args.lm_checkpoint_dir and not args.lm_size:
             args.lm_size = "auto"    # force enable at the tier's size
-    lm_auto_probe = (init_llm not in ("true", "1", "yes", "on")
+    lm_auto_probe = (init_llm not in ("true", "1", "yes", "on",
+                                      "false", "0", "no", "off")
                      and not args.lm_checkpoint_dir and not args.lm_size)
 
     def maybe_auto_lm():

@@ -193,11 +193,13 @@ class TrainingService:
         exported = None
         if self._needs_tfevents_export(logdir, metrics_path):
             exported = tfevents.export_metrics_jsonl(metrics_path, logdir)
-            if exported is None and not tfevents.has_event_files(logdir):
-                raise RuntimeError(
-                    f"no tfevents and no plottable metrics.jsonl under "
-                    f"{logdir}; use /v1/training/metrics for the JSONL "
-                    f"loss curve instead")
+        if exported is None and not tfevents.has_event_files(logdir):
+            # nothing plottable at all (typo'd/empty logdir): fail with a
+            # diagnostic instead of launching a blank dashboard
+            raise RuntimeError(
+                f"no tfevents and no plottable metrics.jsonl under "
+                f"{logdir}; use /v1/training/metrics for the JSONL "
+                f"loss curve instead")
         binary = shutil.which("tensorboard")
         if binary is not None:
             cmd = [binary]
@@ -225,13 +227,22 @@ class TrainingService:
                 f"tensorboard exited immediately (rc={proc.returncode});"
                 " use /v1/training/metrics for the JSONL loss curve"
                 " instead")
+        lost_race = False
         with self._lock:
             other = getattr(self, "_tb_proc", None)
             if other is not None and other.poll() is None:
-                proc.terminate()    # lost a concurrent-start race
-                return {"status": "already_running", "url": self._tb_url}
-            self._tb_proc = proc
-            self._tb_url = f"http://localhost:{port}"
+                lost_race = True
+            else:
+                self._tb_proc = proc
+                self._tb_url = f"http://localhost:{port}"
+        if lost_race:               # terminate + reap OUTSIDE the lock
+            proc.terminate()
+            try:                    # reap: no zombies on a long-lived server
+                proc.wait(timeout=10)
+            except Exception:  # noqa: BLE001 — best-effort reap
+                proc.kill()
+                proc.wait(timeout=5)
+            return {"status": "already_running", "url": self._tb_url}
         return {"status": "started", "url": self._tb_url, "logdir": logdir,
                 "exported_events": exported}
 
@@ -260,10 +271,15 @@ class TrainingService:
     def tensorboard_stop(self) -> Dict[str, Any]:
         with self._lock:
             proc = getattr(self, "_tb_proc", None)
-            if proc is None or proc.poll() is not None:
-                return {"status": "not_running"}
-            proc.terminate()
             self._tb_proc = None
+        if proc is None or proc.poll() is not None:
+            return {"status": "not_running"}
+        proc.terminate()            # terminate + reap OUTSIDE the lock
+        try:
+            proc.wait(timeout=10)
+        except Exception:  # noqa: BLE001 — best-effort reap
+            proc.kill()
+            proc.wait(timeout=5)
         return {"status": "stopped"}
 
 

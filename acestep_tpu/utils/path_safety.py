@@ -32,8 +32,10 @@ def get_safe_root() -> str:
 def safe_path(user_path: str, *, base: Optional[str] = None) -> str:
     """Normalise `user_path` and require it to live under `base` (or the
     global safe root). Returns the absolute path; raises ValueError when
-    the path escapes — the CodeQL-recognised normpath + prefix pattern the
-    reference uses (path_safety.py:39-71)."""
+    the path escapes — the reference's normpath + prefix pattern
+    (path_safety.py:39-71) hardened with realpath so a symlink planted
+    inside the root (shared volume, archive extraction) cannot point the
+    jail at /etc or another user's data."""
     root = (os.path.normpath(os.path.abspath(base)) if base is not None
             else _SAFE_ROOT)
     if not isinstance(user_path, str) or not user_path:
@@ -42,7 +44,13 @@ def safe_path(user_path: str, *, base: Optional[str] = None) -> str:
     if not os.path.isabs(cand):
         cand = os.path.join(root, cand)
     cand = os.path.normpath(os.path.abspath(cand))
-    if cand != root and not cand.startswith(root + os.sep):
+    # compare link-resolved forms: both sides through realpath, so a root
+    # that itself lives behind a symlink (e.g. /tmp on macOS) still works
+    real_root = os.path.realpath(root)
+    real_cand = os.path.realpath(cand)
+    if ((cand != root and not cand.startswith(root + os.sep)) or
+            (real_cand != real_root
+             and not real_cand.startswith(real_root + os.sep))):
         raise ValueError(
             f"path {user_path!r} escapes the allowed root {root!r}")
     return cand

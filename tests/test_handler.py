@@ -633,3 +633,31 @@ def test_text_encoder_wiring(monkeypatch, tmp_path):
                         frame_bucket=20, min_frames=20, refer_frames=10)
     h3.initialize_service(seed=0)
     assert isinstance(h3.text_embedder, HashTextEmbedder)
+
+
+def test_repaint_empty_list_means_no_repaint(handler):
+    """repainting_start=[] must behave like None, not crash row 0."""
+    res = handler.generate_music(
+        "plain", "la", task="repaint", audio_duration=0.8,
+        repainting_start=[], repainting_end=[], seeds=5)
+    assert res.extra["spans"][0][0] == "full"
+
+
+def test_mixed_batch_outpaint_keeps_other_rows_spans(handler):
+    """One row extending the timeline left must not widen another row's
+    implicit span onto the foreign padding: a None coordinate means the
+    start/end of THAT row's source, pinned before the pad shift."""
+    hop = handler.vae_cfg.hop_length
+    src = np.random.RandomState(0).randn(20 * hop, 2).astype(np.float32) * .1
+    res = handler.generate_music(
+        ["extend intro", "repaint head"], ["la"] * 2,
+        src_audio=src, task="repaint", batch_size=2,
+        repainting_start=[-0.8, None],       # row0: +0.8 s left pad
+        repainting_end=[0.0, 0.4],           # row1: repaint src 0-0.4 s
+        seeds=[1, 2])
+    assert res.extra["frames"] == 40         # 20 pad + 20 src
+    # row0 repaints exactly the new 20-frame head
+    assert res.extra["spans"][0] == ("repainting", 0, 20)
+    # row1's implicit start is ITS source start (frame 20 after the
+    # shift), and 0.4 s of source = 10 frames
+    assert res.extra["spans"][1] == ("repainting", 20, 30)

@@ -107,3 +107,21 @@ def test_http_routes_reject_escaping_paths(server_env):
         status, out = _post(port, route, body)
         assert status == 400, f"{route} -> {status}: {out}"
         assert "escape" in (out.get("error") or "").lower()
+
+
+def test_safe_path_rejects_symlink_escape(tmp_path):
+    """A symlink planted under the root must not widen the jail."""
+    from acestep_tpu.utils.path_safety import safe_path
+
+    root = tmp_path / "root"
+    outside = tmp_path / "outside"
+    root.mkdir()
+    outside.mkdir()
+    (outside / "secret.txt").write_text("x")
+    (root / "link").symlink_to(outside)
+    with pytest.raises(ValueError):
+        safe_path("link/secret.txt", base=str(root))
+    # a symlink that stays inside the root is fine
+    (root / "sub").mkdir()
+    (root / "inlink").symlink_to(root / "sub")
+    assert safe_path("inlink", base=str(root))

@@ -158,3 +158,60 @@ def test_resolve_local_probe(tmp_path, monkeypatch):
     (d / "config.json").write_text("{}")
     found = resolve_local(name, str(root))
     assert found and os.path.samefile(found, d)
+
+
+def test_lazy_init_covers_direct_lm_routes(tmp_path):
+    """/format_input and /create_random_sample (no examples) must trigger
+    the deferred load too, not dead-end on llm_handler=None."""
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir, exist_ok=True)
+    handler = FakeDiTHandler(out_dir)
+
+    class FakeLLM:
+        llm_initialized = True
+
+        def format_sample(self, caption, lyrics, temperature=0.3):
+            return {"success": True, "caption": caption or "c",
+                    "lyrics": lyrics or "l"}
+
+    state = AppState({"tiny": handler}, None, output_dir=out_dir,
+                     examples_dir=None)
+    state._lazy_init = lambda: setattr(state, "llm_handler", FakeLLM())
+    server = create_server(state, "127.0.0.1", 0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    port = server.server_address[1]
+    try:
+        status, data = _post(port, "/format_input", {"caption": "hi"})
+        assert status == 200, data
+        assert state.llm_handler is not None     # lazy load ran
+    finally:
+        state.shutdown()
+        server.shutdown()
+        server.server_close()
+
+
+def test_src_audio_path_jailed_when_safe_root_pinned(tmp_path, monkeypatch):
+    """With ACESTEP_SAFE_ROOT pinned, a user-supplied src_audio_path
+    outside the root fails the job; in-root paths pass (the reference
+    passes these through unvalidated, so the jail is opt-in)."""
+    root = tmp_path / "root"
+    root.mkdir()
+    monkeypatch.setenv("ACESTEP_SAFE_ROOT", str(root))
+    out_dir = str(root / "out")
+    os.makedirs(out_dir, exist_ok=True)
+    handler = FakeDiTHandler(out_dir)
+    state = AppState({"tiny": handler}, None, output_dir=out_dir)
+    server = create_server(state, "127.0.0.1", 0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    port = server.server_address[1]
+    try:
+        _, out = _post(port, "/release_task",
+                       {"prompt": "x", "thinking": False,
+                        "task_type": "cover",
+                        "src_audio_path": "/etc/hostname"})
+        entry = _wait_done(port, out["data"]["task_id"])
+        assert entry["status"] == 2              # failed: escapes the root
+    finally:
+        state.shutdown()
+        server.shutdown()
+        server.server_close()

@@ -539,3 +539,18 @@ def test_cleanup_request_temp_files_unlinks_uploads(tmp_path, monkeypatch):
     AppState._cleanup_request_temp_files(object.__new__(AppState), req)
     assert not os.path.exists(f.name)          # our upload: removed
     assert keep.exists()                       # user path: untouched
+
+
+def test_generation_info_labels_actual_saved_format():
+    """An unknown requested format falls back in AudioSaver — the timing
+    summary must label the format actually written (file extension), not
+    the requested string."""
+    from acestep_tpu.serving.server import _actual_audio_format
+
+    assert _actual_audio_format("notaformat", "/o/x.wav") == "wav"
+    assert _actual_audio_format("ogg", "/o/x.flac") == "flac"
+    assert _actual_audio_format("wav32", "/o/x.wav") == "wav32"
+    assert _actual_audio_format("wav", "/o/x.wav") == "wav"
+    assert _actual_audio_format("mp3", "/o/x.mp3") == "mp3"
+    assert _actual_audio_format(None, "") == "flac"
+    assert _actual_audio_format("ogg", "") == "ogg"

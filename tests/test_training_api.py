@@ -347,3 +347,15 @@ def test_dataset_build_over_http(tiny_server):
     status, _ = _post(port, "/v1/dataset/build",
                       {"audio_dir": "/no/such/dir"})
     assert status == 400
+
+
+def test_tensorboard_empty_logdir_is_an_error(tiny_server, tmp_path):
+    """A logdir with neither tfevents nor metrics.jsonl must fail with a
+    diagnostic, not launch a blank dashboard."""
+    handler, state, port, _ = tiny_server
+    empty = tmp_path / "empty_logs"
+    empty.mkdir()
+    status, out = _post(port, "/v1/training/tensorboard/start",
+                        {"logdir": str(empty)})
+    assert status == 503
+    assert "no tfevents" in (out["error"] or "")
