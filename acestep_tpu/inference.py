@@ -9,6 +9,7 @@ config)` orchestrating the optional 5 Hz LM planning phase, metadata merging
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import asdict, dataclass, field
 from typing import Any, Dict, List, Optional
@@ -375,6 +376,20 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
                 "params": p_dict,
                 "sample_rate": res.sample_rate,
             }
+            if path:
+                # reproducibility sidecar: the reference writes every
+                # audio's full parameter set as {key}.json next to the
+                # file so the UI can re-import it later
+                # (generation_progress.py:224-237, metadata_loading.py:20)
+                try:
+                    import json as _json
+
+                    sidecar = os.path.splitext(path)[0] + ".json"
+                    with open(sidecar, "w", encoding="utf-8") as f:
+                        _json.dump(p_dict, f, indent=2, ensure_ascii=False)
+                    entry["params_path"] = sidecar
+                except OSError:
+                    pass             # best-effort decoration
             if config.want_lrc and lyrics.strip().lower() not in (
                     "", "[inst]", "[instrumental]"):
                 t_lrc = time.time()

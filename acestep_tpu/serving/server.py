@@ -572,6 +572,10 @@ class AppState:
                     "dit_model": result.get("dit_model", ""),
                     "progress": 1.0,
                     "stage": "succeeded",
+                    # reproducibility sidecar (served via /v1/audio like
+                    # the audio itself; re-import with the studio's
+                    # "Load params" or any client)
+                    "params_file": audio.get("params_path", ""),
                 }
                 for extra_key in ("lrc", "alignment_score", "lrc_error"):
                     if extra_key in audio:
@@ -1144,7 +1148,10 @@ class _Handler(BaseHTTPRequestHandler):
         ctype = {"wav": "audio/wav", "flac": "audio/flac",
                  "mp3": "audio/mpeg", "ogg": "audio/ogg",
                  "opus": "audio/opus", "aac": "audio/aac",
-                 "m4a": "audio/mp4"}.get(ext, "application/octet-stream")
+                 "m4a": "audio/mp4",
+                 # reproducibility sidecar written next to each audio
+                 "json": "application/json"}.get(
+                     ext, "application/octet-stream")
         size = os.path.getsize(full)
         self.send_response(200)
         self.send_header("Content-Type", ctype)

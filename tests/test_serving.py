@@ -554,3 +554,27 @@ def test_generation_info_labels_actual_saved_format():
     assert _actual_audio_format("mp3", "/o/x.mp3") == "mp3"
     assert _actual_audio_format(None, "") == "flac"
     assert _actual_audio_format("ogg", "") == "ogg"
+
+
+def test_params_sidecar_written_and_served(server_env):
+    """Every generated audio gets a {name}.json reproducibility sidecar
+    (reference generation_progress.py:224-237) surfaced as params_file
+    and downloadable through /v1/audio."""
+    state, handler, port = server_env
+    _, out = _post(port, "/release_task",
+                   {"prompt": "sidecar", "thinking": False, "seed": 7,
+                    "use_random_seed": False})
+    entry = _wait_done(port, out["data"]["task_id"])
+    assert entry["status"] == 1
+    results = json.loads(entry["result"])
+    pf = results[0].get("params_file", "")
+    assert pf.endswith(".json") and os.path.exists(pf)
+    with open(pf, "r", encoding="utf-8") as f:
+        params = json.load(f)
+    assert params["caption"] == "sidecar"
+    assert params["seed"] == results[0]["seed_value"] or \
+        str(params["seed"]) == results[0]["seed_value"]
+    status, raw = _get(port, f"/v1/audio?path={pf}")
+    assert status == 200
+    served = raw if isinstance(raw, dict) else json.loads(raw.decode())
+    assert served["caption"] == "sidecar"
