@@ -340,3 +340,34 @@ def test_help_sections_cover_all_languages(page):
     # modal DOM ids exist
     for el_id in ("help-modal", "help-body", "help-close"):
         assert f'id="{el_id}"' in page
+
+
+def test_autogen_resubmits_with_random_seeds(page):
+    """AutoGen (reference batch_management.generate_next_batch_background):
+    a completed batch resubmits the same body with fresh random seeds,
+    only when the toggle is on."""
+    assert 'id="autogen"' in page
+    script = page.split("<script>")[1].split("</script>")[0]
+    assert 'if ($("autogen").value === "true")' in script
+    m = re.search(
+        r'autogen"\)\.value === "true"\)\s*'
+        r'submitGeneration\(Object\.assign\(\{\}, body,\s*'
+        r'\{seed: -1, use_random_seed: true\}\)\)', script)
+    assert m, "AutoGen resubmission must force random seeds"
+    # resubmission happens only on success (inside the status===1 branch)
+    ok_branch = script.split("if (entry.status === 1) {")[1].split("} else {")[0]
+    assert "autogen" in ok_branch
+
+
+def test_load_params_fills_form(page):
+    """'Load params' re-imports a sidecar JSON (reference
+    metadata_loading.load_metadata): the applier maps the round-trip
+    fields the sidecar carries back onto the form."""
+    script = page.split("<script>")[1].split("</script>")[0]
+    assert "function applyParams" in script
+    body = script.split("function applyParams")[1].split("\n}")[0]
+    for field in ("caption", "lyrics", "bpm", "keyscale",
+                  "inference_steps", "guidance_scale", "infer_method",
+                  "lm_temperature", "repainting_start", "track_classes",
+                  "task_type", "thinking", "seed"):
+        assert field in body, f"applyParams must map {field}"
