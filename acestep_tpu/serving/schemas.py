@@ -68,6 +68,11 @@ class GenerateMusicRequest:
     repainting_end: Optional[float] = None
 
     instruction: str = ""      # empty = resolve from task_type
+    # pasted <|audio_code_N|> stream (superset of the reference REST
+    # schema: its gradio UI routes text2music_audio_code_string straight
+    # into params.audio_codes — here the studio goes through this field).
+    # Also accepted by full_analysis_only to transcribe codes directly.
+    audio_codes: str = ""
     audio_cover_strength: float = 1.0
     task_type: str = "text2music"
     analysis_only: bool = False

@@ -125,6 +125,7 @@ def request_to_params(req: GenerateMusicRequest) -> GenerationParams:
         track_classes=req.track_classes,
         reference_audio=req.reference_audio_path,
         src_audio=req.src_audio_path,
+        audio_codes=req.audio_codes or "",
         caption=req.prompt,
         lyrics=req.lyrics,
         vocal_language=req.vocal_language or "unknown",
@@ -414,15 +415,22 @@ class AppState:
                 # src audio -> 5 Hz codes -> LM understand at the fixed
                 # analysis temperature 0.3
                 try:
-                    if not req.src_audio_path:
-                        raise ValueError("analysis requires src audio")
-                    from acestep_tpu.utils.audio import load_audio
+                    if req.audio_codes:
+                        # pasted codes transcribe directly (the reference
+                        # UI's transcribe_audio_codes, llm_actions.py:83)
+                        codes = req.audio_codes
+                    elif req.src_audio_path:
+                        from acestep_tpu.utils.audio import load_audio
 
-                    audio = load_audio(req.src_audio_path)
-                    # same guard as the generation path: /v1/reinitialize
-                    # must not swap DiT weights mid-encode
-                    with self.reinit_lock:
-                        codes = dit_handler.audio_to_codes(audio)
+                        audio = load_audio(req.src_audio_path)
+                        # same guard as the generation path:
+                        # /v1/reinitialize must not swap DiT weights
+                        # mid-encode
+                        with self.reinit_lock:
+                            codes = dit_handler.audio_to_codes(audio)
+                    else:
+                        raise ValueError(
+                            "analysis requires src audio or audio_codes")
                     analysis = inference.understand_music(
                         llm_handler, codes, temperature=0.3).to_dict()
                     analysis["audio_codes"] = codes

@@ -578,3 +578,16 @@ def test_params_sidecar_written_and_served(server_env):
     assert status == 200
     served = raw if isinstance(raw, dict) else json.loads(raw.decode())
     assert served["caption"] == "sidecar"
+
+
+def test_audio_codes_field_reaches_handler(server_env):
+    """The REST audio_codes field (UI codes-paste parity: the reference
+    routes text2music_audio_code_string into params.audio_codes) flows
+    to the DiT handler as audio_code_hints."""
+    state, handler, port = server_env
+    codes = "<|audio_code_1|><|audio_code_2|>"
+    _, out = _post(port, "/release_task",
+                   {"prompt": "x", "thinking": False, "audio_codes": codes})
+    entry = _wait_done(port, out["data"]["task_id"])
+    assert entry["status"] == 1
+    assert handler.calls[-1].get("audio_code_hints") == codes

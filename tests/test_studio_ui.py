@@ -185,12 +185,15 @@ def test_numeric_inputs_preserve_explicit_zero(page):
 
 
 def test_poll_loop_guards_error_responses(page):
-    """An error-shaped /query_result body must stop the poll interval
+    """An error-shaped /query_result body must stop EVERY poll interval
     (previously res.data[0] threw every tick with Generate disabled)."""
-    i = page.index('api("/query_result"')
-    window = page[i:i + 700]
-    assert "res && res.data && res.data[0]" in window
-    assert "clearInterval(polling)" in window
+    starts = [m.start() for m in
+              re.finditer(re.escape('api("/query_result"'), page)]
+    assert starts, "no poll loops found"
+    for i in starts:
+        window = page[i:i + 700]
+        assert "res && res.data && res.data[0]" in window, window[:120]
+        assert "clearInterval(" in window, window[:120]
 
 
 def test_ref_only_upload_stamps_format(page):

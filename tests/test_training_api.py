@@ -185,8 +185,15 @@ def test_analysis_flows(tmp_path):
         payload = json.loads(entry["result"])[0]
         assert payload["stage"] == "succeeded"
 
+        # pasted codes transcribe directly, no src audio needed
+        # (reference UI transcribe_audio_codes, llm_actions.py:83)
+        codes = "".join(f"<|audio_code_{i * 11}|>" for i in range(8))
+        entry = run({"full_analysis_only": True, "audio_codes": codes,
+                     "thinking": False})
+        assert entry["status"] == 1, entry
+
         entry = run({"full_analysis_only": True, "thinking": False})
-        assert entry["status"] == 2      # no src: explicit failure
+        assert entry["status"] == 2      # no src and no codes: failure
     finally:
         state.shutdown()
         server.shutdown()
