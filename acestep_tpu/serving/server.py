@@ -397,7 +397,10 @@ class AppState:
 
                 for attr in ("reference_audio_path", "src_audio_path"):
                     p = getattr(req, attr, None)
-                    if p and p not in temp_files:
+                    if p and p not in temp_files and not os.path.abspath(
+                            p).startswith(self.output_dir + os.sep):
+                        # server-generated outputs are always fair game
+                        # (the studio's send-to-Remix round-trip)
                         safe_path(p)   # raises -> job fails with message
             params = request_to_params(req)
             config = GenerationConfig(

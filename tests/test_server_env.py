@@ -211,6 +211,19 @@ def test_src_audio_path_jailed_when_safe_root_pinned(tmp_path, monkeypatch):
                         "src_audio_path": "/etc/hostname"})
         entry = _wait_done(port, out["data"]["task_id"])
         assert entry["status"] == 2              # failed: escapes the root
+        # ... but the server's own outputs stay usable even when the
+        # safe root doesn't cover them (studio send-to-Remix round-trip)
+        import wave
+        own = os.path.join(out_dir, "own.wav")
+        with wave.open(own, "wb") as f:
+            f.setnchannels(2); f.setsampwidth(2); f.setframerate(48000)
+            f.writeframes(b"\x01\x00" * 2 * 4800)
+        monkeypatch.setenv("ACESTEP_SAFE_ROOT", str(tmp_path / "elsewhere"))
+        _, out = _post(port, "/release_task",
+                       {"prompt": "x", "thinking": False,
+                        "task_type": "cover", "src_audio_path": own})
+        entry = _wait_done(port, out["data"]["task_id"])
+        assert entry["status"] == 1, entry
     finally:
         state.shutdown()
         server.shutdown()

@@ -374,3 +374,14 @@ def test_load_params_fills_form(page):
                   "lm_temperature", "repainting_start", "track_classes",
                   "task_type", "thinking", "seed"):
         assert field in body, f"applyParams must map {field}"
+
+
+def test_send_to_src_round_trip_wiring(page):
+    """Send-to-Remix/Repaint (reference audio_transfer.py): result files
+    become src_audio_path on the next request; an upload wins over it."""
+    script = page.split("<script>")[1].split("</script>")[0]
+    assert "function sendToSrc" in script
+    assert 'sendToSrc(item.file, mode)' in script
+    assert "body.src_audio_path = srcFromResult" in script
+    # the server-file link applies only when no fresh upload is present
+    assert "} else if (srcFromResult && !$(\"panel-src\").hidden) {" in script
