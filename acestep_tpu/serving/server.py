@@ -730,6 +730,30 @@ class _Handler(BaseHTTPRequestHandler):
                 self._get_stats()
             elif route == "/v1/models":
                 self._get_models()
+            elif route == "/v1/models/discover":
+                # scan a checkpoint root for trainable models + adapter
+                # dumps (reference Side-Step model_discovery.py; feeds
+                # CLI --pick and UI dropdowns)
+                from acestep_tpu.training.discovery import (fuzzy_search,
+                                                            scan_adapters,
+                                                            scan_models)
+                from acestep_tpu.utils.path_safety import safe_path
+
+                qs = parse_qs(url.query)
+                root = (qs.get("root") or ["checkpoints"])[0]
+                try:
+                    root = safe_path(root)
+                except ValueError as e:
+                    self._send_json(wrap_response(None, 400, str(e)), 400)
+                    return
+                models = scan_models(root)
+                q = (qs.get("q") or [""])[0]
+                if q:
+                    models = fuzzy_search(q, models)
+                self._send_json(wrap_response({
+                    "models": [m.to_dict() for m in models],
+                    "adapters": scan_adapters(root),
+                }))
             elif route == "/v1/lora/status":
                 self._lora_status()
             elif route == "/v1/audio":

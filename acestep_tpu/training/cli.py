@@ -34,9 +34,29 @@ from typing import Optional
 from acestep_tpu.config import DiTConfig, VAEConfig
 
 
+def _resolve_pick(args) -> None:
+    """--pick NAME: discover the checkpoint dir by (fuzzy) name under
+    --checkpoint-root (the Side-Step model picker,
+    training_v2/model_discovery.py:161-205)."""
+    if not getattr(args, "pick", None) or args.checkpoint_dir:
+        return
+    from acestep_tpu.training.discovery import pick_model
+
+    root = args.checkpoint_root or "checkpoints"
+    info = pick_model(root, args.pick)
+    if info is None:
+        raise SystemExit(
+            f"--pick {args.pick!r}: no matching model under {root}")
+    print(f"[training] picked {info.name} "
+          f"({'official' if info.is_official else 'custom'}, "
+          f"base: {info.base_model}) at {info.path}")
+    args.checkpoint_dir = info.path
+
+
 def _build_handler(args) -> "AceStepHandler":
     from acestep_tpu.pipeline.handler import AceStepHandler
 
+    _resolve_pick(args)
     if getattr(args, "tiny", False):
         # tiny VAE must emit latents at the tiny DiT's acoustic dim (64)
         handler = AceStepHandler(dit_config=DiTConfig.tiny(),
@@ -54,6 +74,13 @@ def _build_handler(args) -> "AceStepHandler":
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--checkpoint-dir", default=None,
                    help="DiT checkpoint dir (default: seeded random init)")
+    p.add_argument("--checkpoint-root", default=None,
+                   help="root scanned by --pick (default ./checkpoints)")
+    p.add_argument("--pick", default=None, metavar="NAME",
+                   help="discover the checkpoint by (fuzzy) name under "
+                        "--checkpoint-root instead of a full path — the "
+                        "Side-Step model picker "
+                        "(training_v2/model_discovery.py)")
     p.add_argument("--vae-dir", default=None, help="VAE checkpoint dir")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true",
