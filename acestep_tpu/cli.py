@@ -365,9 +365,63 @@ def run_wizard(dit_handler, llm_handler, args) -> None:
             _edit_field(params, cmd, rest.strip())
 
 
+def _toml_dump(values: dict) -> str:
+    """Flat TOML writer for CLI configs (stdlib has only the reader)."""
+    lines = []
+    for k, v in sorted(values.items()):
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            lines.append(f"{k} = {'true' if v else 'false'}")
+        elif isinstance(v, (int, float)):
+            lines.append(f"{k} = {v}")
+        else:
+            escaped = str(v).replace("\\", "\\\\").replace('"', '\\"')
+            escaped = escaped.replace("\n", "\\n")
+            lines.append(f'{k} = "{escaped}"')
+    return "\n".join(lines) + "\n"
+
+
+def load_config_defaults(parser: argparse.ArgumentParser,
+                         path: str) -> None:
+    """Apply a TOML config file as parser defaults (reference cli.py's
+    `-c config.toml`, cli.py:1125-1137): explicit command-line flags
+    still win because they parse after the defaults are set."""
+    import tomllib
+
+    with open(path, "rb") as f:
+        values = tomllib.load(f)
+    dests = {a.dest for a in parser._actions}
+    unknown = set(values) - dests - {"config", "save_config"}
+    if unknown:
+        print(f"config {path}: ignoring unknown keys {sorted(unknown)}")
+    parser.set_defaults(**{k: v for k, v in values.items() if k in dests})
+
+
+def save_config(args, path: str) -> str:
+    """Persist the resolved args as a reusable TOML (reference
+    `--configure`, cli.py:963-977)."""
+    if not path.endswith(".toml"):
+        path += ".toml"
+    values = {k: v for k, v in vars(args).items()
+              if k not in ("config", "save_config") and not k.startswith("_")}
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(_toml_dump(values))
+    print(f"configuration saved to {path}; reuse with: "
+          f"acestep-tpu -c {path}")
+    return path
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="acestep-tpu", description="ACE-Step TPU music generation CLI")
+    parser.add_argument("-c", "--config", default=None,
+                        help="TOML config file supplying defaults for any "
+                             "flag (command-line flags win)")
+    parser.add_argument("--save-config", metavar="PATH", default=None,
+                        help="write the resolved settings to a TOML and "
+                             "exit without generating (reference "
+                             "--configure)")
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--vae-dir", default=None)
     parser.add_argument("--lm-checkpoint-dir", default=None)
@@ -423,7 +477,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    # pre-pass for -c so the config file becomes the defaults layer and
+    # explicit flags still override (reference cli.py:1125-1137)
+    pre, _ = parser.parse_known_args(argv)
+    if pre.config:
+        load_config_defaults(parser, pre.config)
+    args = parser.parse_args(argv)
+
+    if args.save_config:
+        save_config(args, args.save_config)
+        return 0
 
     from acestep_tpu.pipeline.handler import AceStepHandler
     from acestep_tpu.parallel import parse_mesh_spec

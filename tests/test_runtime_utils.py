@@ -378,3 +378,50 @@ def test_oom_error_detection_shared_helper():
     assert is_oom_error(ValueError("device out of memory"))
     assert not is_oom_error(RuntimeError("INVALID_ARGUMENT: shape"))
     assert not is_oom_error(KeyboardInterrupt())
+
+
+def test_cli_toml_config_round_trip(tmp_path):
+    """-c config.toml supplies defaults (flags win); --save-config writes
+    a reusable file (reference cli.py -c / --configure)."""
+    import argparse
+
+    from acestep_tpu.cli import (build_parser, load_config_defaults,
+                                 save_config)
+
+    parser = build_parser()
+    args = parser.parse_args(["--caption", "from flags", "--steps", "16",
+                              "--duration", "42"])
+    path = save_config(args, str(tmp_path / "my"))
+    assert path.endswith(".toml")
+
+    # load into a fresh parser: file values become defaults
+    parser2 = build_parser()
+    load_config_defaults(parser2, path)
+    loaded = parser2.parse_args([])
+    assert loaded.caption == "from flags"
+    assert loaded.steps == 16
+    assert loaded.duration == 42.0
+    # explicit flags still override the file
+    override = parser2.parse_args(["--steps", "8"])
+    assert override.steps == 8 and override.caption == "from flags"
+
+    # unknown keys are reported, not fatal
+    bad = tmp_path / "bad.toml"
+    bad.write_text('caption = "x"\nnot_a_flag = 1\n')
+    parser3 = build_parser()
+    load_config_defaults(parser3, str(bad))
+    assert parser3.parse_args([]).caption == "x"
+
+
+def test_cli_save_config_exits_before_init(tmp_path, capsys):
+    """--save-config must write and exit without touching the service."""
+    from acestep_tpu import cli
+
+    rc = cli.main(["--save-config", str(tmp_path / "cfg"),
+                   "--caption", "hello"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "configuration saved" in out
+    text = (tmp_path / "cfg.toml").read_text()
+    assert 'caption = "hello"' in text
+    assert "save_config" not in text and "config =" not in text
