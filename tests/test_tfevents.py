@@ -111,6 +111,12 @@ def test_tensorboard_reexports_when_metrics_newer(tmp_path, monkeypatch):
         def terminate(self):
             pass
 
+        def kill(self):
+            pass
+
+        def wait(self, timeout=None):
+            return 0
+
     monkeypatch.setattr(subprocess, "Popen", lambda *a, **k: FakeProc())
     svc = TrainingService(dit_handler=None)
     out1 = svc.tensorboard_start(logdir=str(tmp_path), port=16009)
