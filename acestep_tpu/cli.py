@@ -391,11 +391,32 @@ def load_config_defaults(parser: argparse.ArgumentParser,
 
     with open(path, "rb") as f:
         values = tomllib.load(f)
-    dests = {a.dest for a in parser._actions}
-    unknown = set(values) - dests - {"config", "save_config"}
+    actions = {a.dest: a for a in parser._actions}
+    unknown = set(values) - set(actions) - {"config", "save_config"}
     if unknown:
         print(f"config {path}: ignoring unknown keys {sorted(unknown)}")
-    parser.set_defaults(**{k: v for k, v in values.items() if k in dests})
+    coerced = {}
+    for k, v in values.items():
+        action = actions.get(k)
+        if action is None:
+            continue
+        # set_defaults bypasses argparse's type/choices machinery, so a
+        # mistyped config value would crash minutes later inside
+        # generation — validate here, at load time, with the same rules
+        if action.type is not None and v is not None and \
+                not isinstance(v, bool):
+            try:
+                v = action.type(v)
+            except (TypeError, ValueError) as e:
+                raise SystemExit(
+                    f"config {path}: bad value for {k!r}: {v!r} ({e})")
+        if action.choices is not None and v is not None and \
+                v not in action.choices:
+            raise SystemExit(
+                f"config {path}: {k!r} must be one of "
+                f"{sorted(map(str, action.choices))}, got {v!r}")
+        coerced[k] = v
+    parser.set_defaults(**coerced)
 
 
 def save_config(args, path: str) -> str:
@@ -403,8 +424,12 @@ def save_config(args, path: str) -> str:
     `--configure`, cli.py:963-977)."""
     if not path.endswith(".toml"):
         path += ".toml"
+    # one-shot mode flags stay out of the file: a config saved during an
+    # analysis run must not flip every later `-c` run into analysis mode
+    skip = ("config", "save_config", "understand", "export_codes",
+            "codes_out", "once")
     values = {k: v for k, v in vars(args).items()
-              if k not in ("config", "save_config") and not k.startswith("_")}
+              if k not in skip and not k.startswith("_")}
     with open(path, "w", encoding="utf-8") as f:
         f.write(_toml_dump(values))
     print(f"configuration saved to {path}; reuse with: "

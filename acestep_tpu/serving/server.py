@@ -397,10 +397,15 @@ class AppState:
 
                 for attr in ("reference_audio_path", "src_audio_path"):
                     p = getattr(req, attr, None)
-                    if p and p not in temp_files and not os.path.abspath(
-                            p).startswith(self.output_dir + os.sep):
+                    if not p or p in temp_files:
+                        continue
+                    try:
                         # server-generated outputs are always fair game
-                        # (the studio's send-to-Remix round-trip)
+                        # (the studio's send-to-Remix round-trip) — but
+                        # through safe_path so its realpath hardening
+                        # still rejects symlinks planted in the output dir
+                        safe_path(p, base=self.output_dir)
+                    except ValueError:
                         safe_path(p)   # raises -> job fails with message
             params = request_to_params(req)
             config = GenerationConfig(

@@ -94,6 +94,8 @@ def scan_models(checkpoint_dir: str) -> List[ModelInfo]:
         # adapter dumps also carry config-ish JSONs; classify separately
         if _looks_like_adapter(path, config):
             continue
+        if not _has_weights(path):
+            continue    # config-only remnant (interrupted download)
         out.append(ModelInfo(
             name=name, path=path,
             is_official=name.lower().startswith(_OFFICIAL_PREFIXES),

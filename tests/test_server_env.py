@@ -194,9 +194,15 @@ def test_src_audio_path_jailed_when_safe_root_pinned(tmp_path, monkeypatch):
     """With ACESTEP_SAFE_ROOT pinned, a user-supplied src_audio_path
     outside the root fails the job; in-root paths pass (the reference
     passes these through unvalidated, so the jail is opt-in)."""
+    from acestep_tpu.utils import path_safety
+
     root = tmp_path / "root"
     root.mkdir()
+    # the server gates on the env var, but safe_path consults the module
+    # root — set BOTH or the test validates nothing (the conftest fixture
+    # pins the module root to tmp_path, which covers out_dir)
     monkeypatch.setenv("ACESTEP_SAFE_ROOT", str(root))
+    path_safety.set_safe_root(str(root))
     out_dir = str(root / "out")
     os.makedirs(out_dir, exist_ok=True)
     handler = FakeDiTHandler(out_dir)
@@ -218,12 +224,23 @@ def test_src_audio_path_jailed_when_safe_root_pinned(tmp_path, monkeypatch):
         with wave.open(own, "wb") as f:
             f.setnchannels(2); f.setsampwidth(2); f.setframerate(48000)
             f.writeframes(b"\x01\x00" * 2 * 4800)
-        monkeypatch.setenv("ACESTEP_SAFE_ROOT", str(tmp_path / "elsewhere"))
+        elsewhere = tmp_path / "elsewhere"
+        elsewhere.mkdir()
+        monkeypatch.setenv("ACESTEP_SAFE_ROOT", str(elsewhere))
+        path_safety.set_safe_root(str(elsewhere))   # out_dir now OUTSIDE
         _, out = _post(port, "/release_task",
                        {"prompt": "x", "thinking": False,
                         "task_type": "cover", "src_audio_path": own})
         entry = _wait_done(port, out["data"]["task_id"])
         assert entry["status"] == 1, entry
+        # a symlink planted in the output dir must NOT re-open the escape
+        link = os.path.join(out_dir, "link.wav")
+        os.symlink("/etc/hostname", link)
+        _, out = _post(port, "/release_task",
+                       {"prompt": "x", "thinking": False,
+                        "task_type": "cover", "src_audio_path": link})
+        entry = _wait_done(port, out["data"]["task_id"])
+        assert entry["status"] == 2, entry
     finally:
         state.shutdown()
         server.shutdown()

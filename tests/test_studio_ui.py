@@ -357,8 +357,8 @@ def test_autogen_resubmits_with_random_seeds(page):
         r'submitGeneration\(Object\.assign\(\{\}, body,\s*'
         r'\{seed: -1, use_random_seed: true\}\)\)', script)
     assert m, "AutoGen resubmission must force random seeds"
-    # resubmission happens only on success (inside the status===1 branch)
-    ok_branch = script.split("if (entry.status === 1) {")[1].split("} else {")[0]
+    # resubmission happens only on success (inside the onDone callback)
+    ok_branch = script.split("onDone: items => {")[1].split("onFail")[0]
     assert "autogen" in ok_branch
 
 
