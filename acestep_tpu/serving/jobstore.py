@@ -25,30 +25,10 @@ RESULT_EXPIRE_SECONDS = 3600
 TASK_TIMEOUT_SECONDS = 1800
 
 
-def atomic_write_json(path: str, data: Any) -> None:
-    """Write JSON atomically (tmp file + rename), like api_server.py:720-736."""
-    directory = os.path.dirname(os.path.abspath(path))
-    os.makedirs(directory, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=directory, suffix=".tmp")
-    try:
-        with os.fdopen(fd, "w", encoding="utf-8") as f:
-            json.dump(data, f, ensure_ascii=False)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)
-    except BaseException:
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        raise
-
-
-def append_jsonl(path: str, record: Any) -> None:
-    """Append one JSON line (durable job history, api_server.py:738-751)."""
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "a", encoding="utf-8") as f:
-        f.write(json.dumps(record, ensure_ascii=False) + "\n")
+# canonical implementations live in utils.fsio (core modules use them
+# without importing the serving layer); re-exported here for callers that
+# historically imported them from jobstore
+from acestep_tpu.utils.fsio import append_jsonl, atomic_write_json  # noqa: E402,F401
 
 
 @dataclass
@@ -78,6 +58,13 @@ class JobStore:
                  persist_dir: Optional[str] = None) -> None:
         self._lock = threading.Lock()
         self._jobs: Dict[str, JobRecord] = {}
+        # per-job serialized snapshots, updated incrementally at the
+        # persistence points (create/succeed/fail/load) so a snapshot is
+        # O(1) serialization under the lock instead of asdict of every
+        # retained record; mid-flight field churn (progress, status_text)
+        # is deliberately not mirrored — on reload queued/running collapse
+        # to failed-by-restart anyway
+        self._ser: Dict[str, Dict[str, Any]] = {}
         self._max_age = max_age_seconds
         self._persist_dir = persist_dir
         # snapshot I/O runs OUTSIDE self._lock (serialized by _io_lock with
@@ -117,26 +104,43 @@ class JobStore:
                 job.stage = "failed"
                 job.error = "server restarted while job was in flight"
             self._jobs[job.job_id] = job
+            self._ser[job.job_id] = job.to_dict()
 
-    def _snapshot_locked(self):
-        """Serialize the store under self._lock; the caller writes the
-        returned payload to disk AFTER releasing the lock (asdict deep-copies,
-        so the payload is immutable once built)."""
+    def _snapshot_locked(self, rec: Optional[JobRecord] = None):
+        """Refresh `rec`'s serialized copy and assemble the payload under
+        self._lock; the caller writes it to disk AFTER releasing the lock.
+        The per-record copies in self._ser make this O(changed record),
+        not O(all retained jobs)."""
+        if rec is not None and self._persist_dir:
+            self._ser[rec.job_id] = rec.to_dict()
         if not self._persist_dir:
             return None
         self._snap_version += 1
-        return ({"jobs": [r.to_dict() for r in self._jobs.values()]},
-                self._snap_version)
+        return ({"jobs": list(self._ser.values())}, self._snap_version)
 
     def _write_snapshot(self, snap) -> None:
+        """Best-effort: a persistence failure (disk full, read-only
+        volume) must never fail a finished job or kill a worker — the
+        in-memory store stays authoritative."""
         if snap is None:
             return
-        payload, version = snap
-        with self._io_lock:
-            if version <= self._written_version:
-                return      # a newer snapshot already hit the disk
-            self._written_version = version
-            atomic_write_json(self._snapshot_path, payload)
+        try:
+            payload, version = snap
+            with self._io_lock:
+                if version <= self._written_version:
+                    return      # a newer snapshot already hit the disk
+                self._written_version = version
+                atomic_write_json(self._snapshot_path, payload)
+        except OSError:
+            pass
+
+    def _append_history(self, entry) -> None:
+        if entry is None:
+            return
+        try:        # best-effort, like the snapshot
+            append_jsonl(self._history_path, entry)
+        except OSError:
+            pass
 
     def _history_entry(self, rec: JobRecord) -> Optional[Dict[str, Any]]:
         if not self._persist_dir:
@@ -156,7 +160,7 @@ class JobStore:
                         env=env, updated_at=now)
         with self._lock:
             self._jobs[job_id] = rec
-            snap = self._snapshot_locked()
+            snap = self._snapshot_locked(rec)
         self._write_snapshot(snap)
         return rec
 
@@ -184,11 +188,10 @@ class JobStore:
             rec.progress = 1.0
             rec.finished_at = rec.updated_at = time.time()
             rec.status = rec.stage = "succeeded"
-            snap = self._snapshot_locked()
+            snap = self._snapshot_locked(rec)
             entry = self._history_entry(rec)
         self._write_snapshot(snap)
-        if entry is not None:
-            append_jsonl(self._history_path, entry)
+        self._append_history(entry)
 
     def mark_failed(self, job_id: str, error: str) -> None:
         with self._lock:
@@ -196,11 +199,10 @@ class JobStore:
             rec.error = error       # error precedes the status flip, as above
             rec.finished_at = rec.updated_at = time.time()
             rec.status = rec.stage = "failed"
-            snap = self._snapshot_locked()
+            snap = self._snapshot_locked(rec)
             entry = self._history_entry(rec)
         self._write_snapshot(snap)
-        if entry is not None:
-            append_jsonl(self._history_path, entry)
+        self._append_history(entry)
 
     def update_progress(self, job_id: str, progress: float,
                         stage: Optional[str] = None) -> None:
@@ -236,6 +238,7 @@ class JobStore:
                 and (r.finished_at or r.created_at) < cutoff
             ]:
                 del self._jobs[job_id]
+                self._ser.pop(job_id, None)
                 removed += 1
             snap = self._snapshot_locked() if removed else None
         self._write_snapshot(snap)
@@ -273,7 +276,13 @@ class LocalResultCache:
         payload = value if isinstance(value, str) else json.dumps(value)
         with self._lock:
             old = self._data.get(key)
-            self._data[key] = (time.time() + ex, payload)
+            now = time.time()
+            # prune: without this, entries whose TTL lapsed but were never
+            # get()-polled again live forever in memory AND get rewritten
+            # into the spill file on every set
+            for k in [k for k, v in self._data.items() if v[0] < now]:
+                del self._data[k]
+            self._data[key] = (now + ex, payload)
             if old is not None and old[1] == payload:
                 # TTL-only refresh (e.g. a client polling an expired task
                 # re-caches the same entry from the job store on every

@@ -205,15 +205,20 @@ def chat_to_request(body: Dict[str, Any]) -> GenerateMusicRequest:
     task_type = body.get("task_type", "text2music")
     reference_audio = src_audio = None
     used = 0
-    if task_type == "text2music":
-        if audio_paths:
-            reference_audio = audio_paths[0]
-            task_type = "music_continuation"
-            used = 1
-    else:
+    # audio routing matches the reference adapter (:673-686): ONLY the
+    # edit tasks consume audio[0] as src; every other task type — incl.
+    # an echoed-back 'music_continuation' — treats audio[0] as the style
+    # reference (routing it to src would silently turn continuation into
+    # cover-style source conditioning)
+    if task_type in ("cover", "repaint", "lego", "extract", "complete"):
         src_audio = audio_paths[0] if audio_paths else None
         reference_audio = audio_paths[1] if len(audio_paths) > 1 else None
         used = min(len(audio_paths), 2)
+    elif audio_paths:
+        reference_audio = audio_paths[0]
+        used = 1
+        if task_type == "text2music":
+            task_type = "music_continuation"
     for path in audio_paths[used:]:
         # attachments beyond what the task consumes would leak their
         # temp files (the job cleanup only tracks the two request paths)
@@ -333,7 +338,13 @@ def sse_chunks(state, job_id: str, model_id: str, audio_format: str,
     last_beat = time.time()
     while True:
         rec = state.job_store.get(job_id)
-        if rec is None or time.time() > deadline:
+        if rec is None:
+            # aged out of the store / store restarted — not a timeout
+            yield chunk(content="\n\nError: job no longer exists")
+            yield chunk(finish_reason="error")
+            yield b"data: [DONE]\n\n"
+            return
+        if time.time() > deadline:
             yield chunk(content="\n\nError: generation timed out")
             yield chunk(finish_reason="error")
             yield b"data: [DONE]\n\n"

@@ -16,7 +16,7 @@ import threading
 import time
 from typing import Callable, Dict, List, Optional
 
-from acestep_tpu.serving.jobstore import atomic_write_json
+from acestep_tpu.utils.fsio import atomic_write_json
 
 MAX_RECORDS = 100
 DEFAULT_CACHE = os.path.join(os.path.expanduser("~"), ".cache",
@@ -52,9 +52,15 @@ class ProgressEstimator:
     def _load(self) -> None:
         try:
             with open(self.cache_path, "r", encoding="utf-8") as f:
-                self._records = {k: list(v)[-MAX_RECORDS:]
-                                 for k, v in json.load(f).items()}
-        except (OSError, ValueError):
+                raw = json.load(f)
+            # a cosmetic cache must never break handler/server startup:
+            # valid-JSON-wrong-shape (null, list, {"k": 5}) is as corrupt
+            # as bad JSON
+            self._records = {
+                str(k): [float(x) for x in v][-MAX_RECORDS:]
+                for k, v in raw.items() if isinstance(v, (list, tuple))
+            } if isinstance(raw, dict) else {}
+        except (OSError, ValueError, TypeError, AttributeError):
             self._records = {}
 
     def _save(self) -> None:
@@ -82,14 +88,30 @@ class ProgressEstimator:
             if values:
                 ordered = sorted(values)
                 return ordered[len(ordered) // 2]
-            # fallback: any record with same steps, scale by duration ratio
+            # fallback: NEAREST bucket with the same step count (prefer a
+            # matching batch), scaled by the duration-bucket ratio; both
+            # buckets clamp to >=1 so the sub-10s bucket (0) can neither
+            # divide by zero-ish values nor skip scaling entirely
+            mine = max(_duration_bucket(duration_s), 1)
             prefix = f"{self.device_key}|s{steps}|"
+            best = None     # (batch_mismatch, duration_distance, estimate)
             for other_key, other_vals in self._records.items():
-                if other_key.startswith(prefix) and other_vals:
-                    other_d = int(other_key.rsplit("|d", 1)[1]) or 1
-                    mine = _duration_bucket(duration_s) or other_d
-                    ordered = sorted(other_vals)
-                    return ordered[len(ordered) // 2] * mine / other_d
+                if not other_key.startswith(prefix) or not other_vals:
+                    continue
+                try:
+                    rest = other_key[len(prefix):]          # "b{N}|d{D}"
+                    other_b = int(rest.split("|", 1)[0][1:])
+                    other_d = max(int(rest.rsplit("|d", 1)[1]), 1)
+                except (ValueError, IndexError):
+                    continue
+                ordered = sorted(other_vals)
+                med = ordered[len(ordered) // 2]
+                cand = (int(other_b != batch), abs(other_d - mine),
+                        med * mine / other_d)
+                if best is None or cand[:2] < best[:2]:
+                    best = cand
+            if best is not None:
+                return best[2]
         return None
 
 

@@ -167,3 +167,23 @@ def test_chat_models_listing(chat_server):
     assert out["object"] == "list"
     assert out["data"][0]["id"] == "acestep/acestep-v15-turbo-tpu"
     assert out["data"][0]["architecture"]["output_modalities"] == ["audio"]
+
+
+def test_chat_to_request_continuation_echo_keeps_reference_routing():
+    """An echoed-back task_type='music_continuation' (the value this
+    adapter itself produces) must route audio[0] to the style reference,
+    not the edit source — the reference adapter src-routes ONLY
+    cover/repaint/lego/extract/complete (:673-686)."""
+    b64 = base64.b64encode(b"x").decode()
+    audio_part = {"type": "input_audio",
+                  "input_audio": {"data": b64, "format": "wav"}}
+    req = chat_to_request({
+        "task_type": "music_continuation",
+        "messages": [{"role": "user",
+                      "content": [{"type": "text",
+                                   "text": "<prompt>rock</prompt>"},
+                                  audio_part]}],
+    })
+    assert req.task_type == "music_continuation"
+    assert req.reference_audio_path and not req.src_audio_path
+    os.unlink(req.reference_audio_path)

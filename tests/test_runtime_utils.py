@@ -425,3 +425,69 @@ def test_cli_save_config_exits_before_init(tmp_path, capsys):
     text = (tmp_path / "cfg.toml").read_text()
     assert 'caption = "hello"' in text
     assert "save_config" not in text and "config =" not in text
+
+
+def test_progress_estimator_tolerates_corrupt_cache(tmp_path):
+    """A cosmetic cache file must never break startup: valid-JSON-wrong-
+    shape (null / list / {'k': 5}) is as corrupt as bad JSON."""
+    from acestep_tpu.utils.progress import ProgressEstimator
+
+    for blob in ("null", "[]", '{"k": 5}', '{"k": "x"}', "{not json"):
+        cache = tmp_path / "est.json"
+        cache.write_text(blob)
+        est = ProgressEstimator(cache_path=str(cache), device_key="tpu")
+        assert est.estimate_seconds(8, 1, 60) is None
+
+
+def test_progress_estimator_fallback_scaling(tmp_path):
+    """Neighbor-bucket fallback clamps the 0 bucket and picks the nearest
+    duration (preferring the same batch), scaling by the bucket ratio."""
+    from acestep_tpu.utils.progress import ProgressEstimator
+
+    est = ProgressEstimator(cache_path=str(tmp_path / "e.json"),
+                            device_key="tpu")
+    est.record(8, 1, 60, 20.0)       # 60s bucket: 20 s
+    # longer request scales up by duration ratio (120/60)
+    assert abs(est.estimate_seconds(8, 1, 120) - 40.0) < 1e-6
+    # sub-10 s request (bucket 0 -> clamped 1) scales DOWN, not 1:1
+    assert est.estimate_seconds(8, 1, 8) < 2.0
+    # nearest bucket wins over insertion order
+    est.record(8, 1, 120, 44.0)      # 120s bucket: 44 s
+    assert abs(est.estimate_seconds(8, 1, 150) - 44.0 * 150 // 30 * 30
+               / 120) < 20   # scaled from the 120 bucket, not the 60 one
+    # same-batch records preferred over same-duration different-batch
+    est2 = ProgressEstimator(cache_path=str(tmp_path / "e2.json"),
+                             device_key="tpu")
+    est2.record(8, 8, 60, 99.0)
+    est2.record(8, 1, 30, 10.0)
+    assert est2.estimate_seconds(8, 1, 60) == 10.0 * 60 / 30
+
+
+def test_jobstore_persistence_is_best_effort(tmp_path, monkeypatch):
+    """Snapshot/history write failures must not flip a finished job to
+    failed or propagate into the worker loop."""
+    from acestep_tpu.serving import jobstore as js
+
+    store = js.JobStore(persist_dir=str(tmp_path / "persist"))
+    rec = store.create()
+
+    def boom(path, data):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(js, "atomic_write_json", boom)
+    monkeypatch.setattr(js, "append_jsonl",
+                        lambda *a, **k: (_ for _ in ()).throw(OSError()))
+    store.mark_succeeded(rec.job_id, {"ok": True})   # must not raise
+    assert store.get(rec.job_id).status == "succeeded"
+    store.mark_failed(store.create().job_id, "x")    # must not raise
+
+
+def test_result_cache_prunes_expired_on_set(tmp_path):
+    from acestep_tpu.serving.jobstore import LocalResultCache
+
+    cache = LocalResultCache(str(tmp_path / "cache.json"))
+    cache.set("old", "a", ex=-1)          # already expired
+    cache.set("new", "b", ex=3600)
+    assert cache.get("old") is None
+    assert "old" not in cache._data       # pruned, not just hidden
+    assert cache.get("new") == "b"
