@@ -293,7 +293,10 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
                 # user opted out of LM metadata: keep only caption/language
                 lm_meta = {k: v for k, v in lm_meta.items()
                            if k in ("caption", "language")}
-            if phase.get("audio_codes") and not audio_codes:
+            if not audio_codes and any(p.get("audio_codes")
+                                       for p in phases):
+                # gate on ANY plan having codes: plan 0 coming back empty
+                # must not silently drop every other plan's codes
                 if n_plans > 1:
                     audio_codes = [p.get("audio_codes") or None
                                    for p in phases]
@@ -343,7 +346,9 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
             audio_cover_strength=params.audio_cover_strength,
             cover_noise_strength=params.cover_noise_strength,
             infer_method=params.infer_method,
-            shift=params.shift if params.shift else 3.0,
+            # forwarded unmodified like the reference facade
+            # (inference.py:608) — an explicit shift=0.0 stays 0.0
+            shift=params.shift,
             infer_steps=params.inference_steps,
             timesteps=params.timesteps,
             guidance_scale=params.guidance_scale,
@@ -354,6 +359,7 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
             latent_shift=params.latent_shift,
             latent_rescale=params.latent_rescale,
             normalize=params.enable_normalization,
+            normalize_db=params.normalization_db,
             save_dir=config.output_dir,
             audio_format=config.audio_format,
         )

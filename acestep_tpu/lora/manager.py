@@ -283,13 +283,16 @@ class LoraManager:
             name = adapter_name or self._active
             if name is None or name not in self._adapters:
                 return {"unloaded": None}
+            was_active = self._active == name
             del self._adapters[name]
             self._scales.pop(name, None)
             self._loaded_at.pop(name, None)
-            if self._active == name:
+            if was_active:
                 self._active = next(iter(self._adapters), None)
-            self._dirty = True
-            self._merged = None    # release the model-sized merged tree
+                self._dirty = True
+                self._merged = None   # release the model-sized merged tree
+            # dropping an INACTIVE adapter can't change effective params:
+            # no re-merge, no cache invalidation
             return {"unloaded": name, "active": self._active}
 
     def toggle(self, use_lora: bool) -> Dict[str, Any]:
@@ -309,8 +312,11 @@ class LoraManager:
             name = adapter_name or self._active
             if name is None or name not in self._adapters:
                 raise KeyError(f"no such adapter: {name}")
+            changed = self._scales.get(name, 1.0) != float(scale)
             self._scales[name] = float(scale)
-            self._dirty = True
+            if name == self._active and changed:
+                # only the active adapter's scale shapes effective params
+                self._dirty = True
             return {"adapter_name": name, "scale": float(scale)}
 
     def status(self) -> Dict[str, Any]:
@@ -330,13 +336,15 @@ class LoraManager:
     def signature(self) -> str:
         """Compact state string for output uuids (reference
         audio_utils_uuid_test.py: same request under different adapters or
-        scales must produce different uuids). Empty when disabled."""
+        scales must produce different uuids). Only the ACTIVE adapter is
+        encoded — it alone shapes effective params, so switching the
+        active adapter changes the uuid while loading an unused one does
+        not. Empty when disabled or nothing active."""
         with self._lock:
-            if not self._enabled or not self._adapters:
+            if not self._enabled or self._active not in self._adapters:
                 return ""
-            return "|".join(
-                f"{n}@{self._scales.get(n, 1.0):g}"
-                for n in sorted(self._adapters))
+            return (f"{self._active}"
+                    f"@{self._scales.get(self._active, 1.0):g}")
 
     # -- params ------------------------------------------------------------
 

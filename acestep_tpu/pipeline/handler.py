@@ -691,6 +691,7 @@ class AceStepHandler:
         latent_shift: float = 0.0,
         latent_rescale: float = 1.0,
         normalize: bool = True,
+        normalize_db: float = -1.0,
         save_dir: Optional[str] = None,
         audio_format: str = "wav",
         key: Optional[jax.Array] = None,
@@ -1103,8 +1104,11 @@ class AceStepHandler:
         audios = []
         for i in range(B_req):
             a = audio[i]
-            if normalize:
-                a = peak_normalize(a)
+            # the reference normalizes only for non-positive targets
+            # (inference.py:674: enable_normalization and
+            # normalization_db <= 0.0) at the requested dBFS
+            if normalize and normalize_db <= 0.0:
+                a = peak_normalize(a, normalize_db)
             audios.append(a)
 
         paths = None

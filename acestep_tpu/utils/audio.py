@@ -52,13 +52,35 @@ def _ffmpeg() -> Optional[str]:
     return shutil.which("ffmpeg")
 
 
+def _ffmpeg_decode(path, target_sr: int, target_channels: int) -> np.ndarray:
+    """Decode any ffmpeg-readable file straight to clipped f32 PCM at the
+    target rate/channels (one implementation for every fallback branch)."""
+    out = subprocess.run(
+        [_ffmpeg(), "-v", "error", "-i", str(path), "-f", "f32le",
+         "-ac", str(target_channels), "-ar", str(target_sr), "-"],
+        capture_output=True, check=True)
+    data = np.frombuffer(out.stdout, dtype="<f4").reshape(-1, target_channels)
+    return np.clip(data, -1.0, 1.0)   # ffmpeg resampler overshoots too
+
+
 def load_audio(path: str, *, target_sr: int = SAMPLE_RATE,
                target_channels: int = AUDIO_CHANNELS) -> np.ndarray:
     """Load any supported audio -> float32 (frames, target_channels) at
     target_sr (reference io_audio.py: load -> stereo -> 48 kHz resample)."""
     p = Path(path)
     if p.suffix.lower() == ".wav":
-        data, sr = load_wav(path)
+        import wave as _wave
+
+        try:
+            data, sr = load_wav(path)
+        except (ValueError, _wave.Error, EOFError):
+            # outside the stdlib reader's surface (24-bit, IEEE-float,
+            # malformed headers): same ffmpeg fallback the FLAC branch
+            # gets — a common 24-bit WAV must not fail on a machine
+            # that can decode it
+            if not _ffmpeg():
+                raise
+            return _ffmpeg_decode(p, target_sr, target_channels)
     elif p.suffix.lower() == ".flac":
         from acestep_tpu.utils.flac import decode_flac
 
@@ -71,20 +93,9 @@ def load_audio(path: str, *, target_sr: int = SAMPLE_RATE,
             # fall through to ffmpeg when available
             if not _ffmpeg():
                 raise
-            out = subprocess.run(
-                [_ffmpeg(), "-v", "error", "-i", str(p), "-f", "f32le",
-                 "-ac", str(target_channels), "-ar", str(target_sr), "-"],
-                capture_output=True, check=True)
-            data = np.frombuffer(out.stdout, dtype="<f4").reshape(
-                -1, target_channels)
-            return np.clip(data, -1.0, 1.0)   # ffmpeg resampler overshoots too
+            return _ffmpeg_decode(p, target_sr, target_channels)
     elif _ffmpeg():
-        out = subprocess.run(
-            [_ffmpeg(), "-v", "error", "-i", str(p), "-f", "f32le",
-             "-ac", str(target_channels), "-ar", str(target_sr), "-"],
-            capture_output=True, check=True)
-        data = np.frombuffer(out.stdout, dtype="<f4").reshape(-1, target_channels)
-        return np.clip(data, -1.0, 1.0)
+        return _ffmpeg_decode(p, target_sr, target_channels)
     else:
         raise ValueError(
             f"cannot load {p.suffix} without ffmpeg; provide a .wav file")
@@ -139,14 +150,25 @@ def loudness_normalize(audio: np.ndarray, target_lufs: float = -14.0,
     pyloudnorm; this is a dependency-free equivalent within ~0.5 LU)."""
     from scipy.signal import lfilter
 
+    # the K-weighting biquads below are designed FOR 48 kHz: measure on a
+    # 48 kHz copy when the input isn't (the gain still applies to the
+    # original samples)
+    measured = audio if sr == SAMPLE_RATE else resample(audio, sr,
+                                                        SAMPLE_RATE)
     # K-weighting: shelving + high-pass (ITU-R BS.1770 biquads at 48 kHz)
     b1 = [1.53512485958697, -2.69169618940638, 1.19839281085285]
     a1 = [1.0, -1.69065929318241, 0.73248077421585]
     b2 = [1.0, -2.0, 1.0]
     a2 = [1.0, -1.99004745483398, 0.99007225036621]
-    x = lfilter(b1, a1, audio, axis=0)
+    x = lfilter(b1, a1, measured, axis=0)
     x = lfilter(b2, a2, x, axis=0)
-    ms = np.mean(np.square(x))
+    # BS.1770: loudness sums PER-CHANNEL mean-square energies (unity
+    # channel weights for stereo) — a cross-channel mean under-measures
+    # stereo by ~3 LU and lands the output ~3 dB hot
+    if x.ndim > 1:
+        ms = float(np.sum(np.mean(np.square(x), axis=0)))
+    else:
+        ms = float(np.mean(np.square(x)))
     if ms <= 1e-12:
         return audio
     lufs = -0.691 + 10.0 * np.log10(ms)
@@ -167,15 +189,34 @@ def save_wav(path: str, audio: np.ndarray, sr: int = SAMPLE_RATE,
              *, subtype: str = "PCM_16") -> str:
     """audio (frames, channels) float in [-1,1] -> WAV file."""
     audio = np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    if subtype == "FLOAT32":
+        # stdlib wave can only write integer PCM — emit a real IEEE
+        # float WAV (format tag 3) by hand rather than silently writing
+        # quantized int32 under a float-sounding name
+        frames, channels = audio.shape
+        data = audio.astype("<f4").tobytes()
+        byte_rate = sr * channels * 4
+        header = (b"RIFF" + (36 + len(data)).to_bytes(4, "little") +
+                  b"WAVEfmt " + (16).to_bytes(4, "little") +
+                  (3).to_bytes(2, "little") +            # IEEE float
+                  channels.to_bytes(2, "little") +
+                  sr.to_bytes(4, "little") +
+                  byte_rate.to_bytes(4, "little") +
+                  (channels * 4).to_bytes(2, "little") +
+                  (32).to_bytes(2, "little") +
+                  b"data" + len(data).to_bytes(4, "little"))
+        with open(path, "wb") as f:
+            f.write(header + data)
+        return str(path)
     if subtype == "PCM_16":
         pcm = (audio * 32767.0).astype("<i2")
         width = 2
-    elif subtype in ("PCM_32", "FLOAT32"):
+    elif subtype == "PCM_32":
         pcm = (audio * 2147483647.0).astype("<i4")
         width = 4
     else:
         raise ValueError(f"unsupported subtype {subtype}")
-    Path(path).parent.mkdir(parents=True, exist_ok=True)
     with wave.open(str(path), "wb") as f:
         f.setnchannels(audio.shape[1])
         f.setsampwidth(width)

@@ -1,6 +1,8 @@
 """Audio IO / normalization / UUID tests (reference: audio_utils.py,
 io_audio.py behaviors)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -106,3 +108,95 @@ def test_saver_invalid_format_falls_back_to_default(tmp_path):
         import pytest as _pytest
         with _pytest.raises(RuntimeError, match="requires ffmpeg"):
             saver.save_audio(audio, "t2", "m4a", sr=48000)
+
+
+def test_loudness_normalize_stereo_sums_channel_energy():
+    """BS.1770 sums per-channel mean-square energies: re-measuring the
+    normalized output must land on the target (a cross-channel mean would
+    come out ~3 LU hot on stereo)."""
+    from acestep_tpu.utils.audio import loudness_normalize
+
+    t = np.arange(48000 * 2) / 48000.0
+    sine = 0.25 * np.sin(2 * np.pi * 997.0 * t).astype(np.float32)
+    stereo = np.stack([sine, sine], axis=1)
+    out = loudness_normalize(stereo, target_lufs=-14.0)
+
+    def measure(x):
+        from scipy.signal import lfilter
+        b1 = [1.53512485958697, -2.69169618940638, 1.19839281085285]
+        a1 = [1.0, -1.69065929318241, 0.73248077421585]
+        b2 = [1.0, -2.0, 1.0]
+        a2 = [1.0, -1.99004745483398, 0.99007225036621]
+        y = lfilter(b2, a2, lfilter(b1, a1, x, axis=0), axis=0)
+        return -0.691 + 10 * np.log10(np.sum(np.mean(np.square(y), axis=0)))
+
+    assert abs(measure(out) - (-14.0)) < 0.5
+
+
+def test_save_wav_float32_is_ieee_float():
+    """subtype='FLOAT32' must write a format-3 (IEEE float) WAV, not
+    int32 PCM under a float-sounding name."""
+    import tempfile
+
+    from acestep_tpu.utils.audio import save_wav
+
+    audio = (np.random.RandomState(0).randn(1000, 2) * 0.1).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        path = save_wav(os.path.join(d, "f.wav"), audio, 48000,
+                        subtype="FLOAT32")
+        raw = open(path, "rb").read()
+        assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+        fmt_tag = int.from_bytes(raw[20:22], "little")
+        assert fmt_tag == 3                       # IEEE float
+        bits = int.from_bytes(raw[34:36], "little")
+        assert bits == 32
+        data = np.frombuffer(raw[44:], dtype="<f4").reshape(-1, 2)
+        np.testing.assert_allclose(data, audio, atol=1e-7)
+
+
+def test_load_audio_24bit_wav_falls_back_to_ffmpeg(tmp_path):
+    """A 24-bit WAV must use the ffmpeg fallback instead of dying in the
+    stdlib reader (parity with the FLAC branch)."""
+    import shutil as _shutil
+
+    from acestep_tpu.utils.audio import load_audio
+
+    # hand-build a minimal 24-bit PCM WAV header + a few frames
+    frames = 480
+    data = b"\x00\x00\x40" * (frames * 2)        # ~0.5 amplitude, stereo
+    hdr = (b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVEfmt " +
+           (16).to_bytes(4, "little") + (1).to_bytes(2, "little") +
+           (2).to_bytes(2, "little") + (48000).to_bytes(4, "little") +
+           (48000 * 6).to_bytes(4, "little") + (6).to_bytes(2, "little") +
+           (24).to_bytes(2, "little") + b"data" +
+           len(data).to_bytes(4, "little"))
+    p = tmp_path / "x.wav"
+    p.write_bytes(hdr + data)
+    if _shutil.which("ffmpeg"):
+        out = load_audio(str(p))
+        assert out.shape[1] == 2 and len(out) > 0
+        assert 0.3 < np.max(np.abs(out)) < 0.7
+    else:
+        with pytest.raises(Exception):
+            load_audio(str(p))
+
+
+def test_lora_signature_tracks_active_adapter():
+    """UUID signature encodes the ACTIVE adapter only: switching actives
+    changes it; loading an unused adapter doesn't."""
+    from acestep_tpu.lora.manager import LoraManager
+
+    svc = LoraManager(base_params={})
+    svc.add("a", {"meta": {"kind": "lora"}}, scale=1.0)
+    sig_a = svc.signature()
+    svc.add("b", {"meta": {"kind": "lora"}}, scale=1.0)   # b becomes active
+    sig_b = svc.signature()
+    assert sig_a != sig_b and sig_b.startswith("b@")
+    svc._active = "a"
+    assert svc.signature() == sig_a     # unused 'b' doesn't perturb it
+    # inactive-adapter operations don't force a re-merge
+    svc._dirty = False
+    svc.set_scale(2.0, adapter_name="b")
+    assert svc._dirty is False
+    svc.unload("b")
+    assert svc._dirty is False
