@@ -121,6 +121,9 @@ def _training_config(args, timestep_mode: str):
     }
     overrides["output_dir"] = args.output_dir
     overrides["seed"] = args.seed
+    if getattr(args, "targets", None):
+        overrides["targets"] = tuple(
+            t.strip() for t in args.targets.split(",") if t.strip())
     if args.preset:
         tcfg = get_preset(args.preset, **overrides)
     else:

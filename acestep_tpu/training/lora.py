@@ -51,6 +51,9 @@ class LoRATrainingConfig:
     checkpoint_every: int = 500
     output_dir: str = "lora_output"
     adapter_name: str = "adapter"
+    # optional target subset ("self_attn.q_proj", ...): train only the
+    # projections estimation ranked highest (Side-Step targeted training)
+    targets: Optional[tuple] = None
     resume_from: Optional[str] = None
     seed: int = 0
     log_every: int = 10
@@ -153,12 +156,25 @@ class LoRATrainer:
         key = jax.random.PRNGKey(tcfg.seed)
         k_init, key = jax.random.split(key)
 
+        from acestep_tpu.lora.adapters import LORA_TARGETS
+
+        targets = LORA_TARGETS
+        if tcfg.targets:
+            wanted = {t if isinstance(t, str) else ".".join(t)
+                      for t in tcfg.targets}
+            targets = tuple(t for t in LORA_TARGETS
+                            if ".".join(t) in wanted)
+            unknown = wanted - {".".join(t) for t in LORA_TARGETS}
+            if unknown or not targets:
+                raise ValueError(
+                    f"unknown LoRA targets {sorted(unknown)}; valid: "
+                    f"{['.'.join(t) for t in LORA_TARGETS]}")
         if tcfg.kind == "lokr":
             adapter = init_lokr(k_init, self.base, factor=tcfg.lokr_factor,
-                                alpha=tcfg.alpha)
+                                alpha=tcfg.alpha, targets=targets)
         else:
             adapter = init_lora(k_init, self.base, rank=tcfg.rank,
-                                alpha=tcfg.alpha)
+                                alpha=tcfg.alpha, targets=targets)
         weights = adapter["weights"]
 
         optimizer = optax.chain(

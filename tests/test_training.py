@@ -190,3 +190,28 @@ def test_full_trainer_sharded_mesh(tmp_path):
 def dataclasses_replace(tcfg, **kw):
     import dataclasses
     return dataclasses.replace(tcfg, **kw)
+
+
+def test_lora_trainer_target_subset(tmp_path):
+    """Targeted training (Side-Step estimation workflow): a targets
+    subset trains ONLY those projections, and unknown names fail loudly."""
+    from acestep_tpu.lora.manager import load_adapter_file
+
+    cfg = DiTConfig.tiny()
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    tcfg = LoRATrainingConfig(
+        rank=2, max_steps=2, learning_rate=5e-3, checkpoint_every=10,
+        output_dir=str(tmp_path / "out"), log_every=1,
+        timestep_mode="discrete_shift3", seed=0,
+        targets=("self_attn.q_proj", "cross_attn.v_proj"))
+    trainer = LoRATrainer(params, cfg, tcfg)
+    list(trainer.train(_tiny_training_batches(cfg, 4)))
+    adapter = load_adapter_file(str(tmp_path / "out" / "adapter.npz"))
+    assert set(adapter["weights"]) == {"self_attn.q_proj",
+                                       "cross_attn.v_proj"}
+
+    bad = LoRATrainingConfig(targets=("self_attn.nope",), max_steps=1,
+                             output_dir=str(tmp_path / "b"))
+    with pytest.raises(ValueError, match="unknown LoRA targets"):
+        list(LoRATrainer(params, cfg, bad).train(
+            _tiny_training_batches(cfg, 2)))
