@@ -1403,7 +1403,14 @@ class AceStepHandler:
         """30 s timbre budget: 10 s from head/middle/tail of longer audio;
         shorter audio LOOPS to fill the budget (reference io_audio.py:92-93
         repeats it) — silence-padding instead would dilute the timbre
-        conditioning to mostly-silence for short references."""
+        conditioning to mostly-silence for short references.
+
+        Deliberate deviation: the reference draws a RANDOM offset inside
+        each third (io_audio.py process_reference_audio, unseeded
+        random.randint) so the same request can condition on different
+        windows across retries; here the windows are fixed at the start
+        of each third, keeping generation deterministic per seed and the
+        result uuid honest about its inputs."""
         n = audio.shape[0]
         budget = budget_s * sr
         if n < budget:
