@@ -321,6 +321,13 @@ class AppState:
             with self.pending_lock:
                 if job_id in self.pending_ids:
                     self.pending_ids.remove(job_id)
+            rec = self.job_store.get(job_id)
+            if rec is not None and rec.status != "queued":
+                # canceled (or otherwise resolved) while waiting in the
+                # queue: don't burn a render on it
+                self._cleanup_request_temp_files(req)
+                self.job_queue.task_done()
+                continue
             try:
                 self._run_one_job(job_id, req)
             except Exception:
@@ -329,6 +336,25 @@ class AppState:
             finally:
                 self.job_queue.task_done()
                 self.job_store.cleanup()   # age out finished jobs (24 h)
+
+    def cancel_task(self, job_id: str) -> Dict[str, Any]:
+        """Cancel a QUEUED job (beyond the reference: it has no
+        cancellation surface). A running render is one jitted program and
+        cannot be interrupted mid-flight; finished jobs are left alone.
+        The worker skips de-queued ids when they surface."""
+        rec = self.job_store.get(job_id)
+        if rec is None:
+            return {"status": "not_found"}
+        if rec.status == "queued":
+            with self.pending_lock:
+                if job_id in self.pending_ids:
+                    self.pending_ids.remove(job_id)
+            self.job_store.mark_failed(job_id, "canceled by user")
+            self._cache_result(job_id)
+            return {"status": "canceled"}
+        if rec.status == "running":
+            return {"status": "running"}     # cannot interrupt the render
+        return {"status": rec.status}        # already finished
 
     def _select_handler(self, model: Optional[str], strict: bool = False):
         if model and model in self.dit_handlers:
@@ -791,6 +817,9 @@ class _Handler(BaseHTTPRequestHandler):
                 self._release_task(body)
             elif route == "/query_result":
                 self._query_result(body)
+            elif route == "/v1/cancel_task":
+                self._send_json(wrap_response(
+                    self.state.cancel_task(str(body.get("task_id", "")))))
             elif route == "/create_random_sample":
                 self._create_random_sample(body)
             elif route == "/format_input":

@@ -591,3 +591,56 @@ def test_audio_codes_field_reaches_handler(server_env):
     entry = _wait_done(port, out["data"]["task_id"])
     assert entry["status"] == 1
     assert handler.calls[-1].get("audio_code_hints") == codes
+
+
+def test_cancel_task_dequeues_and_guards_states(tmp_path):
+    """/v1/cancel_task (beyond the reference): a queued job cancels and
+    never renders; running/finished jobs are reported, not interrupted."""
+    import threading as _t
+
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir, exist_ok=True)
+
+    gate = _t.Event()
+
+    class SlowHandler(FakeDiTHandler):
+        def generate_music(self, **kwargs):
+            gate.wait(timeout=30)            # hold the single worker
+            return super().generate_music(**kwargs)
+
+    handler = SlowHandler(out_dir)
+    state = AppState({"tiny": handler}, None, output_dir=out_dir,
+                     worker_count=1)
+    server = create_server(state, "127.0.0.1", 0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    port = server.server_address[1]
+    try:
+        body = {"prompt": "x", "thinking": False}
+        _, a = _post(port, "/release_task", body)   # occupies the worker
+        _, b = _post(port, "/release_task", body)   # stays queued
+        tid_a, tid_b = a["data"]["task_id"], b["data"]["task_id"]
+        time.sleep(0.3)
+
+        _, out = _post(port, "/v1/cancel_task", {"task_id": tid_b})
+        assert out["data"]["status"] == "canceled"
+        # a running render cannot be interrupted
+        _, out = _post(port, "/v1/cancel_task", {"task_id": tid_a})
+        assert out["data"]["status"] == "running"
+        _, out = _post(port, "/v1/cancel_task", {"task_id": "nope"})
+        assert out["data"]["status"] == "not_found"
+
+        gate.set()
+        entry_a = _wait_done(port, tid_a)
+        assert entry_a["status"] == 1
+        entry_b = _wait_done(port, tid_b)
+        assert entry_b["status"] == 2               # canceled -> failed
+        # the canceled job never rendered: only one generate call happened
+        assert len(handler.calls) == 1
+        # cancel after completion is a no-op report
+        _, out = _post(port, "/v1/cancel_task", {"task_id": tid_a})
+        assert out["data"]["status"] == "succeeded"
+    finally:
+        gate.set()
+        state.shutdown()
+        server.shutdown()
+        server.server_close()
