@@ -191,6 +191,7 @@ class AppState:
         self.pending_lock = threading.Lock()
         self.stats_lock = threading.Lock()
         self.reinit_lock = threading.Lock()   # weights swap vs generation
+        self.started_at = time.time()
         self.avg_job_seconds = INITIAL_AVG_JOB_SECONDS
         self.completed_jobs = 0
         self.examples_dir = examples_dir
@@ -759,6 +760,8 @@ class _Handler(BaseHTTPRequestHandler):
                 }))
             elif route == "/v1/stats":
                 self._get_stats()
+            elif route == "/metrics":
+                self._get_metrics()
             elif route == "/v1/models":
                 self._get_models()
             elif route == "/v1/models/discover":
@@ -983,6 +986,55 @@ class _Handler(BaseHTTPRequestHandler):
             "queue_maxsize": QUEUE_MAXSIZE,
             "avg_job_seconds": avg,
         }))
+
+    def _get_metrics(self) -> None:
+        """Prometheus text exposition (beyond the reference, which stops
+        at the JSON /v1/stats): job counts by status, queue depth, rolling
+        average job wall, uptime, and device HBM when the backend reports
+        it — enough for standard alerting/dashboards with zero deps."""
+        state = self.state
+        with state.stats_lock:
+            avg = state.avg_job_seconds
+            completed = state.completed_jobs
+        stats = state.job_store.get_stats()
+        lines = [
+            "# HELP acestep_jobs Jobs by status in the retention window.",
+            "# TYPE acestep_jobs gauge",
+        ]
+        for status in ("queued", "running", "succeeded", "failed"):
+            lines.append(
+                f'acestep_jobs{{status="{status}"}} {stats.get(status, 0)}')
+        lines += [
+            "# TYPE acestep_queue_depth gauge",
+            f"acestep_queue_depth {state.job_queue.qsize()}",
+            "# TYPE acestep_queue_capacity gauge",
+            f"acestep_queue_capacity {QUEUE_MAXSIZE}",
+            "# TYPE acestep_avg_job_seconds gauge",
+            f"acestep_avg_job_seconds {avg:.3f}",
+            "# TYPE acestep_jobs_completed_total counter",
+            f"acestep_jobs_completed_total {completed}",
+            "# TYPE acestep_uptime_seconds counter",
+            f"acestep_uptime_seconds {time.time() - state.started_at:.0f}",
+        ]
+        try:
+            import jax
+
+            mem = jax.local_devices()[0].memory_stats() or {}
+            if mem.get("bytes_in_use") is not None:
+                lines += ["# TYPE acestep_hbm_bytes_in_use gauge",
+                          f"acestep_hbm_bytes_in_use {mem['bytes_in_use']}"]
+            if mem.get("bytes_limit"):
+                lines += ["# TYPE acestep_hbm_bytes_limit gauge",
+                          f"acestep_hbm_bytes_limit {mem['bytes_limit']}"]
+        except Exception:  # noqa: BLE001 — metrics must never 500
+            pass
+        body = ("\n".join(lines) + "\n").encode("utf-8")
+        self.send_response(200)
+        self.send_header("Content-Type",
+                         "text/plain; version=0.0.4; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
 
     def _get_models(self) -> None:
         models = [{"name": name, "is_default": name == self.state.default_model}

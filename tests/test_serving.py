@@ -644,3 +644,18 @@ def test_cancel_task_dequeues_and_guards_states(tmp_path):
         state.shutdown()
         server.shutdown()
         server.server_close()
+
+
+def test_metrics_prometheus_exposition(server_env):
+    """/metrics serves Prometheus text (beyond the reference's JSON
+    /v1/stats): job gauges, queue depth, uptime."""
+    state, handler, port = server_env
+    _, out = _post(port, "/release_task", {"prompt": "x", "thinking": False})
+    _wait_done(port, out["data"]["task_id"])
+    status, raw = _get(port, "/metrics")
+    assert status == 200
+    text = raw if isinstance(raw, str) else raw.decode()
+    assert 'acestep_jobs{status="succeeded"} 1' in text
+    assert "acestep_queue_depth 0" in text
+    assert "acestep_uptime_seconds" in text
+    assert "acestep_avg_job_seconds" in text
