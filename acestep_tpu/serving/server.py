@@ -1538,10 +1538,22 @@ def main(argv: Optional[List[str]] = None) -> None:
         load_models()
     server = create_server(state, args.host, args.port)
     print(f"[acestep_tpu] serving on http://{args.host}:{args.port}")
+
+    # SIGTERM (container/orchestrator stop) drains like Ctrl-C: stop
+    # accepting, let state.shutdown() signal the workers, exit cleanly
+    import signal as _signal
+
+    def _term(_signum, _frame):
+        raise KeyboardInterrupt
+
+    try:
+        _signal.signal(_signal.SIGTERM, _term)
+    except ValueError:
+        pass                      # not the main thread (embedded use)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
-        pass
+        print("[acestep_tpu] shutting down...")
     finally:
         state.shutdown()
         server.server_close()
