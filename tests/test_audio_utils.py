@@ -23,6 +23,7 @@ def test_wav_roundtrip(tmp_path):
     np.testing.assert_allclose(back, audio, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_load_audio_resamples_and_stereo(tmp_path):
     rng = np.random.default_rng(1)
     mono = (rng.standard_normal((16000, 1)) * 0.1).astype(np.float32)

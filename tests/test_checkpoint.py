@@ -168,6 +168,7 @@ def _dit_state_spec(cfg: DiTConfig) -> dict:
     return spec
 
 
+@pytest.mark.slow
 def test_convert_dit_state_tree_matches_init():
     from acestep_tpu.models.dit import init_dit_params
 
@@ -181,6 +182,7 @@ def test_convert_dit_state_tree_matches_init():
     assert ref_shapes == got_shapes
 
 
+@pytest.mark.slow
 def test_converted_dit_runs_forward():
     from acestep_tpu.models.dit import dit_decoder
 
@@ -218,6 +220,7 @@ def _lm_state_spec(cfg: LMConfig) -> dict:
     return spec
 
 
+@pytest.mark.slow
 def test_convert_lm_state_and_forward():
     from acestep_tpu.models.lm import KVCache, init_lm_params, lm_forward, lm_logits
 
@@ -283,6 +286,7 @@ def _vae_state_spec(cfg: VAEConfig) -> dict:
     return spec
 
 
+@pytest.mark.slow
 def test_convert_vae_state_and_roundtrip():
     from acestep_tpu.models.vae import init_vae_params, vae_decode, vae_encode
 

@@ -78,6 +78,7 @@ def test_presets():
     assert set(PRESETS) >= {"quick", "standard", "fixed", "quality", "lokr"}
 
 
+@pytest.mark.slow
 def test_gradient_sensitivity_ranking():
     from acestep_tpu.training.step import tiny_batch
 

@@ -41,6 +41,7 @@ def batch():
     )
 
 
+@pytest.mark.slow
 def test_condition_encoder_shapes(params, batch):
     enc, mask = dit.condition_encoder(
         params, CFG,
@@ -68,6 +69,7 @@ def test_unpack_by_order():
     np.testing.assert_array_equal(np.asarray(mask), [[1, 1, 0], [1, 1, 0]])
 
 
+@pytest.mark.slow
 def test_tokenize_detokenize_roundtrip_shapes(params, batch):
     q, idx = dit.audio_tokenize(params, CFG, batch["src_latents"])
     assert q.shape == (B, T // 5, CFG.hidden_size)
@@ -80,6 +82,7 @@ def test_tokenize_detokenize_roundtrip_shapes(params, batch):
     np.testing.assert_allclose(np.asarray(q), np.asarray(q2), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_code_hints_silence_padded_per_row(params, batch):
     """Reference conditioning_text.py:33-55: hint frames beyond each row's
     real codes take the SILENCE latent — a hint-less row in a mixed batch
@@ -114,6 +117,7 @@ def test_code_hints_silence_padded_per_row(params, batch):
     assert not np.allclose(raw[1], sil)
 
 
+@pytest.mark.slow
 def test_decoder_forward_and_kv_cache_equivalence(params, batch):
     enc, mask, ctx = dit.prepare_condition(
         params, CFG, max_refer_count=2,
@@ -133,6 +137,7 @@ def test_decoder_forward_and_kv_cache_equivalence(params, batch):
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_decoder_odd_length_padding(params, batch):
     # T=19 not divisible by patch 2: must pad internally and crop back.
     xt = jax.random.normal(jax.random.PRNGKey(4), (B, 19, CFG.audio_acoustic_hidden_dim))
@@ -155,6 +160,7 @@ def test_turbo_schedules():
     assert start == 0.375 and sched[0] == 0.375
 
 
+@pytest.mark.slow
 def test_sample_turbo_runs_ode_and_sde(params, batch):
     enc, _, ctx = dit.prepare_condition(
         params, CFG, max_refer_count=2,
@@ -214,6 +220,7 @@ def test_training_loss(params, batch):
     assert np.isfinite(float(loss)) and float(loss) > 0
 
 
+@pytest.mark.slow
 def test_training_loss_grads(params, batch):
     def loss_fn(p):
         return dit.training_loss(
@@ -234,6 +241,7 @@ def test_training_loss_grads(params, batch):
     assert np.isfinite(gnorm) and gnorm > 0
 
 
+@pytest.mark.slow
 def test_decoder_unrolled_matches_scan(params, batch):
     """cfg.unroll_layers swaps the lax.scan layer loop for static
     per-layer slices; the dense-path forward must match, with and

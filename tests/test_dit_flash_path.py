@@ -5,6 +5,10 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+# slow tier: every test compiles the Pallas flash path
+pytestmark = pytest.mark.slow
 
 from acestep_tpu.config import DiTConfig
 from acestep_tpu.models.dit import (

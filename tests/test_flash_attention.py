@@ -19,6 +19,7 @@ def _qkv(key, B=1, Lq=200, Lk=200, Hq=4, Hkv=2, D=32, dtype=jnp.float32):
     return q, k, v
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("Lq,Lk", [(128, 128), (200, 200), (130, 70)])
 def test_full_attention_matches_dense(Lq, Lk):
     q, k, v = _qkv(jax.random.PRNGKey(0), Lq=Lq, Lk=Lk)
@@ -28,6 +29,7 @@ def test_full_attention_matches_dense(Lq, Lk):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("L,window", [(256, 128), (300, 128), (384, 64)])
 def test_sliding_window_matches_dense(L, window):
     q, k, v = _qkv(jax.random.PRNGKey(1), Lq=L, Lk=L)
@@ -37,6 +39,7 @@ def test_sliding_window_matches_dense(L, window):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sliding_window_edge_blocks_not_double_counted():
     """Border q-blocks alias clamped K blocks; result must equal dense."""
     L, window = 128 * 3, 128
@@ -47,6 +50,7 @@ def test_sliding_window_edge_blocks_not_double_counted():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_gqa_group_mapping():
     q, k, v = _qkv(jax.random.PRNGKey(3), Hq=8, Hkv=2, Lq=128, Lk=128)
     out = flash_attention(q, k, v, interpret=True)
@@ -55,6 +59,7 @@ def test_gqa_group_mapping():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_bf16_inputs():
     q, k, v = _qkv(jax.random.PRNGKey(4), dtype=jnp.bfloat16, Lq=128, Lk=128)
     out = flash_attention(q, k, v, interpret=True)
@@ -80,6 +85,7 @@ def _grads(fn, q, k, v):
     return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("Lq,Lk", [(128, 128), (200, 70)])
 def test_backward_full_matches_dense(Lq, Lk):
     q, k, v = _qkv(jax.random.PRNGKey(6), Lq=Lq, Lk=Lk)
@@ -94,6 +100,7 @@ def test_backward_full_matches_dense(Lq, Lk):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("L,window", [(256, 128), (300, 64)])
 def test_backward_banded_matches_dense(L, window):
     q, k, v = _qkv(jax.random.PRNGKey(7), Lq=L, Lk=L)
@@ -110,6 +117,7 @@ def test_backward_banded_matches_dense(L, window):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_backward_gqa_groups():
     q, k, v = _qkv(jax.random.PRNGKey(8), Hq=8, Hkv=2, Lq=130, Lk=130)
     gq, gk, gv = _grads(lambda *a: flash_attention(*a, interpret=True),

@@ -77,6 +77,7 @@ def test_cover_via_audio_codes(handler):
     assert np.all(np.isfinite(res.pred_latents))
 
 
+@pytest.mark.slow
 def test_tier_duration_ceiling_applies_to_derived_lengths(handler):
     """The tier max-duration guard must clamp lengths derived from src
     audio or code hints, not only explicit audio_duration — the jitted
@@ -240,6 +241,7 @@ def test_repaint_outpainting_extends_timeline(handler):
     assert res.extra["spans"][0] == ("repainting", 10, 20)
 
 
+@pytest.mark.slow
 def test_refer_audio_conditioning(handler):
     rng = np.random.default_rng(0)
     ref = (rng.standard_normal((handler.vae_cfg.hop_length * 12, 2)) * 0.1
@@ -334,6 +336,7 @@ def test_base_model_guided_sampler(base_handler):
     assert np.isfinite(res2.audios[0]).all()
 
 
+@pytest.mark.slow
 def test_sft_custom_timesteps():
     h = AceStepHandler(
         dit_config=DiTConfig.tiny(fsq_dim=64, model_version="sft"),
@@ -585,6 +588,7 @@ def test_empty_sequence_code_hint_is_no_hint(handler):
     assert res2.extra["is_covers"] == [True, True]
 
 
+@pytest.mark.slow
 def test_text_encoder_wiring(monkeypatch, tmp_path):
     """initialize_service must construct the Qwen3-Embedding text encoder
     when its checkpoint resolves (round-4 review pin: QwenTextEmbedder was

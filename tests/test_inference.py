@@ -151,6 +151,7 @@ def test_understand_music_stub():
     assert not res2.success
 
 
+@pytest.mark.slow
 def test_want_lrc_attaches_lrc_and_score():
     import jax.numpy as jnp
 
@@ -180,6 +181,7 @@ def test_want_lrc_attaches_lrc_and_score():
     assert "lrc" not in res2.audios[0]
 
 
+@pytest.mark.slow
 def test_batch_thinking_per_item_plans():
     """allow_lm_batch: each song in a batch gets its own LM codes."""
     import jax.numpy as jnp

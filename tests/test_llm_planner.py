@@ -149,6 +149,7 @@ def test_format_metadata_as_cot():
 # ------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_phase1_skipped_when_all_metas_pinned(handler, monkeypatch):
     """Reference llm_inference.py:1192,1208,1262: user-pinned
     bpm+keyscale+timesignature+duration (or use_cot_metas=False) skip the
@@ -292,6 +293,7 @@ def test_genres_vocab_hot_reload(tmp_path):
     assert vocab.get() == ["ambient"]
 
 
+@pytest.mark.slow
 def test_fsm_mask_denies_padded_vocab():
     """Model vocab padded beyond the tokenizer: FSM constraint must cover
     the extra ids (they were previously always allowed)."""

@@ -20,6 +20,7 @@ def lm():
     return params, cfg
 
 
+@pytest.mark.slow
 def test_prefill_then_decode_matches_full_forward(lm):
     """Incremental decode with KV cache must equal one full forward."""
     params, cfg = lm
@@ -45,6 +46,7 @@ def test_prefill_then_decode_matches_full_forward(lm):
                                atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_causality(lm):
     """Changing a future token must not affect earlier logits."""
     params, cfg = lm
@@ -62,6 +64,7 @@ def test_causality(lm):
     assert not np.allclose(np.asarray(a[:, 5]), np.asarray(b[:, 5]))
 
 
+@pytest.mark.slow
 def test_attention_mask_hides_padding(lm):
     """Logits at valid positions must be unchanged when left-padding grows."""
     params, cfg = lm
@@ -86,6 +89,7 @@ def test_attention_mask_hides_padding(lm):
     assert h_plain.shape == (1, 4, cfg.hidden_size)
 
 
+@pytest.mark.slow
 def test_attention_mask_authoritative_over_write_window(lm):
     """A masked-out LEADING key must not influence later positions even
     though it was written in the same call (round-4 review pin: an
@@ -104,6 +108,7 @@ def test_attention_mask_authoritative_over_write_window(lm):
     np.testing.assert_allclose(h[0][:, 1:], h[1][:, 1:], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_lm_encode_shape(lm):
     params, cfg = lm
     ids = jnp.ones((2, 5), jnp.int32)
@@ -137,6 +142,7 @@ def test_quantized_cache_matches_exact(lm):
     assert np.max(np.abs(l_q - l_ref)) / scale < 0.02
 
 
+@pytest.mark.slow
 def test_quantized_prefill_then_decode(lm):
     """Incremental decode through the int8 cache equals its own full
     forward (cache round-trip correctness, independent of quant error)."""

@@ -275,6 +275,7 @@ def test_understand_constrained_is_device_looped(handler, monkeypatch):
 # ------------------------------------------------------------------
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["int8", "fp8", "w8a8"])
 def test_quantized_lm_two_phase(mode):
     """LLMHandler(quantization=...) runs the full two-phase protocol; the
@@ -295,6 +296,7 @@ def test_quantized_lm_two_phase(mode):
     assert out["audio_codes"].count("<|audio_code_") == 10
 
 
+@pytest.mark.slow
 def test_quantized_lm_close_to_fp(monkeypatch):
     """int8 weight-only logits stay close to full precision on a tiny LM."""
     import numpy as np
@@ -318,6 +320,7 @@ def test_quantized_lm_close_to_fp(monkeypatch):
     assert float(np.abs(la - lb).max()) / denom < 0.15
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("tied", [True, False])
 def test_head_q_logits_close_to_dense(tied):
     """The int8 output head (build_head_q) matches the dense sliced head

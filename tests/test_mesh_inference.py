@@ -5,6 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# slow tier: 8-device mesh trajectories (driver dryrun covers the contract)
+pytestmark = pytest.mark.slow
+
 from acestep_tpu.config import DiTConfig, VAEConfig
 from acestep_tpu.pipeline.handler import AceStepHandler
 

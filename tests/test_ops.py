@@ -71,6 +71,7 @@ def test_timestep_embedding_matches_reference_formula():
     np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_attention_gqa_shapes_and_mask():
     key = jax.random.PRNGKey(1)
     H, HKV, D = 4, 2, 8
@@ -86,6 +87,7 @@ def test_attention_gqa_shapes_and_mask():
     np.testing.assert_allclose(np.asarray(y[0, :4]), np.asarray(y2[0, :4]), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_cross_attention_permutation_invariance():
     """Packed-order invariance: permuting encoder tokens (with masks fixed
     accordingly) must not change cross-attn output — this justifies replacing

@@ -19,6 +19,7 @@ from acestep_tpu.ops.quant import (
 )
 
 
+@pytest.mark.slow
 def test_quantize_roundtrip_error_and_exclusions():
     cfg = DiTConfig.tiny()
     params = init_dit_params(jax.random.PRNGKey(0), cfg)
@@ -43,6 +44,7 @@ def test_quantize_roundtrip_error_and_exclusions():
     assert quantized_bytes(q) < quantized_bytes(params)
 
 
+@pytest.mark.slow
 def test_quantized_generation_close_to_full():
     from acestep_tpu.pipeline.handler import AceStepHandler
 
@@ -69,6 +71,7 @@ def test_quantized_generation_close_to_full():
     assert codes.startswith("<|audio_code_")
 
 
+@pytest.mark.slow
 def test_fp8_weight_only_roundtrip():
     cfg = DiTConfig.tiny()
     params = init_dit_params(jax.random.PRNGKey(0), cfg)
@@ -85,6 +88,7 @@ def test_fp8_weight_only_roundtrip():
     assert quantized_bytes(q) < quantized_bytes(params)
 
 
+@pytest.mark.slow
 def test_w8a8_matmul_matches_dense():
     key = jax.random.PRNGKey(1)
     w = jax.random.normal(key, (32, 48), jnp.float32) * 0.05
@@ -104,6 +108,7 @@ def test_w8a8_matmul_matches_dense():
     assert rel < 0.05
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["fp8", "w8a8"])
 def test_quantized_generation_modes_run(mode):
     from acestep_tpu.pipeline.handler import AceStepHandler
@@ -134,6 +139,7 @@ def test_unknown_quantization_rejected():
         h.initialize_service(quantization="fp4")
 
 
+@pytest.mark.slow
 def test_int4_groupwise_roundtrip():
     """int4 nodes store two weights per byte with per-(group, out-channel)
     scales; dequant error is bounded by half a quantization step per

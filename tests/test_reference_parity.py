@@ -18,8 +18,10 @@ import pytest
 
 REF_DIR = "/root/reference/acestep/models/turbo"
 
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF_DIR),
-                                reason="reference repo not mounted")
+# slow tier: every test instantiates the real torch reference model
+pytestmark = [pytest.mark.skipif(not os.path.isdir(REF_DIR),
+                                 reason="reference repo not mounted"),
+              pytest.mark.slow]
 
 
 @pytest.fixture(scope="module")

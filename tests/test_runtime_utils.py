@@ -80,6 +80,7 @@ def test_tier16_selects_4b_w8a8():
     assert lm_fallback_plan(get_tier_config(0.0)) == []
 
 
+@pytest.mark.slow
 def test_lm_initialize_auto_downgrades(monkeypatch):
     """initialize_auto walks the ladder past OOM failures and reports the
     geometry that stuck."""
@@ -116,6 +117,7 @@ def test_lm_initialize_auto_downgrades(monkeypatch):
         set_global_config(get_tier_config(0.0))
 
 
+@pytest.mark.slow
 def test_lm_initialize_auto_quant_override(monkeypatch):
     """--lm-quantization must be honored with size='auto', and an explicit
     size must KEEP the tier's pinned quantization (wiping it to None made a
@@ -145,6 +147,7 @@ def test_lm_initialize_auto_quant_override(monkeypatch):
         set_global_config(get_tier_config(0.0))
 
 
+@pytest.mark.slow
 def test_lm_initialize_auto_nonoom_raises(monkeypatch):
     from acestep_tpu.llm.handler import LLMHandler
     from acestep_tpu.runtime_config import set_global_config

@@ -102,6 +102,7 @@ def test_pmi_reward_score_prefers_condition():
     assert abs(out2["pmi"]) < 1e-3
 
 
+@pytest.mark.slow
 def test_handler_generate_lrc_smoke():
     from acestep_tpu.config import DiTConfig, VAEConfig
     from acestep_tpu.pipeline.handler import AceStepHandler

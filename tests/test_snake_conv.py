@@ -38,6 +38,7 @@ def _reference(units, x):
     (2, 512, 128, 128),
     (1, 257, 256, 128),      # odd length
 ])
+@pytest.mark.slow
 def test_matches_composed_res_units(B, L, C, block):
     key = jax.random.PRNGKey(0)
     units = _mk_units(key, C)
@@ -59,6 +60,7 @@ def test_sin2_polynomial_accuracy():
     assert np.abs(got - want).max() < 2e-6
 
 
+@pytest.mark.slow
 def test_kernel_is_differentiable_via_composed_vjp():
     """grad(res_unit_stack) must equal grad of the composed chain (the
     custom VJP recomputes through the plain ops)."""
@@ -78,6 +80,7 @@ def test_kernel_is_differentiable_via_composed_vjp():
     np.testing.assert_allclose(gk, gr, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_bf16_close_to_f32_reference():
     key = jax.random.PRNGKey(2)
     C, L = 128, 384

@@ -245,6 +245,7 @@ def test_js_fetch_routes_exist_on_server(live, page):
             f"route {route} not found on server"
 
 
+@pytest.mark.slow
 def test_generate_batch8_lrc_score_audio_roundtrip(live):
     """The full user flow the Generate tab drives: submit a batch-of-8
     generate with LRC on -> poll -> every result item carries the file,

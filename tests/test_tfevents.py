@@ -17,6 +17,7 @@ def test_crc32c_known_vectors():
     assert tfevents.crc32c(bytes(32)) == 0x8A9136AA
 
 
+@pytest.mark.slow
 def test_export_and_parse_with_tensorboard_loader(tmp_path):
     tb_loader = pytest.importorskip(
         "tensorboard.backend.event_processing.event_file_loader")
@@ -64,6 +65,7 @@ def test_tensorboard_start_requires_logdir_or_run():
         svc.tensorboard_start()
 
 
+@pytest.mark.slow
 def test_tensorboard_start_exports_before_launch(tmp_path, monkeypatch):
     """With a finished run's metrics.jsonl on disk, start() must convert
     it to tfevents before launching the dashboard process."""
@@ -93,6 +95,7 @@ def test_tensorboard_start_exports_before_launch(tmp_path, monkeypatch):
     assert "--logdir" in launched["cmd"]
 
 
+@pytest.mark.slow
 def test_tensorboard_reexports_when_metrics_newer(tmp_path, monkeypatch):
     """A second run into the same output_dir must refresh the export —
     stale event files would silently show the previous run's curve."""

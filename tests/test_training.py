@@ -7,6 +7,9 @@ import jax
 import numpy as np
 import pytest
 
+# slow tier: real training loops (loss-decrease, orbax resume, mesh)
+pytestmark = pytest.mark.slow
+
 from acestep_tpu.config import DiTConfig, VAEConfig
 from acestep_tpu.models.dit import init_dit_params
 from acestep_tpu.training.data import PreprocessedDataset, make_batches

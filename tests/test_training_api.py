@@ -10,6 +10,9 @@ import jax
 import numpy as np
 import pytest
 
+# slow tier: live-server training API flows
+pytestmark = pytest.mark.slow
+
 from acestep_tpu.config import DiTConfig, VAEConfig
 from acestep_tpu.pipeline.handler import AceStepHandler
 from acestep_tpu.serving import AppState, create_server

@@ -9,6 +9,9 @@ from contextlib import redirect_stdout
 import numpy as np
 import pytest
 
+# slow tier: Training CLI flows run real tiny training loops
+pytestmark = pytest.mark.slow
+
 from acestep_tpu.training.cli import build_parser, main
 
 

@@ -17,6 +17,7 @@ def vae():
     return params, cfg
 
 
+@pytest.mark.slow
 def test_encode_decode_geometry(vae):
     params, cfg = vae
     hop = cfg.hop_length
@@ -36,6 +37,7 @@ def test_full_size_config_hop():
     assert cfg.sampling_rate // cfg.hop_length == 25
 
 
+@pytest.mark.slow
 def test_encode_sampling_deterministic(vae):
     params, cfg = vae
     audio = jax.random.normal(jax.random.PRNGKey(2), (1, 64 * cfg.hop_length, 2))
@@ -46,6 +48,7 @@ def test_encode_sampling_deterministic(vae):
     assert not np.allclose(np.asarray(z1), np.asarray(z3))
 
 
+@pytest.mark.slow
 def test_tiled_decode_matches_direct_interior(vae):
     params, cfg = vae
     hop = cfg.hop_length
@@ -59,6 +62,7 @@ def test_tiled_decode_matches_direct_interior(vae):
     np.testing.assert_allclose(tiled[:, lo:hi], direct[:, lo:hi], atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_tiled_decode_short_input_is_direct(vae):
     params, cfg = vae
     latents = jax.random.normal(jax.random.PRNGKey(4), (1, 10, cfg.decoder_input_channels))
@@ -67,6 +71,7 @@ def test_tiled_decode_short_input_is_direct(vae):
     np.testing.assert_array_equal(tiled, direct)
 
 
+@pytest.mark.slow
 def test_tiled_encode_matches_direct_interior(vae):
     params, cfg = vae
     hop = cfg.hop_length
@@ -78,6 +83,7 @@ def test_tiled_encode_matches_direct_interior(vae):
     np.testing.assert_allclose(tiled[:, 8:-8], direct[:, 8:-8], atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_tiled_encode_unaligned_length_pads(vae):
     params, cfg = vae
     hop = cfg.hop_length
@@ -86,6 +92,7 @@ def test_tiled_encode_unaligned_length_pads(vae):
     assert z.shape == (1, 34, cfg.decoder_input_channels)
 
 
+@pytest.mark.slow
 def test_tiled_invalid_overlap_degrades(vae):
     """chunk_size <= 2*overlap would give a non-positive stride: both tiled
     paths halve the overlap until valid (reference's adaptive-overlap
@@ -107,6 +114,7 @@ def test_tiled_invalid_overlap_degrades(vae):
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+@pytest.mark.slow
 def test_decode_jit_and_grad(vae):
     """Decoder is jittable and differentiable (training path uses encode grads)."""
     params, cfg = vae
