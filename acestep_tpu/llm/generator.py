@@ -207,6 +207,41 @@ class LMEngine:
         # per-call prefill accounting (tested by the prefix-reuse tests;
         # also surfaced by bench rows): reused vs freshly processed tokens
         self.last_prefill_stats: Dict[str, int] = {}
+        # cumulative counters across the engine's lifetime (bench's
+        # lm_prefix_reuse_pct row reads the deltas)
+        self.prefill_stats: Dict[str, int] = {
+            "calls": 0, "prompt_tokens": 0, "reused_tokens": 0,
+            "delta_tokens": 0}
+        # Cross-REQUEST prefix cache (the role of nano-vllm BlockManager's
+        # prefix caching via num_cached_tokens, engine/block_manager.py):
+        # back-to-back jobs share the chat-template/system prefix, so the
+        # engine retains the last CoT phase's KV state and _prefill_prompts
+        # serves any longest-common-prefix from it. Off via
+        # ACESTEP_LM_PREFIX_CACHE=0; retention is bounded to caches of at
+        # most _CROSS_PREFIX_MAX_SLOTS so a 600 s plan cannot pin a 4k-slot
+        # cache in HBM between requests.
+        import os
+        self.cross_prefix_enabled = (
+            os.environ.get("ACESTEP_LM_PREFIX_CACHE", "1") != "0")
+        self._cross_prefix: Optional[PrefixState] = None
+
+    _CROSS_PREFIX_MAX_SLOTS = 1024
+
+    def _retain_cross_prefix(self, state: PrefixState) -> None:
+        if (self.cross_prefix_enabled
+                and state.cache.k.shape[2] <= self._CROSS_PREFIX_MAX_SLOTS):
+            self._cross_prefix = state
+
+    def _cross_prefix_for(self, rows) -> Optional[PrefixState]:
+        """The retained state, iff it is row-compatible with this call
+        (same row count — CFG pairing keeps the layout stable between
+        same-shaped requests) and would actually serve tokens."""
+        st = self._cross_prefix
+        if st is None or len(st.tokens) != len(rows):
+            return None
+        if st.cache.k.shape[1] != len(rows):
+            return None
+        return st
 
     # --------------------------------------------------------------
 
@@ -440,6 +475,11 @@ class LMEngine:
                 f"LMEngine(max_len=...)")
 
         pad_id = getattr(self.tok, "pad_token_id", 0) or 0
+        if prefix is None:
+            # cross-request fallback: the retained last-request state (the
+            # in-request phase-1 state, when given, always wins — it is a
+            # superset of any cross-request prefix)
+            prefix = self._cross_prefix_for(rows)
         if prefix is not None and len(prefix.tokens) == len(rows):
             # per-row reuse point; at least one token must be re-processed
             # to produce next-token logits
@@ -482,6 +522,9 @@ class LMEngine:
             "reused_tokens": int(np.sum(P)),
             "delta_tokens": int(np.sum(dlens)),
         }
+        self.prefill_stats["calls"] += 1
+        for k in ("prompt_tokens", "reused_tokens", "delta_tokens"):
+            self.prefill_stats[k] += self.last_prefill_stats[k]
         logits, cache = self._prefill_at(
             self.params, jnp.asarray(ids), jnp.asarray(P),
             jnp.asarray(dlens), cache)
@@ -646,14 +689,16 @@ class LMEngine:
             jax.random.PRNGKey(seed), tbl)
         count = int(count)
         out = np.asarray(toks)[:count].tolist()
-        if not return_state:
-            return out
         # every fed token (the generated stream) went into BOTH halves'
         # caches — CFG shares sampled tokens — so each row's stream is its
         # own prompt + the generated ids
         streams = [r + out for r in prompt_rows]
-        return out, PrefixState(cache=cache, tokens=streams,
-                                row_lens=np.asarray(row_lens))
+        state = PrefixState(cache=cache, tokens=streams,
+                            row_lens=np.asarray(row_lens))
+        self._retain_cross_prefix(state)
+        if not return_state:
+            return out
+        return out, state
 
     def _cot_batch_loop_fn(self, do_cfg: bool, cfg_scale: float,
                            temperature: float, top_k: int, top_p: float,
@@ -767,8 +812,6 @@ class LMEngine:
         toks = np.asarray(toks)
         counts = np.asarray(counts)
         outs = [toks[i, : counts[i]].tolist() for i in range(B)]
-        if not return_state:
-            return outs
         # rows that finished early kept feeding pad_id up to `iters` — those
         # pads are IN the cache, so the stream must record them (any LCP
         # with a phase-2 prompt naturally stops before them)
@@ -777,8 +820,12 @@ class LMEngine:
                     for i in range(B)]
         gen_all = gen_cond + gen_cond if do_cfg else gen_cond
         streams = [r + g for r, g in zip(prompt_rows, gen_all)]
-        return outs, PrefixState(cache=cache, tokens=streams,
-                                 row_lens=np.asarray(row_lens))
+        state = PrefixState(cache=cache, tokens=streams,
+                            row_lens=np.asarray(row_lens))
+        self._retain_cross_prefix(state)
+        if not return_state:
+            return outs
+        return outs, state
 
     # --------------------------------------------------------------
     # On-device codes decoding (phase 2 fast path)

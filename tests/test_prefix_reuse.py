@@ -83,6 +83,58 @@ def test_batch_plan_reuse(handler):
     assert stats["reused_tokens"] > 0
 
 
+def test_cross_request_prefix_reuse(handler):
+    """Back-to-back requests share the chat-template/system prefix: the
+    engine retains the last CoT phase's KV state (the role of nano-vllm
+    BlockManager prefix caching, engine/block_manager.py
+    `num_cached_tokens`) and the NEXT request's phase-1 prefill serves
+    the common prefix from it."""
+    eng = handler.engine
+    eng._cross_prefix = None               # isolate from earlier tests
+    handler.generate_with_stop_condition(
+        "crisp electro house", target_duration=2, seed=3, cfg_scale=2.0)
+    assert eng._cross_prefix is not None
+    before = dict(eng.prefill_stats)
+    handler.generate_with_stop_condition(
+        "crisp electro swing", target_duration=2, seed=4, cfg_scale=2.0)
+    # the SECOND request's phase-1 prefill reused the shared prefix
+    reused = eng.prefill_stats["reused_tokens"] - before["reused_tokens"]
+    prompt = eng.prefill_stats["prompt_tokens"] - before["prompt_tokens"]
+    assert reused > 0
+    assert reused < prompt                 # the delta was still processed
+
+
+def test_cross_request_reuse_is_pure_optimization(handler):
+    """Same seed, greedy: a request served from the cross-request prefix
+    cache produces the same plan as one with the cache disabled (K/V are a
+    pure function of the token stream, so reuse cannot change outputs)."""
+    eng = handler.engine
+    kw = dict(target_duration=2, seed=9, cfg_scale=2.0,
+              metadata_temperature=0.0, codes_temperature=0.0)
+    eng._cross_prefix = None
+    eng.cross_prefix_enabled = False
+    try:
+        cold = handler.generate_with_stop_condition("ambient drone", **kw)
+    finally:
+        eng.cross_prefix_enabled = True
+    # prime the cache with a DIFFERENT caption, then repeat the request
+    handler.generate_with_stop_condition("gritty trap anthem", **kw)
+    assert eng._cross_prefix is not None
+    warm = handler.generate_with_stop_condition("ambient drone", **kw)
+    assert warm["audio_codes"] == cold["audio_codes"]
+    assert warm["metadata"] == cold["metadata"]
+
+
+def test_prefill_stats_accumulate(handler):
+    eng = handler.engine
+    before = dict(eng.prefill_stats)
+    handler.generate_with_stop_condition("stats probe", target_duration=2,
+                                         seed=11, cfg_scale=2.0)
+    after = eng.prefill_stats
+    assert after["calls"] > before["calls"]
+    assert after["prompt_tokens"] > before["prompt_tokens"]
+
+
 def test_mismatched_rows_fall_back_to_full_prefill(handler):
     """A prefix whose row count differs is ignored, not an error."""
     eng = handler.engine
