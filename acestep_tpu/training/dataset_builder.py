@@ -57,6 +57,9 @@ def scan_audio_dir(audio_dir: str) -> List[Dict[str, Any]]:
                 except OSError:
                     pass
             entries.append(entry)
+    # bulk CSV sidecars (reference csv_metadata.py): per-file JSON/TXT wins
+    from acestep_tpu.training.labeling import apply_csv_metadata
+    apply_csv_metadata(entries, audio_dir)
     return entries
 
 
@@ -81,15 +84,38 @@ def _understand_label(llm_handler, codes) -> Dict[str, Any]:
 
 
 def auto_label(entries: List[Dict[str, Any]], dit_handler,
-               llm_handler=None, *, max_seconds: float = 30.0
+               llm_handler=None, *, max_seconds: float = 30.0,
+               external_labelers: Optional[List[Any]] = None,
                ) -> List[Dict[str, Any]]:
-    """Fill missing captions via tokenize->understand; defaults otherwise.
+    """Fill missing captions/lyrics; defaults otherwise.
+
+    Label sources, in order (mirrors the reference's labeling breadth —
+    dataset_builder_modules/label_*.py + scripts/lora_data_prepare/):
+    1. `external_labelers` (labeling.resolve_labelers(): Whisper/
+       ElevenLabs transcription, Gemini captioning — each gated on its
+       API key, so air-gapped runs skip them),
+    2. the in-stack LM (tokenize -> understand) for caption + metas,
+    3. filename-derived caption fallback.
 
     One-shot convenience over raw audio; the staged DatasetBuildPipeline
     does the same labeling via its latents cache (stage_label) with
     per-file retry semantics."""
+    if external_labelers is None:
+        from acestep_tpu.training.labeling import resolve_labelers
+        external_labelers = resolve_labelers()
     for entry in entries:
+        for svc in external_labelers:
+            if entry.get("caption") and entry.get("lyrics"):
+                break
+            try:
+                ext = svc.label(entry["audio_path"])
+            except Exception:
+                continue
+            for k, v in ext.items():
+                if v:
+                    entry.setdefault(k, v)
         if entry.get("caption"):
+            entry.setdefault("lyrics", "[inst]")
             continue
         label: Dict[str, Any] = {}
         if llm_handler is not None:
@@ -134,13 +160,17 @@ class DatasetBuildPipeline:
     def __init__(self, audio_dir: str, out_dir: str, dit_handler,
                  llm_handler=None, *, val_fraction: float = 0.0,
                  max_frames: Optional[int] = None,
-                 max_label_seconds: float = 30.0, seed: int = 0):
+                 max_label_seconds: float = 30.0, seed: int = 0,
+                 external_labelers: Optional[List[Any]] = None):
         from acestep_tpu.training.preprocess import MAX_FRAMES_DEFAULT
 
         self.audio_dir = audio_dir
         self.out_dir = out_dir
         self.dit = dit_handler
         self.llm = llm_handler
+        # None -> resolve from env at stage_label time (key-gated external
+        # transcription/caption services); [] disables them explicitly
+        self.external_labelers = external_labelers
         self.val_fraction = float(val_fraction)
         self.max_frames = max_frames or MAX_FRAMES_DEFAULT
         self.max_label_seconds = max_label_seconds
@@ -251,30 +281,45 @@ class DatasetBuildPipeline:
         os.makedirs(lab_dir, exist_ok=True)
         n_new = 0
         from acestep_tpu.constants import LATENT_RATE
+        from acestep_tpu.training.labeling import resolve_labelers
         max_label_frames = int(self.max_label_seconds * LATENT_RATE)
+        external = resolve_labelers() if self.external_labelers is None \
+            else self.external_labelers
         for e in self._entries():
             path = os.path.join(lab_dir, f"{e['id']}.json")
             if os.path.exists(path):
                 continue
-            if e.get("caption") or self.llm is None:
-                # sidecar caption already present, or no labeler configured:
-                # leave NO label file, so a later build that DOES have an LM
-                # can still label this entry (an empty {} here would block
-                # LM labeling forever via the skip-existing check above)
+            needs_caption = not e.get("caption")
+            needs_lyrics = not e.get("lyrics")
+            if not (needs_caption or needs_lyrics):
                 continue
-            try:
-                latents = np.load(
-                    os.path.join(lat_dir, f"{e['id']}.npy"))
-                codes = self.dit.latents_to_codes(
-                    latents[:max_label_frames])
-                label = _understand_label(self.llm, codes)
-            except Exception:
-                # transient LM failure: leave NO label file so the next
-                # build() retries this entry instead of baking an empty
-                # label into the dataset forever
-                continue
+            label: Dict[str, Any] = {}
+            # external transcription/caption services first (reference
+            # scripts/lora_data_prepare/ quality tier), each key-gated
+            for svc in external:
+                try:
+                    ext = svc.label(e["audio_path"])
+                except Exception:
+                    continue
+                for k, v in ext.items():
+                    if v and k not in e:
+                        label.setdefault(k, v)
+            if needs_caption and not label.get("caption") \
+                    and self.llm is not None:
+                try:
+                    latents = np.load(
+                        os.path.join(lat_dir, f"{e['id']}.npy"))
+                    codes = self.dit.latents_to_codes(
+                        latents[:max_label_frames])
+                    label.update({k: v for k, v in _understand_label(
+                        self.llm, codes).items() if k not in label})
+                except Exception:
+                    # transient LM failure: if nothing else labeled this
+                    # entry, leave NO label file so the next build()
+                    # retries instead of baking an empty label forever
+                    pass
             if not label:
-                continue    # LM produced nothing usable; retry next build
+                continue    # nothing usable; retry next build
             with open(path, "w", encoding="utf-8") as f:
                 json.dump(label, f, ensure_ascii=False)
             n_new += 1
