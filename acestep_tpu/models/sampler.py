@@ -49,10 +49,19 @@ def build_turbo_schedule(shift: float = 3.0,
 
 def build_continuous_schedule(infer_steps: int, shift: float = 1.0):
     """linspace(1,0,steps+1) with shift warp (ref base :1864-1867).
-    Returns steps+1 values ending at 0."""
-    t = jnp.linspace(1.0, 0.0, infer_steps + 1)
+    Returns steps+1 values ending at 0.
+
+    HOST numpy on purpose: the jnp version put one tiny array on device and
+    then fetched 51 scalars one float() at a time — ~1 tunnel RTT each,
+    a measured 1.7-2.5 s of pure dispatch latency per 50-step request
+    (the base50 'unaccounted service overhead', VERDICT r4 item 2)."""
+    import numpy as np
+
+    # float32 like the jnp/torch versions: keeps the schedule values (and
+    # with them the jit cache keys + reference parity) bit-identical
+    t = np.linspace(1.0, 0.0, infer_steps + 1, dtype=np.float32)
     if shift != 1.0:
-        t = shift * t / (1 + (shift - 1) * t)
+        t = np.float32(shift) * t / (1 + (np.float32(shift) - 1) * t)
     return [float(v) for v in t]
 
 

