@@ -30,10 +30,29 @@ def _enable_compilation_cache() -> None:
     try:
         import jax
 
-        cache_dir = _os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR",
-            _os.path.join(_os.path.expanduser("~"), ".cache",
-                          "acestep_tpu", "xla_cache"))
+        cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        if cache_dir is None:
+            # scope the cache per HOST fingerprint: XLA:CPU persists AOT
+            # machine code keyed without the host's CPU features, so an
+            # entry written on one machine loads on another with a
+            # "could lead to SIGILL" warning per program (observed: the
+            # virtual-CPU-mesh dryrun drowned in these loads after the
+            # image moved hosts). A fingerprinted subdir makes each host
+            # start a clean, compatible cache.
+            import hashlib
+
+            fp_src = jax.__version__
+            try:
+                with open("/proc/cpuinfo", "r", encoding="utf-8") as f:
+                    for line in f:
+                        if line.startswith("flags"):
+                            fp_src += line
+                            break
+            except OSError:
+                pass
+            fp = hashlib.md5(fp_src.encode()).hexdigest()[:10]
+            cache_dir = _os.path.join(_os.path.expanduser("~"), ".cache",
+                                      "acestep_tpu", "xla_cache", fp)
         _os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

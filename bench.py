@@ -8,25 +8,33 @@ the reference's "< 2 s full-song on A100" headline,
 The matrix (reference docs/en/BENCHMARK.md:117-125 table): thinking
 on/off x batch 1/8 x 60/600 s through the REAL service stack
 (AceStepHandler + LLMHandler facade), with per-stage decomposition
-(LM / diffusion / VAE) and a quantized row. Random weights — no released
-checkpoints in this image; throughput is weight-independent. The small
-thinking rows use the self-contained fallback LM (tiny) to time the
-two-phase constrained-decoding machinery; the `lm1.7B_*` rows instantiate
-the REAL Qwen3-1.7B geometry (151936+64000 vocab, hidden 2048, 28 layers)
-and measure actual planner latency: CFG-paired two-phase walls at 60 s
-b1/b8 and 600 s (3000 codes), prefill tokens/s, and the reference's own
-thinking example (30 s b1, docs/en/BENCHMARK.md:121 = 5.67 s) end-to-end.
+(LM / diffusion / VAE) and analytic DiT MFU per diffusion row. Random
+weights — no released checkpoints in this image; throughput is
+weight-independent. The `lm1.7B_*`/`lm4B_*` rows instantiate the REAL
+Qwen3 geometries and measure actual planner latency.
 
-Prints ONE JSON line:
+Wall budget: the whole process targets ACESTEP_BENCH_BUDGET_S seconds
+(default 960 — the driver kills the run hard at its own timeout, and a
+timeout loses every row). Sections run REQUIRED-first; a section that
+does not fit the remaining budget (including the lazy init of any
+handler/LM dependency it would have to build) is skipped with an
+explicit `skipped (budget)` row so truncation is visible, not silent.
+
+stdout contract: ONE SMALL JSON line
   {"metric": "seconds_per_song", "value": W, "unit": "s",
-   "vs_baseline": baseline/W, "extra": {"matrix": [...]}}
-
-`python bench.py --write-docs` additionally regenerates docs/BENCHMARK.md.
+   "vs_baseline": baseline/W, "extra": {...small...}}
+printed TWICE — immediately after the headline measurement (so a later
+hard kill still leaves a parseable line as the last stdout line; all
+progress logging goes to stderr) and again, updated, at exit. The full
+matrix goes to BENCH_MATRIX.json (always) and docs/BENCHMARK.md
+(`--write-docs`) — round 3 showed a multi-KB single-line JSON on stdout
+can fail the driver's parser even at rc=0.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
 import time
@@ -46,9 +54,23 @@ BATCH = 1
 TEXT_LEN = 64
 LYRIC_LEN = 512
 
+_T_START = time.perf_counter()
+# Calibration: round-3 (similar matrix, no base50/4B) PASSED the driver
+# timeout; round-4 (+base50/4B/full repeats) died at rc=124 after ~15+ min
+# of rows — the timeout is ~20 min. 960 s leaves ~4 min of overshoot
+# allowance for a section that outruns its estimate.
+BUDGET_S = float(os.environ.get("ACESTEP_BENCH_BUDGET_S", "960"))
+# safety margin: a section is only started if its estimate fits inside
+# (budget - margin); estimates are rough, the margin absorbs overruns
+MARGIN_S = 30.0
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def remaining() -> float:
+    return BUDGET_S - MARGIN_S - (time.perf_counter() - _T_START)
 
 
 def _stats(walls):
@@ -68,6 +90,82 @@ def _median_run(walls):
     return (round(walls[idx], 3),
             [round(min(walls), 3), round(max(walls), 3)], idx)
 
+
+# ---------------------------------------------------------------- MFU
+
+def peak_tflops(dtype: str = "bf16") -> float:
+    """Per-chip peak for the MFU column. v5e: 197 bf16 / 394 int8 TFLOP/s
+    (public spec). Unknown chips fall back to the v5e figure so the
+    column is still comparable round to round."""
+    kind = ""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        pass
+    table = {
+        "v5 lite": 197.0, "v5e": 197.0, "v5litepod": 197.0,
+        "v4": 275.0, "v5p": 459.0, "v6 lite": 918.0, "v6e": 918.0,
+    }
+    base = next((v for k, v in table.items() if k in kind), 197.0)
+    return base * (2.0 if dtype == "int8" else 1.0)
+
+
+def dit_flops(cfg: DiTConfig, frames: int, cond_len: int, steps: int,
+              batch: int, cfg_steps: int = 0) -> float:
+    """Analytic forward FLOPs of the DiT decoder trajectory (2*MACs).
+
+    Counts the decoder only (projections, attention, MLP, patchify) —
+    the condition encoder runs once per request and is excluded, so the
+    MFU column measures the diffusion hot loop it is printed next to.
+    `cfg_steps` of the `steps` run with a doubled (CFG) batch.
+    """
+    L = -(-frames // cfg.patch_size)                     # patches
+    h = cfg.hidden_size
+    qd = cfg.num_attention_heads * cfg.head_dim
+    kvd = cfg.num_key_value_heads * cfg.head_dim
+    inter = cfg.intermediate_size
+    n_layers = cfg.num_hidden_layers
+    window = getattr(cfg, "sliding_window", 128) or 128
+
+    per_layer = 0.0
+    for i in range(n_layers):
+        try:
+            sliding = cfg.layer_is_sliding(i)
+        except Exception:
+            sliding = (i % 2 == 0) if n_layers > 1 else False
+        kv_span = min(L, window if sliding else L)
+        # self-attn: QKVO projections + QK^T + AV
+        per_layer_i = 2 * L * (h * qd + 2 * h * kvd + qd * h)
+        per_layer_i += 2 * 2 * L * kv_span * qd
+        # cross-attn: Q,O every step (KV cached once per trajectory)
+        per_layer_i += 2 * L * (h * qd + qd * h)
+        per_layer_i += 2 * 2 * L * cond_len * qd
+        # SwiGLU MLP: gate+up+down
+        per_layer_i += 2 * L * h * inter * 3
+        per_layer += per_layer_i
+    # patchify in (192ch*patch -> h) + de-patchify out (h -> 64*patch)
+    io = 2 * L * (3 * cfg.audio_acoustic_hidden_dim * cfg.patch_size * h) \
+        + 2 * L * (h * cfg.audio_acoustic_hidden_dim * cfg.patch_size)
+    per_fwd = per_layer + io
+    # cross-KV projection, once per trajectory
+    kv_once = n_layers * 2 * cond_len * (2 * h * kvd)
+    eff_steps = steps + cfg_steps                        # CFG doubles batch
+    return batch * (per_fwd * eff_steps + kv_once)
+
+
+def _mfu_fields(cfg: DiTConfig, frames: int, cond_len: int, steps: int,
+                batch: int, diffusion_s: float, cfg_steps: int = 0,
+                dtype: str = "bf16") -> dict:
+    if not diffusion_s or diffusion_s <= 0:
+        return {}
+    fl = dit_flops(cfg, frames, cond_len, steps, batch, cfg_steps)
+    tf = fl / diffusion_s / 1e12
+    return {"dit_tflops": round(fl / 1e12, 2),
+            "dit_tflops_s": round(tf, 1),
+            "mfu_pct": round(100.0 * tf / peak_tflops(dtype), 1)}
+
+
+# ------------------------------------------------------------- stages
 
 def probe_bandwidth() -> dict:
     """Device->host transfer probe (32 MiB int16): contextualizes the
@@ -89,7 +187,7 @@ def probe_bandwidth() -> dict:
     return {"d2h_MBps": med, "d2h_MBps_spread": spread}
 
 
-def headline() -> float:
+def headline():
     """Kernel-level 60 s song (cond encode + 8-step DiT + tiled VAE)."""
     cfg = DiTConfig()
     vae_cfg = VAEConfig()
@@ -148,41 +246,60 @@ def headline() -> float:
         np.asarray(audio[0, :8, 0])
         times.append(time.perf_counter() - t0)
         log(f"headline run {i}: {times[-1]:.3f}s")
-    return _stats(times)
+    wall, spread = _stats(times)
+    # headline MFU: the fused program's wall covers cond-enc + 8-step DiT +
+    # VAE; DiT dominates FLOPs, so this is a lower bound on DiT MFU
+    mfu = _mfu_fields(cfg, T, TEXT_LEN + LYRIC_LEN + 1, 8, BATCH, wall)
+    return wall, spread, mfu
 
 
-def matrix() -> list:
-    """Service-stack matrix with per-stage decomposition."""
+# ------------------------------------------------------------- matrix
+
+def matrix(rows: list, truncated: list) -> None:
+    """Service-stack matrix, REQUIRED-sections-first under the budget."""
     import contextlib
+    import gc
 
     import numpy as np
 
     from acestep_tpu import inference
+    from acestep_tpu.config import LMConfig
     from acestep_tpu.inference import GenerationConfig, GenerationParams
     from acestep_tpu.llm.handler import LLMHandler
+    from acestep_tpu.llm.tokenizer import SimpleTokenizer
     from acestep_tpu.pipeline.handler import AceStepHandler
 
-    handler = AceStepHandler()
-    handler.initialize_service(seed=0)
-    llm = LLMHandler()
-    llm.initialize(num_fallback_codes=64, max_duration=600, seed=0)
+    state: dict = {}            # live handlers, built lazily per section
 
-    rows = []
+    # lazy-dependency surcharge: a section whose handler/LM is not built
+    # yet pays its init+compile inside the section, so the gate must price
+    # it in (r5 observed: a 25 s prefill row took 61 s because the skipped
+    # preceding section would have built the 1.7B engine)
+    DEP_COST = {"handler": 45, "llm": 20, "llm17": 80, "llm17q": 70}
 
     @contextlib.contextmanager
-    def section(name):
-        """Fail-soft guard: a broken row must not kill the whole matrix
-        (the driver records whatever rows completed)."""
+    def section(name, est_s, deps=()):
+        """Budget gate + fail-soft guard: a section that does not fit the
+        remaining budget is skipped visibly; a broken row must not kill
+        the whole matrix (the driver records whatever rows completed)."""
+        t_sec = time.perf_counter()
+        est_s = est_s + sum(DEP_COST[d] for d in deps if d not in state)
+        if remaining() < est_s:
+            log(f"SECTION {name} skipped (budget): need ~{est_s:.0f}s, "
+                f"have {remaining():.0f}s")
+            truncated.append(name)
+            rows.append({"config": name, "skipped": "budget"})
+            yield False
+            return
         failed = False
         try:
-            yield
+            yield True
         except Exception as e:       # pragma: no cover - defensive
             log(f"SECTION {name} FAILED: {e!r}")
             rows.append({"config": name, "error": repr(e)[:300]})
             failed = True
-            # `e` (and its traceback, pinning every frame below — and with
-            # them any handler/params the section built) dies with the
-            # except clause; the actual free happens in the gc pass below
+        log(f"section {name}: {time.perf_counter() - t_sec:.1f}s elapsed, "
+            f"{remaining():.0f}s budget left")
         if failed:
             # a RESOURCE_EXHAUSTED section must not poison the rest of the
             # matrix: drop dead handlers and every compiled program that
@@ -190,38 +307,81 @@ def matrix() -> list:
             from acestep_tpu.utils.memory import release_device_memory
             release_device_memory()
 
-    def run_dit(tag, duration, batch, repeats=3):
-        # warm untimed run: compile all graphs for this shape first
-        handler.generate_music(
-            ["bench"] * batch, ["[inst]"] * batch,
-            audio_duration=float(duration), batch_size=batch,
-            seeds=list(range(batch)), infer_steps=8)
+    # lazy builders ---------------------------------------------------
+
+    def turbo_handler():
+        if "handler" not in state:
+            h = AceStepHandler()
+            h.initialize_service(seed=0)
+            state["handler"] = h
+        return state["handler"]
+
+    def tiny_llm():
+        if "llm" not in state:
+            l = LLMHandler()
+            l.initialize(num_fallback_codes=64, max_duration=600, seed=0)
+            state["llm"] = l
+        return state["llm"]
+
+    def tok17():
+        if "tok17" not in state:
+            state["tok17"] = SimpleTokenizer(num_audio_codes=64_000)
+        return state["tok17"]
+
+    def llm17():
+        if "llm17" not in state:
+            l = LLMHandler(dtype=jnp.bfloat16)
+            # kv_quant: int8 KV cache — halves the per-step cache reads
+            # that dominate decode beyond ~3k context
+            l.initialize(cfg=LMConfig.qwen3_1_7b(), tokenizer=tok17(),
+                         max_duration=600, seed=0, kv_quant=True)
+            if not l.initialized:
+                raise RuntimeError("lm1.7B init failed")
+            state["llm17"] = l
+        return state["llm17"]
+
+    def drop(*names):
+        for n in names:
+            state.pop(n, None)
+        gc.collect()
+
+    # row runners -----------------------------------------------------
+
+    def run_dit(tag, duration, batch, repeats=3, steps=8):
+        handler = turbo_handler()
+        kw = dict(audio_duration=float(duration), batch_size=batch,
+                  seeds=list(range(batch)), infer_steps=steps)
+        handler.generate_music(["bench"] * batch, ["[inst]"] * batch, **kw)
         walls, runs = [], []
         for _ in range(repeats):
             t0 = time.perf_counter()
-            r = handler.generate_music(
-                ["bench"] * batch, ["[inst]"] * batch,
-                audio_duration=float(duration), batch_size=batch,
-                seeds=list(range(batch)), infer_steps=8)
+            r = handler.generate_music(["bench"] * batch,
+                                       ["[inst]"] * batch, **kw)
             np.asarray(r.audios[0][:8])
             walls.append(time.perf_counter() - t0)
             runs.append(r.time_costs)
         wall, spread, mid = _median_run(walls)
         costs = runs[mid]
+        diff_s = round(costs.get("diffusion_time_cost", 0), 3)
         rows.append({
             "config": tag, "duration_s": duration, "batch": batch,
             "thinking": False, "wall_s": wall, "wall_spread": spread,
             "seconds_per_song": round(wall / batch, 3),
             "rtf": round(duration * batch / wall, 1),
-            "diffusion_s": round(costs.get("diffusion_time_cost", 0), 3),
+            "prep_s": round(costs.get("prepare_time_cost", 0)
+                            + costs.get("text_encode_time_cost", 0), 3),
+            "svc_total_s": round(costs.get("total_time_cost", 0), 3),
+            "diffusion_s": diff_s,
             "vae_s": round(costs.get("vae_decode_time_cost", 0), 3),
+            **_mfu_fields(DiTConfig(), int(duration * 25), 577, steps,
+                          batch, diff_s),
         })
         log(f"matrix {tag}: {rows[-1]}")
 
     def run_think(tag, duration, batch, repeats=2, llm_handler=None,
                   lm_geom=None, dit_handler=None):
-        llm_ = llm_handler if llm_handler is not None else llm
-        dit_ = dit_handler if dit_handler is not None else handler
+        llm_ = llm_handler if llm_handler is not None else tiny_llm()
+        dit_ = dit_handler if dit_handler is not None else turbo_handler()
         params = GenerationParams(caption="an upbeat synth track",
                                   lyrics="[inst]", thinking=True,
                                   duration=float(duration), seed=7)
@@ -241,74 +401,47 @@ def matrix() -> list:
             runs.append(result.extra_outputs.get("time_costs", {}))
         wall, spread, mid = _median_run(walls)
         costs = runs[mid]
+        diff_s = round(costs.get("diffusion_time_cost", 0), 3)
         row = {
             "config": tag, "duration_s": duration, "batch": batch,
             "thinking": True, "wall_s": wall, "wall_spread": spread,
             "seconds_per_song": round(wall / batch, 3),
             "rtf": round(duration * batch / wall, 1),
             "lm_s": round(costs.get("lm_time_cost", 0), 3),
-            "diffusion_s": round(costs.get("diffusion_time_cost", 0), 3),
+            "diffusion_s": diff_s,
             "vae_s": round(costs.get("vae_decode_time_cost", 0), 3),
+            **_mfu_fields(DiTConfig(), int(duration * 25), 577, 8,
+                          batch, diff_s),
         }
         if lm_geom:
             row["lm_geom"] = lm_geom
         rows.append(row)
         log(f"matrix {tag}: {rows[-1]}")
 
-    # median-of-3 everywhere: device<->host bandwidth on tunneled parts
-    # swings 2-4x and these rows are transfer-sensitive
-    for tag, d, b in (("60s_b1", 60, 1), ("30s_b8", 30, 8),
-                      ("600s_b1", 600, 1)):
-        with section(tag):
-            run_dit(tag, d, b, repeats=3)
-    for tag, d, b in (("10s_b1_think", 10, 1), ("30s_b8_think", 30, 8)):
-        with section(tag):
-            run_think(tag, d, b, repeats=3)
-
-    # --- real-geometry LM planner rows (VERDICT r2 item 1): Qwen3-1.7B
-    # geometry with random weights (throughput is weight-independent).
-    # The tokenizer is the self-contained one with the full 64k audio-code
-    # block; the model vocab is the checkpoint's 151936 + 64000.
-    del llm
-    from acestep_tpu.config import LMConfig
-    from acestep_tpu.llm.tokenizer import SimpleTokenizer
-
-    tok17 = SimpleTokenizer(num_audio_codes=64_000)
-    llm17 = LLMHandler(dtype=jnp.bfloat16)
-    # kv_quant: int8 KV cache (default-on for w8a8 engines; enabled here
-    # for the bf16 trunk too) — halves the per-step cache reads that
-    # dominate decode beyond ~3k context (600 s planning: 41 s -> ~31 s)
-    with section("lm1.7B_init"):
-        llm17.initialize(cfg=LMConfig.qwen3_1_7b(), tokenizer=tok17,
-                         max_duration=600, seed=0, kv_quant=True)
-    if not llm17.initialized:
-        llm17 = None
-
     def run_lm_only(tag, *, target_duration, batch, repeats=3):
         """LM-only two-phase wall (CFG-paired, constrained CoT + codes)."""
-        if llm17 is None:
-            raise RuntimeError("skipped: lm1.7B init failed")
+        l = llm17()
         kw = dict(temperature=0.85, cfg_scale=2.0, top_p=0.9,
                   target_duration=target_duration,
                   user_metadata={"duration": target_duration})
         n_codes = int(target_duration * 5)
         if batch == 1:
-            llm17.generate_with_stop_condition("bench lm", seed=0, **kw)
+            l.generate_with_stop_condition("bench lm", seed=0, **kw)
         else:
-            llm17.plan_batch("bench lm", n=batch, seed=0, **kw)
+            l.plan_batch("bench lm", n=batch, seed=0, **kw)
         walls, toks_runs = [], []
         for i in range(repeats):
             t0 = time.perf_counter()
             if batch == 1:
-                rs = [llm17.generate_with_stop_condition("bench lm",
-                                                         seed=1 + i, **kw)]
+                rs = [l.generate_with_stop_condition("bench lm",
+                                                     seed=1 + i, **kw)]
             else:
-                rs = llm17.plan_batch("bench lm", n=batch, seed=1 + i, **kw)
+                rs = l.plan_batch("bench lm", n=batch, seed=1 + i, **kw)
             walls.append(time.perf_counter() - t0)
             # TOTAL decoded tokens across the batch (short rows stop early
             # and feed pads — crediting every row with the longest row's
             # CoT length would overstate published throughput)
-            cot_total = sum(len(llm17.tokenizer.encode(r["cot_text"]))
+            cot_total = sum(len(l.tokenizer.encode(r["cot_text"]))
                             for r in rs)
             toks_runs.append(cot_total + n_codes * batch)
         wall, spread, mid = _median_run(walls)
@@ -322,129 +455,8 @@ def matrix() -> list:
         })
         log(f"matrix {tag}: {rows[-1]}")
 
-    for tag, d, b in (("lm1.7B_think60s_b1", 60, 1),
-                      ("lm1.7B_think60s_b8", 60, 8),
-                      ("lm1.7B_think600s_b1", 600, 1)):
-        with section(tag):
-            run_lm_only(tag, target_duration=d, batch=b)
-
-    # prefill throughput: 2048-token prompt, CFG-paired (2 rows)
-    with section("lm1.7B_prefill2048_cfg"):
-        if llm17 is None:
-            raise RuntimeError("skipped: lm1.7B init failed")
-        prompt2k = "a" * 2048
-        llm17.engine.generate_codes([prompt2k],
-                                    unconditional_prompts=["b" * 2048],
-                                    cfg_scale=2.0, n_codes=1, seed=0)  # warm
-        t0 = time.perf_counter()
-        llm17.engine.generate_codes([prompt2k],
-                                    unconditional_prompts=["b" * 2048],
-                                    cfg_scale=2.0, n_codes=1, seed=1)
-        pf_wall = time.perf_counter() - t0
-        rows.append({
-            "config": "lm1.7B_prefill2048_cfg", "lm_geom": "1.7B",
-            "batch": 1, "thinking": True, "wall_s": round(pf_wall, 3),
-            "prefill_tok_s": round(2 * 2048 / pf_wall, 0),
-        })
-        log(f"matrix lm1.7B_prefill2048_cfg: {rows[-1]}")
-
-    # the reference's own thinking example: 30 s / b1 / 8 steps with think
-    # = 5.67 s wall (LM 2.91), /root/reference/docs/en/BENCHMARK.md:121 —
-    # the full pipeline with the REAL-geometry LM must beat it
-    with section("30s_b1_think_lm1.7B"):
-        if llm17 is None:
-            raise RuntimeError("skipped: lm1.7B init failed")
-        run_think("30s_b1_think_lm1.7B", 30, 1, repeats=3,
-                  llm_handler=llm17, lm_geom="1.7B")
-    # flagship combined row (VERDICT r3 item 6): batch-8 x 30 s thinking
-    # with the real-geometry planner — per-item plans (plan_batch) + DiT +
-    # VAE end-to-end, the reference's "8 simultaneous songs" scenario
-    # (/root/reference/README.md:54)
-    with section("30s_b8_think_lm1.7B"):
-        if llm17 is None:
-            raise RuntimeError("skipped: lm1.7B init failed")
-        run_think("30s_b8_think_lm1.7B", 30, 8, repeats=2,
-                  llm_handler=llm17, lm_geom="1.7B")
-    llm17 = None        # drop the bf16 trunk before the quantized engines
-
-    # w8a8-quantized 1.7B planner: trunk weights stay int8 inside the
-    # decode loops -> per-step weight reads halve (~1.5x decode measured)
-    llm17q = LLMHandler(dtype=jnp.bfloat16)
-    p2 = n2 = qkw = None
-    with section("lm1.7B_codes300_w8a8"):
-        llm17q.initialize(cfg=LMConfig.qwen3_1_7b(), tokenizer=tok17,
-                          max_duration=600, seed=0, quantization="w8a8")
-        p2 = llm17q.build_formatted_prompt_with_cot(
-            "bench", "", "<think>\nduration: 60\n</think>")
-        n2 = llm17q.build_formatted_prompt_with_cot(
-            "bench", "", "<think>\nduration: 60\n</think>",
-            is_negative_prompt=True)
-        qkw = dict(unconditional_prompts=[n2], cfg_scale=2.0,
-                   temperature=0.85, top_p=0.9, n_codes=300)
-        llm17q.engine.generate_codes([p2], seed=0, **qkw)        # warm
-        qwalls = []
-        for i in range(3):
-            t0 = time.perf_counter()
-            llm17q.engine.generate_codes([p2], seed=1 + i, **qkw)
-            qwalls.append(time.perf_counter() - t0)
-        qwall, qspread, _ = _median_run(qwalls)
-        rows.append({
-            "config": "lm1.7B_codes300_w8a8", "lm_geom": "1.7B", "batch": 1,
-            "thinking": True, "wall_s": qwall, "wall_spread": qspread,
-            "decode_tok_s": round(300 / qwall, 1),
-        })
-        log(f"matrix lm1.7B_codes300_w8a8: {rows[-1]}")
-    if not llm17q.initialized or qkw is None:
-        llm17q = None
-
-    # long-context w8a8 decode (VERDICT r3 item 3 target: >=150 tok/s at
-    # ~3k context): 3000 codes = a 600 s plan's codes phase, int8 trunk +
-    # int8 KV, CFG-paired. Decode tok/s here is END-of-run average, i.e.
-    # it includes the per-step cost growth up to ~3.1k tokens of context.
-    with section("lm1.7B_codes3000_w8a8"):
-        if llm17q is None:
-            raise RuntimeError("skipped: lm1.7B w8a8 init failed")
-        qkw_l = dict(qkw, n_codes=3000)
-        # warm separately: 3000 codes use their own chunk schedule and a
-        # larger prefill bucket than the 300-code section's programs
-        llm17q.engine.generate_codes([p2], seed=10, **qkw_l)
-        lwalls = []
-        for i in range(2):
-            t0 = time.perf_counter()
-            llm17q.engine.generate_codes([p2], seed=11 + i, **qkw_l)
-            lwalls.append(time.perf_counter() - t0)
-        lwall, lspread, _ = _median_run(lwalls)
-        rows.append({
-            "config": "lm1.7B_codes3000_w8a8", "lm_geom": "1.7B", "batch": 1,
-            "thinking": True, "wall_s": lwall, "wall_spread": lspread,
-            "decode_tok_s": round(3000 / lwall, 1),
-        })
-        log(f"matrix lm1.7B_codes3000_w8a8: {rows[-1]}")
-    llm17q = None
-
-    # Drop the bf16 turbo handler (the largest resident block: bf16 params
-    # + five compiled shapes incl. the 600 s workspace) before the
-    # memory-sensitive sections below. Order from here on is deliberate:
-    # base50 (a required row set) runs FIRST in the leanest state; the
-    # OOM-riskiest section (4B planner) runs LAST so a failure there
-    # cannot poison rows that still need the chip (r4 observed: an lm4B
-    # RESOURCE_EXHAUSTED with the bf16 handler resident left the backend
-    # refusing every later allocation).
-    del handler
-    import gc
-    gc.collect()
-
-    # --- base-model guided path (VERDICT r3 item 2): 50 steps, CFG+APG
-    # (guidance_scale 7.0, the reference generate_music.py:31 default; the
-    # Model Zoo ships base/sft at 50 steps, /root/reference/README.md:228).
-    # Reference example for comparison: 16-step guided 60 s = 12.34 s on
-    # an A100 (/root/reference/docs/en/BENCHMARK.md:122).
-    handler_b = None
-    with section("base50_init"):
-        handler_b = AceStepHandler(dit_config=DiTConfig.base())
-        handler_b.initialize_service(seed=0)
-
     def run_guided(tag, duration, steps, repeats=3):
+        handler_b = state["handler_b"]
         kw = dict(audio_duration=float(duration), infer_steps=steps,
                   guidance_scale=7.0, use_adg=False)
         handler_b.generate_music("bench", "[inst]", seeds=1, **kw)  # warm
@@ -457,83 +469,184 @@ def matrix() -> list:
             runs.append(r.time_costs)
         wall, spread, mid = _median_run(walls)
         costs = runs[mid]
+        diff_s = round(costs.get("diffusion_time_cost", 0), 3)
         rows.append({
             "config": tag, "duration_s": duration, "batch": 1,
             "thinking": False, "wall_s": wall, "wall_spread": spread,
             "seconds_per_song": wall, "rtf": round(duration / wall, 1),
             "infer_steps": steps,
-            "diffusion_s": round(costs.get("diffusion_time_cost", 0), 3),
+            "prep_s": round(costs.get("prepare_time_cost", 0)
+                            + costs.get("text_encode_time_cost", 0), 3),
+            "svc_total_s": round(costs.get("total_time_cost", 0), 3),
+            "diffusion_s": diff_s,
             "vae_s": round(costs.get("vae_decode_time_cost", 0), 3),
+            **_mfu_fields(DiTConfig.base(), int(duration * 25), 577, steps,
+                          1, diff_s, cfg_steps=steps),
         })
         log(f"matrix {tag}: {rows[-1]}")
 
-    if handler_b is not None:
-        with section("base50_60s_b1"):
+    # ---- REQUIRED sections, cheapest/most-load-bearing first ---------
+
+    with section("60s_b1", 40, deps=("handler",)) as go:
+        if go:
+            run_dit("60s_b1", 60, 1, repeats=3)
+    with section("30s_b8", 35, deps=("handler",)) as go:
+        if go:
+            run_dit("30s_b8", 30, 8, repeats=3)
+    with section("10s_b1_think", 25, deps=("handler", "llm")) as go:
+        if go:
+            run_think("10s_b1_think", 10, 1, repeats=2)
+
+    # real-geometry 1.7B planner (throughput is weight-independent)
+    with section("lm1.7B_think60s_b1", 35, deps=("llm17",)) as go:
+        if go:
+            run_lm_only("lm1.7B_think60s_b1", target_duration=60, batch=1,
+                        repeats=2)
+    with section("lm1.7B_prefill2048_cfg", 25, deps=("llm17",)) as go:
+        if go:
+            l = llm17()
+            prompt2k = "a" * 2048
+            l.engine.generate_codes([prompt2k],
+                                    unconditional_prompts=["b" * 2048],
+                                    cfg_scale=2.0, n_codes=1, seed=0)  # warm
+            t0 = time.perf_counter()
+            l.engine.generate_codes([prompt2k],
+                                    unconditional_prompts=["b" * 2048],
+                                    cfg_scale=2.0, n_codes=1, seed=1)
+            pf_wall = time.perf_counter() - t0
+            rows.append({
+                "config": "lm1.7B_prefill2048_cfg", "lm_geom": "1.7B",
+                "batch": 1, "thinking": True, "wall_s": round(pf_wall, 3),
+                "prefill_tok_s": round(2 * 2048 / pf_wall, 0),
+            })
+            log(f"matrix lm1.7B_prefill2048_cfg: {rows[-1]}")
+    # cross-request prefix reuse (VERDICT r4 item 7): back-to-back jobs
+    # share the chat-template prefix KV; report the measured reuse
+    with section("lm1.7B_prefix_reuse", 20, deps=("llm17",)) as go:
+        if go:
+            l = llm17()
+            st0 = dict(l.engine.prefill_stats)
+            for i in range(3):
+                l.generate_with_stop_condition(
+                    f"prefix probe {i}", seed=20 + i, temperature=0.85,
+                    cfg_scale=2.0, top_p=0.9, target_duration=10,
+                    user_metadata={"duration": 10})
+            st1 = l.engine.prefill_stats
+            # prompt_tokens counts the FULL prompts (reused prefix + delta)
+            prompt = st1["prompt_tokens"] - st0["prompt_tokens"]
+            reused = st1["reused_tokens"] - st0["reused_tokens"]
+            rows.append({
+                "config": "lm1.7B_prefix_reuse", "lm_geom": "1.7B",
+                "thinking": True,
+                "prompt_tokens": int(prompt),
+                "reused_tokens": int(reused),
+                "lm_prefix_reuse_pct": round(
+                    100.0 * reused / max(1, prompt), 1),
+            })
+            log(f"matrix lm1.7B_prefix_reuse: {rows[-1]}")
+    # the reference's own thinking example: 30 s / b1 / 8 steps with think
+    # = 5.67 s wall (LM 2.91), /root/reference/docs/en/BENCHMARK.md:121 —
+    # the full pipeline with the REAL-geometry LM must beat it
+    with section("30s_b1_think_lm1.7B", 45, deps=("llm17", "handler")) as go:
+        if go:
+            run_think("30s_b1_think_lm1.7B", 30, 1, repeats=2,
+                      llm_handler=llm17(), lm_geom="1.7B")
+    drop("llm17")               # bf16 trunk released before quantized runs
+
+    # w8a8-quantized 1.7B planner: trunk weights stay int8 inside the
+    # decode loops -> per-step weight reads halve
+    def init_llm17q():
+        l = LLMHandler(dtype=jnp.bfloat16)
+        l.initialize(cfg=LMConfig.qwen3_1_7b(), tokenizer=tok17(),
+                     max_duration=600, seed=0, quantization="w8a8")
+        if not l.initialized:
+            raise RuntimeError("lm1.7B w8a8 init failed")
+        p2 = l.build_formatted_prompt_with_cot(
+            "bench", "", "<think>\nduration: 60\n</think>")
+        n2 = l.build_formatted_prompt_with_cot(
+            "bench", "", "<think>\nduration: 60\n</think>",
+            is_negative_prompt=True)
+        state["llm17q"] = (l, p2, n2)
+        return l, p2, n2
+
+    with section("lm1.7B_codes300_w8a8", 90) as go:
+        if go:
+            l, p2, n2 = init_llm17q()
+            qkw = dict(unconditional_prompts=[n2], cfg_scale=2.0,
+                       temperature=0.85, top_p=0.9, n_codes=300)
+            l.engine.generate_codes([p2], seed=0, **qkw)        # warm
+            qwalls = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                l.engine.generate_codes([p2], seed=1 + i, **qkw)
+                qwalls.append(time.perf_counter() - t0)
+            qwall, qspread, _ = _median_run(qwalls)
+            rows.append({
+                "config": "lm1.7B_codes300_w8a8", "lm_geom": "1.7B",
+                "batch": 1, "thinking": True, "wall_s": qwall,
+                "wall_spread": qspread,
+                "decode_tok_s": round(300 / qwall, 1),
+            })
+            log(f"matrix lm1.7B_codes300_w8a8: {rows[-1]}")
+    drop("llm17q")
+
+    # Drop the bf16 turbo handler (the largest resident block) before the
+    # memory-sensitive base/quantized/4B sections.
+    drop("handler", "llm")
+
+    # base-model guided path: 50 steps, CFG+APG (guidance_scale 7.0, the
+    # reference generate_music.py:31 default). Reference example to beat:
+    # 16-step guided 60 s = 12.34 s A100 (docs/en/BENCHMARK.md:122).
+    with section("base50_60s_b1", 110) as go:
+        if go:
+            h = AceStepHandler(dit_config=DiTConfig.base())
+            h.initialize_service(seed=0)
+            state["handler_b"] = h
             run_guided("base50_60s_b1", 60, 50, repeats=3)
-        with section("base50_600s_b1"):
-            run_guided("base50_600s_b1", 600, 50, repeats=2)
-    del handler_b
-    gc.collect()
+    drop("handler_b")
 
     # quantized service row (w8a8: int8 x int8 MXU matmuls). The handler
-    # built here also partners the 4B planner section below — int8 DiT +
-    # w8a8 4B LM is exactly the 16 GB tier's pinned pairing
-    # (runtime_config tier_16g).
-    handler_q = None
+    # also partners the 4B planner section below — int8 DiT + w8a8 4B LM
+    # is exactly the 16 GB tier's pinned pairing (runtime_config tier_16g).
+    with section("60s_b1_w8a8", 90) as go:
+        if go:
+            hq = AceStepHandler()
+            hq.initialize_service(seed=0, quantization="w8a8")
+            hq.generate_music("bench", "[inst]", audio_duration=60.0,
+                              seeds=1, infer_steps=8)   # warm/compile
+            state["handler_q"] = hq
+            walls, runs = [], []
+            for i in range(3):
+                t0 = time.perf_counter()
+                r = hq.generate_music("bench", "[inst]", audio_duration=60.0,
+                                      seeds=2 + i, infer_steps=8)
+                np.asarray(r.audios[0][:8])
+                walls.append(time.perf_counter() - t0)
+                runs.append(r.time_costs)
+            wall, spread, mid = _median_run(walls)
+            costs = runs[mid]
+            diff_s = round(costs.get("diffusion_time_cost", 0), 3)
+            rows.append({
+                "config": "60s_b1_w8a8", "duration_s": 60, "batch": 1,
+                "thinking": False, "wall_s": wall, "wall_spread": spread,
+                "seconds_per_song": wall, "rtf": round(60 / wall, 1),
+                "diffusion_s": diff_s,
+                "vae_s": round(costs.get("vae_decode_time_cost", 0), 3),
+                **_mfu_fields(DiTConfig(), 1500, 577, 8, 1, diff_s,
+                              dtype="int8"),
+            })
+            log(f"matrix 60s_b1_w8a8: {rows[-1]}")
 
-    def bench_w8a8():
-        nonlocal handler_q
-        # build into a local; publish to handler_q only once usable — a
-        # mid-init failure must die with this frame (freeing its HBM in
-        # section()'s gc pass), not linger half-built for the lm4B section
-        hq = AceStepHandler()
-        hq.initialize_service(seed=0, quantization="w8a8")
-        hq.generate_music("bench", "[inst]", audio_duration=60.0,
-                          seeds=1, infer_steps=8)   # warm/compile
-        handler_q = hq
-        walls, runs = [], []
-        for i in range(3):
-            t0 = time.perf_counter()
-            r = handler_q.generate_music("bench", "[inst]",
-                                         audio_duration=60.0,
-                                         seeds=2 + i, infer_steps=8)
-            np.asarray(r.audios[0][:8])
-            walls.append(time.perf_counter() - t0)
-            runs.append(r.time_costs)
-        wall, spread, mid = _median_run(walls)
-        costs = runs[mid]
-        rows.append({
-            "config": "60s_b1_w8a8", "duration_s": 60, "batch": 1,
-            "thinking": False, "wall_s": wall, "wall_spread": spread,
-            "seconds_per_song": wall, "rtf": round(60 / wall, 1),
-            "diffusion_s": round(costs.get("diffusion_time_cost", 0), 3),
-            "vae_s": round(costs.get("vae_decode_time_cost", 0), 3),
-        })
-        log(f"matrix 60s_b1_w8a8: {rows[-1]}")
-
-    with section("60s_b1_w8a8"):
-        bench_w8a8()
-
-    # --- 4B planner on-chip (VERDICT r3 item 1): Qwen3-4B geometry at
-    # w8a8 (tier_16g's pinned mode) coexisting with the int8 DiT+VAE
-    # service and CFG-paired KV on one 16 GB v5e. LAST section by design:
-    # this is the only row set that can exhaust HBM, and on the tunneled
-    # backend an OOM can refuse later allocations too.
-    def _hbm_gb():
-        try:
-            stats = jax.local_devices()[0].memory_stats() or {}
-            return round(stats.get("bytes_in_use", 0) / 2**30, 2)
-        except Exception:
-            return None
-
+    # 4B planner (VERDICT r4 item 5): Qwen3-4B geometry at w8a8 (tier_16g's
+    # pinned mode) coexisting with the int8 DiT+VAE service on one chip.
+    # After the other required rows by design: an OOM here must not poison
+    # rows that still need the chip.
     def bench_lm4b():
         # nested function: on an exception every local (the 4B handler and
-        # its caches) dies with the frame, so section()'s gc pass can
-        # actually return the HBM
-        hbm_before = _hbm_gb()
+        # its caches) dies with the frame, freeing its HBM
         llm4 = LLMHandler(dtype=jnp.bfloat16)
         t0 = time.perf_counter()
-        llm4.initialize(cfg=LMConfig.qwen3_4b(), tokenizer=tok17,
+        llm4.initialize(cfg=LMConfig.qwen3_4b(), tokenizer=tok17(),
                         max_duration=600, seed=0, quantization="w8a8")
         load4_s = time.perf_counter() - t0
         p4 = llm4.build_formatted_prompt_with_cot(
@@ -541,11 +654,11 @@ def matrix() -> list:
         n4 = llm4.build_formatted_prompt_with_cot(
             "bench", "", "<think>\nduration: 60\n</think>",
             is_negative_prompt=True)
-        qkw4 = dict(unconditional_prompts=[n4], cfg_scale=2.0, temperature=0.85,
-                    top_p=0.9, n_codes=300)
+        qkw4 = dict(unconditional_prompts=[n4], cfg_scale=2.0,
+                    temperature=0.85, top_p=0.9, n_codes=300)
         llm4.engine.generate_codes([p4], seed=0, **qkw4)        # warm
         walls4 = []
-        for i in range(3):
+        for i in range(2):
             t0 = time.perf_counter()
             llm4.engine.generate_codes([p4], seed=1 + i, **qkw4)
             walls4.append(time.perf_counter() - t0)
@@ -554,30 +667,79 @@ def matrix() -> list:
             "config": "lm4B_codes300_w8a8", "lm_geom": "4B", "batch": 1,
             "thinking": True, "wall_s": w4, "wall_spread": s4,
             "decode_tok_s": round(300 / w4, 1), "load_s": round(load4_s, 1),
-            "hbm_in_use_gb": _hbm_gb(), "hbm_before_gb": hbm_before,
         })
         log(f"matrix lm4B_codes300_w8a8: {rows[-1]}")
-        # the reference's own thinking example with the 4B planner, end to
-        # end through the tier_16g service pairing (int8 DiT + w8a8 4B)
-        if handler_q is not None:
+        # the reference's thinking example with the 4B planner, end to end
+        # through the tier_16g service pairing (int8 DiT + w8a8 4B LM)
+        if state.get("handler_q") is not None and remaining() > 50:
             run_think("30s_b1_think_lm4B", 30, 1, repeats=2,
-                      llm_handler=llm4, lm_geom="4B", dit_handler=handler_q)
+                      llm_handler=llm4, lm_geom="4B",
+                      dit_handler=state["handler_q"])
         del llm4
 
-    with section("lm4B"):
-        bench_lm4b()
-    return rows
+    with section("lm4B", 150) as go:
+        if go:
+            bench_lm4b()
+
+    # ---- OPTIONAL long-tail sections (run only if budget remains) ----
+
+    # (tail sections may rebuild dropped handlers — estimates include it)
+    with section("600s_b1", 95, deps=("handler",)) as go:
+        if go:
+            run_dit("600s_b1", 600, 1, repeats=2)
+    with section("30s_b8_think", 40, deps=("handler", "llm")) as go:
+        if go:
+            run_think("30s_b8_think", 30, 8, repeats=2)
+    with section("base50_600s_b1", 150) as go:
+        if go:
+            h = AceStepHandler(dit_config=DiTConfig.base())
+            h.initialize_service(seed=0)
+            state["handler_b"] = h
+            run_guided("base50_600s_b1", 600, 50, repeats=2)
+    drop("handler_b")
+    with section("lm1.7B_think60s_b8", 45, deps=("llm17",)) as go:
+        if go:
+            run_lm_only("lm1.7B_think60s_b8", target_duration=60, batch=8,
+                        repeats=2)
+    with section("lm1.7B_think600s_b1", 90, deps=("llm17",)) as go:
+        if go:
+            run_lm_only("lm1.7B_think600s_b1", target_duration=600, batch=1,
+                        repeats=2)
+    drop("llm17")
+
+    with section("lm1.7B_codes3000_w8a8", 80, deps=("llm17q",)) as go:
+        if go:
+            l, p2, n2 = state.get("llm17q") or init_llm17q()
+            qkw_l = dict(unconditional_prompts=[n2], cfg_scale=2.0,
+                         temperature=0.85, top_p=0.9, n_codes=3000)
+            l.engine.generate_codes([p2], seed=10, **qkw_l)     # warm
+            lwalls = []
+            for i in range(2):
+                t0 = time.perf_counter()
+                l.engine.generate_codes([p2], seed=11 + i, **qkw_l)
+                lwalls.append(time.perf_counter() - t0)
+            lwall, lspread, _ = _median_run(lwalls)
+            rows.append({
+                "config": "lm1.7B_codes3000_w8a8", "lm_geom": "1.7B",
+                "batch": 1, "thinking": True, "wall_s": lwall,
+                "wall_spread": lspread,
+                "decode_tok_s": round(3000 / lwall, 1),
+            })
+            log(f"matrix lm1.7B_codes3000_w8a8: {rows[-1]}")
+    state.clear()
+    gc.collect()
 
 
-def write_docs(payload: dict) -> None:
-    env = payload["extra"].get("env", {})
+# --------------------------------------------------------------- docs
+
+def write_docs(payload: dict, rows: list, env: dict) -> None:
     hs = payload["extra"].get("headline_spread", [])
     lines = [
         "# Benchmarks (measured)",
         "",
         "Measured by `bench.py` on one TPU v5e chip (warm, random weights,",
-        "8-step turbo, bf16 unless noted). All walls are the MEDIAN of 3",
-        "runs; spread = [min, max]. The reference baseline is the A100",
+        "8-step turbo, bf16 unless noted). All walls are the MEDIAN of the",
+        "repeats; spread = [min, max]. The reference baseline is the A100",
         "'<2 s per full song' headline (`/root/reference/README.md`).",
         "",
         f"Device->host bandwidth at run time: {env.get('d2h_MBps', '?')} MB/s"
@@ -589,15 +751,18 @@ def write_docs(payload: dict) -> None:
         f"**Headline**: {payload['value']} s per 60 s song, spread {hs} "
         f"({payload['vs_baseline']}x the reference baseline).",
         "",
-        "| config | duration | batch | think | wall s | spread | s/song | RTF | LM s | LM tok/s | DiT s | VAE s |",
-        "|---|---|---|---|---|---|---|---|---|---|---|---|",
+        "`MFU %` is analytic DiT-decoder FLOPs / diffusion wall / chip peak",
+        "(197 bf16 / 394 int8 TFLOP/s on v5e) — decoder trajectory only,",
+        "condition encoder excluded.",
+        "",
+        "| config | duration | batch | think | wall s | spread | s/song | RTF | LM s | LM tok/s | DiT s | MFU % | VAE s |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
-    for row in payload["extra"]["matrix"]:
-        if "error" in row:
-            # fail-soft section rows carry only {config, error}; keep the
-            # row visible in the table rather than crashing the docs write
-            lines.append(f"| {row['config']} | — | — | — | FAILED | "
-                         f"— | — | — | — | — | — | — |")
+    for row in rows:
+        if "error" in row or "skipped" in row:
+            why = "SKIPPED (budget)" if "skipped" in row else "FAILED"
+            lines.append(f"| {row['config']} | — | — | — | {why} | "
+                         f"— | — | — | — | — | — | — | — |")
             continue
         lines.append(
             f"| {row['config']} | {row.get('duration_s', '—')} | "
@@ -609,13 +774,14 @@ def write_docs(payload: dict) -> None:
             f"{row.get('lm_s', '—')} | "
             f"{row.get('decode_tok_s', row.get('prefill_tok_s', '—'))} | "
             f"{row.get('diffusion_s', '—')} | "
+            f"{row.get('mfu_pct', '—')} | "
             f"{row.get('vae_s', '—')} |")
     lines += [
         "",
         "Small thinking rows use the self-contained fallback LM (tiny",
         "random weights) to time the two-phase constrained-decoding",
-        "machinery. `lm1.7B_*` rows instantiate the real Qwen3-1.7B",
-        "geometry (random weights — throughput is weight-independent):",
+        "machinery. `lm1.7B_*`/`lm4B_*` rows instantiate the real Qwen3",
+        "geometries (random weights — throughput is weight-independent):",
         "LM-only CFG-paired two-phase walls; the LM tok/s column is",
         "decode (or prefill) tokens/s of the conditional stream (CFG",
         "doubles the model batch), plus the reference's 30 s thinking",
@@ -631,20 +797,40 @@ def main():
     skip_matrix = "--headline-only" in sys.argv
     env = probe_bandwidth()
     log(f"d2h bandwidth probe: {env}")
-    wall, spread = headline()
+    wall, spread, mfu = headline()
     payload = {
         "metric": "seconds_per_song",
         "value": round(wall, 4),
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / wall, 3),
+        "extra": {"headline_spread": spread, **mfu, **env},
     }
-    extra = {"headline_spread": spread, "env": env}
+    # EARLY print: if the driver kills the process mid-matrix, the last
+    # stdout line is still this parseable summary (matrix logs -> stderr)
+    print(json.dumps(payload), flush=True)
+
+    rows: list = []
+    truncated: list = []
     if not skip_matrix:
-        extra["matrix"] = matrix()
-    payload["extra"] = extra
-    if "--write-docs" in sys.argv and "matrix" in extra:
-        write_docs(payload)
-    print(json.dumps(payload))
+        try:
+            matrix(rows, truncated)
+        except Exception as e:      # pragma: no cover - defensive
+            log(f"MATRIX ABORTED: {e!r}")
+        # full matrix to a FILE (a multi-KB stdout line broke the driver
+        # parser in round 3); stdout stays small
+        with open("BENCH_MATRIX.json", "w", encoding="utf-8") as f:
+            json.dump({"headline": payload, "rows": rows,
+                       "truncated": truncated, "env": env}, f, indent=1)
+        log("wrote BENCH_MATRIX.json")
+        payload["extra"]["rows_done"] = sum(
+            1 for r in rows if "error" not in r and "skipped" not in r)
+        payload["extra"]["truncated"] = truncated[:8]
+        if "--write-docs" in sys.argv:
+            write_docs(payload, rows, env)
+    log(f"total bench wall: {time.perf_counter() - _T_START:.1f}s "
+        f"(budget {BUDGET_S:.0f}s)")
+    # FINAL print: same small schema, now with matrix accounting
+    print(json.dumps(payload), flush=True)
 
 
 if __name__ == "__main__":

@@ -104,7 +104,13 @@ def main():
     print("devices:", jax.devices(), flush=True)
     base = DiTConfig()
     results = {}
-    for T, label in ((1500, "60s"), (15000, "600s")):
+    # --geo 60|600 limits to one geometry (8 variants of compile time blow
+    # typical driver/CI timeouts; one geometry is 4)
+    geos = ((1500, "60s"), (15000, "600s"))
+    if "--geo" in sys.argv:
+        want = sys.argv[sys.argv.index("--geo") + 1]
+        geos = tuple(g for g in geos if g[1].startswith(want))
+    for T, label in geos:
         L = -(-T // base.patch_size)
         auto = resolve_attention_impl(base, seq_len=L)
         print(f"{label}: impl='auto' resolves to {auto!r}", flush=True)
