@@ -270,6 +270,7 @@ def matrix(rows: list, truncated: list) -> None:
     from acestep_tpu.pipeline.handler import AceStepHandler
 
     state: dict = {}            # live handlers, built lazily per section
+    oom_hit: list = []          # post-OOM circuit breaker (see section())
 
     # lazy-dependency surcharge: a section whose handler/LM is not built
     # yet pays its init+compile inside the section, so the gate must price
@@ -277,15 +278,43 @@ def matrix(rows: list, truncated: list) -> None:
     # preceding section would have built the 1.7B engine)
     DEP_COST = {"handler": 45, "llm": 20, "llm17": 80, "llm17q": 70}
 
+    # Mandatory sections keep a budget RESERVE: an optional (tail) section
+    # only runs if the remaining budget covers BOTH it and every mandatory
+    # section still outstanding — tails run EARLY (while their residents
+    # are live, and before the memory-risky base/quantized/4B block, r5's
+    # OOM-cascade lesson) without being able to starve the required rows.
+    MANDATORY = {
+        "60s_b1": 40, "30s_b8": 35, "10s_b1_think": 25,
+        "lm1.7B_think60s_b1": 35, "lm1.7B_prefill2048_cfg": 25,
+        "lm1.7B_prefix_reuse": 20, "30s_b1_think_lm1.7B": 45,
+        "lm1.7B_codes300_w8a8": 90, "base50_60s_b1": 110,
+        "60s_b1_w8a8": 90, "lm4B": 160,
+    }
+    reserve_left = dict(MANDATORY)
+
     @contextlib.contextmanager
-    def section(name, est_s, deps=()):
+    def section(name, est_s, deps=(), tail=False):
         """Budget gate + fail-soft guard: a section that does not fit the
         remaining budget is skipped visibly; a broken row must not kill
         the whole matrix (the driver records whatever rows completed)."""
         t_sec = time.perf_counter()
+        reserve_left.pop(name, None)
+        if oom_hit:
+            # after a device OOM the axon backend reports RESOURCE_EXHAUSTED
+            # for every later allocation no matter what the client frees —
+            # and continuing to hammer it with allocation attempts has
+            # wedged the whole backend before (r4). Stop allocating; record
+            # the skip so truncation is visible.
+            log(f"SECTION {name} skipped (post-OOM)")
+            truncated.append(name)
+            rows.append({"config": name, "skipped": "post-OOM"})
+            yield False
+            return
         est_s = est_s + sum(DEP_COST[d] for d in deps if d not in state)
-        if remaining() < est_s:
-            log(f"SECTION {name} skipped (budget): need ~{est_s:.0f}s, "
+        need = est_s + (sum(reserve_left.values()) if tail else 0)
+        if remaining() < need:
+            log(f"SECTION {name} skipped (budget): need ~{need:.0f}s"
+                f"{' incl. mandatory reserve' if tail else ''}, "
                 f"have {remaining():.0f}s")
             truncated.append(name)
             rows.append({"config": name, "skipped": "budget"})
@@ -298,12 +327,17 @@ def matrix(rows: list, truncated: list) -> None:
             log(f"SECTION {name} FAILED: {e!r}")
             rows.append({"config": name, "error": repr(e)[:300]})
             failed = True
+            from acestep_tpu.utils.memory import is_oom_error
+            if is_oom_error(e):
+                oom_hit.append(name)
         log(f"section {name}: {time.perf_counter() - t_sec:.1f}s elapsed, "
             f"{remaining():.0f}s budget left")
         if failed:
-            # a RESOURCE_EXHAUSTED section must not poison the rest of the
-            # matrix: drop dead handlers and every compiled program that
-            # captured their buffers, then let later sections recompile
+            # drop dead handlers and every compiled program that captured
+            # their buffers (on OOM, residents themselves may be why the
+            # chip is full — clear them all; nothing later runs anyway)
+            if oom_hit:
+                state.clear()
             from acestep_tpu.utils.memory import release_device_memory
             release_device_memory()
 
@@ -551,6 +585,18 @@ def matrix(rows: list, truncated: list) -> None:
         if go:
             run_think("30s_b1_think_lm1.7B", 30, 1, repeats=2,
                       llm_handler=llm17(), lm_geom="1.7B")
+
+    # optional llm17 tails run HERE, while the bf16 trunk is resident
+    # (rebuilding it later costs its 80 s DEP surcharge) and before the
+    # memory-risky base/quantized/4B block
+    with section("lm1.7B_think60s_b8", 45, deps=("llm17",), tail=True) as go:
+        if go:
+            run_lm_only("lm1.7B_think60s_b8", target_duration=60, batch=8,
+                        repeats=2)
+    with section("lm1.7B_think600s_b1", 90, deps=("llm17",), tail=True) as go:
+        if go:
+            run_lm_only("lm1.7B_think600s_b1", target_duration=600, batch=1,
+                        repeats=2)
     drop("llm17")               # bf16 trunk released before quantized runs
 
     # w8a8-quantized 1.7B planner: trunk weights stay int8 inside the
@@ -588,7 +634,36 @@ def matrix(rows: list, truncated: list) -> None:
                 "decode_tok_s": round(300 / qwall, 1),
             })
             log(f"matrix lm1.7B_codes300_w8a8: {rows[-1]}")
+    with section("lm1.7B_codes3000_w8a8", 80, deps=("llm17q",),
+                 tail=True) as go:
+        if go:
+            l, p2, n2 = state.get("llm17q") or init_llm17q()
+            qkw_l = dict(unconditional_prompts=[n2], cfg_scale=2.0,
+                         temperature=0.85, top_p=0.9, n_codes=3000)
+            l.engine.generate_codes([p2], seed=10, **qkw_l)     # warm
+            lwalls = []
+            for i in range(2):
+                t0 = time.perf_counter()
+                l.engine.generate_codes([p2], seed=11 + i, **qkw_l)
+                lwalls.append(time.perf_counter() - t0)
+            lwall, lspread, _ = _median_run(lwalls)
+            rows.append({
+                "config": "lm1.7B_codes3000_w8a8", "lm_geom": "1.7B",
+                "batch": 1, "thinking": True, "wall_s": lwall,
+                "wall_spread": lspread,
+                "decode_tok_s": round(3000 / lwall, 1),
+            })
+            log(f"matrix lm1.7B_codes3000_w8a8: {rows[-1]}")
     drop("llm17q")
+
+    # long-song tails reuse the still-live turbo handler + tiny LM
+    with section("600s_b1", 95, deps=("handler",), tail=True) as go:
+        if go:
+            run_dit("600s_b1", 600, 1, repeats=2)
+    with section("30s_b8_think", 40, deps=("handler", "llm"),
+                 tail=True) as go:
+        if go:
+            run_think("30s_b8_think", 30, 8, repeats=2)
 
     # Drop the bf16 turbo handler (the largest resident block) before the
     # memory-sensitive base/quantized/4B sections.
@@ -603,6 +678,13 @@ def matrix(rows: list, truncated: list) -> None:
             h.initialize_service(seed=0)
             state["handler_b"] = h
             run_guided("base50_60s_b1", 60, 50, repeats=3)
+    with section("base50_600s_b1", 130, tail=True) as go:
+        if go:
+            if "handler_b" not in state:
+                h = AceStepHandler(dit_config=DiTConfig.base())
+                h.initialize_service(seed=0)
+                state["handler_b"] = h
+            run_guided("base50_600s_b1", 600, 50, repeats=2)
     drop("handler_b")
 
     # quantized service row (w8a8: int8 x int8 MXU matmuls). The handler
@@ -636,11 +718,15 @@ def matrix(rows: list, truncated: list) -> None:
                               dtype="int8"),
             })
             log(f"matrix 60s_b1_w8a8: {rows[-1]}")
+    # the int8 DiT handler is rebuilt INSIDE the 4B section (big LM first,
+    # DiT second gives the 4B init an empty chip — r5's cascade started
+    # when the 4B bf16 init transient hit a chip already holding the DiT)
+    drop("handler_q")
 
     # 4B planner (VERDICT r4 item 5): Qwen3-4B geometry at w8a8 (tier_16g's
     # pinned mode) coexisting with the int8 DiT+VAE service on one chip.
-    # After the other required rows by design: an OOM here must not poison
-    # rows that still need the chip.
+    # LAST by design: an OOM here must not poison rows that still need the
+    # chip (exactly what happened in the first r5 capture).
     def bench_lm4b():
         # nested function: on an exception every local (the 4B handler and
         # its caches) dies with the frame, freeing its HBM
@@ -670,62 +756,23 @@ def matrix(rows: list, truncated: list) -> None:
         })
         log(f"matrix lm4B_codes300_w8a8: {rows[-1]}")
         # the reference's thinking example with the 4B planner, end to end
-        # through the tier_16g service pairing (int8 DiT + w8a8 4B LM)
-        if state.get("handler_q") is not None and remaining() > 50:
-            run_think("30s_b1_think_lm4B", 30, 1, repeats=2,
-                      llm_handler=llm4, lm_geom="4B",
-                      dit_handler=state["handler_q"])
+        # through the tier_16g service pairing (int8 DiT + w8a8 4B LM),
+        # fail-soft: losing the pairing row must not lose the codes row
+        if remaining() > 60:
+            try:
+                hq = AceStepHandler()
+                hq.initialize_service(seed=0, quantization="w8a8")
+                run_think("30s_b1_think_lm4B", 30, 1, repeats=2,
+                          llm_handler=llm4, lm_geom="4B", dit_handler=hq)
+            except Exception as e:   # noqa: BLE001 — row-level fail-soft
+                log(f"row 30s_b1_think_lm4B FAILED: {e!r}")
+                rows.append({"config": "30s_b1_think_lm4B",
+                             "error": repr(e)[:300]})
         del llm4
 
-    with section("lm4B", 150) as go:
+    with section("lm4B", 160) as go:
         if go:
             bench_lm4b()
-
-    # ---- OPTIONAL long-tail sections (run only if budget remains) ----
-
-    # (tail sections may rebuild dropped handlers — estimates include it)
-    with section("600s_b1", 95, deps=("handler",)) as go:
-        if go:
-            run_dit("600s_b1", 600, 1, repeats=2)
-    with section("30s_b8_think", 40, deps=("handler", "llm")) as go:
-        if go:
-            run_think("30s_b8_think", 30, 8, repeats=2)
-    with section("base50_600s_b1", 150) as go:
-        if go:
-            h = AceStepHandler(dit_config=DiTConfig.base())
-            h.initialize_service(seed=0)
-            state["handler_b"] = h
-            run_guided("base50_600s_b1", 600, 50, repeats=2)
-    drop("handler_b")
-    with section("lm1.7B_think60s_b8", 45, deps=("llm17",)) as go:
-        if go:
-            run_lm_only("lm1.7B_think60s_b8", target_duration=60, batch=8,
-                        repeats=2)
-    with section("lm1.7B_think600s_b1", 90, deps=("llm17",)) as go:
-        if go:
-            run_lm_only("lm1.7B_think600s_b1", target_duration=600, batch=1,
-                        repeats=2)
-    drop("llm17")
-
-    with section("lm1.7B_codes3000_w8a8", 80, deps=("llm17q",)) as go:
-        if go:
-            l, p2, n2 = state.get("llm17q") or init_llm17q()
-            qkw_l = dict(unconditional_prompts=[n2], cfg_scale=2.0,
-                         temperature=0.85, top_p=0.9, n_codes=3000)
-            l.engine.generate_codes([p2], seed=10, **qkw_l)     # warm
-            lwalls = []
-            for i in range(2):
-                t0 = time.perf_counter()
-                l.engine.generate_codes([p2], seed=11 + i, **qkw_l)
-                lwalls.append(time.perf_counter() - t0)
-            lwall, lspread, _ = _median_run(lwalls)
-            rows.append({
-                "config": "lm1.7B_codes3000_w8a8", "lm_geom": "1.7B",
-                "batch": 1, "thinking": True, "wall_s": lwall,
-                "wall_spread": lspread,
-                "decode_tok_s": round(3000 / lwall, 1),
-            })
-            log(f"matrix lm1.7B_codes3000_w8a8: {rows[-1]}")
     state.clear()
     gc.collect()
 
