@@ -811,6 +811,14 @@ def write_docs(payload: dict, rows: list, env: dict) -> None:
             lines.append(f"| {row['config']} | — | — | — | {why} | "
                          f"— | — | — | — | — | — | — | — |")
             continue
+        if "lm_prefix_reuse_pct" in row:
+            lines.append(
+                f"| {row['config']} | — | — | on | "
+                f"{row['lm_prefix_reuse_pct']}% of "
+                f"{row['prompt_tokens']} prompt tokens served from the "
+                f"cross-request prefix cache | — | — | — | — | — | — | "
+                f"— | — |")
+            continue
         lines.append(
             f"| {row['config']} | {row.get('duration_s', '—')} | "
             f"{row.get('batch', '—')} | "
@@ -834,6 +842,29 @@ def write_docs(payload: dict, rows: list, env: dict) -> None:
         "doubles the model batch), plus the reference's 30 s thinking",
         "example end-to-end.",
         "",
+        "## Roofline: where the remaining wall time lives",
+        "",
+        "**Turbo DiT at batch 1 is latency-bound, not compute-bound.** The",
+        "same decoder forward costs ~29 ms/step at an effective batch of 1",
+        "(8-step turbo, no CFG) and ~32 ms/step at an effective batch of 2",
+        "(base 50-step, CFG pair) — doubling the FLOPs costs ~10% more",
+        "wall, which is why the base-model row reports ~73% MFU while the",
+        "b1 turbo row sits at ~40%. At L≈1327 tokens (750 audio patches +",
+        "577 condition) and hidden 2048, a single-sequence matmul leaves",
+        "MXU tiles idle; the batched rows (30s_b8, base50 CFG) show the",
+        "same program at 49-73% MFU. Pushing b1 past ~40% would need",
+        "cross-step batching, which the ODE's data dependence forbids —",
+        "the capacity is real and free for any batched workload.",
+        "",
+        "**The 60 s service wall is device->host bandwidth, not compute.**",
+        "Audio leaves the chip as int16 + per-item peak (half of f32, the",
+        "same grid a 16-bit export keeps): a 60 s stereo song is 10.6 MB,",
+        "which at the tunnel's ~20-40 MB/s is 0.3-0.5 s of pure transfer;",
+        "decode compute overlaps it via segmented dispatch, so the VAE",
+        "stage floor ≈ transfer time + one segment of compute. On a",
+        "production host (PCIe/NVLink-class d2h, GB/s) the same code path",
+        "is compute-bound and the stage collapses to the ~0.2 s decode.",
+        "",
     ]
     with open("docs/BENCHMARK.md", "w", encoding="utf-8") as f:
         f.write("\n".join(lines))
@@ -841,6 +872,13 @@ def write_docs(payload: dict, rows: list, env: dict) -> None:
 
 
 def main():
+    if "--docs-from-matrix" in sys.argv:
+        # regenerate docs/BENCHMARK.md from the last saved matrix — no
+        # TPU touched (doc-template changes should not cost a capture)
+        with open("BENCH_MATRIX.json", encoding="utf-8") as f:
+            saved = json.load(f)
+        write_docs(saved["headline"], saved["rows"], saved["env"])
+        return
     skip_matrix = "--headline-only" in sys.argv
     env = probe_bandwidth()
     log(f"d2h bandwidth probe: {env}")
