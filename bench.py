@@ -288,9 +288,17 @@ def matrix(rows: list, truncated: list) -> None:
         "lm1.7B_think60s_b1": 35, "lm1.7B_prefill2048_cfg": 25,
         "lm1.7B_prefix_reuse": 20, "30s_b1_think_lm1.7B": 45,
         "lm1.7B_codes300_w8a8": 90, "base50_60s_b1": 110,
-        "60s_b1_w8a8": 90, "lm4B": 160,
+        "lm4B": 300,
     }
     reserve_left = dict(MANDATORY)
+
+    # Slow-tunnel detector: estimates are calibrated on a ~30-40 MB/s d2h
+    # window, but the tunnel swings 4-45 MB/s MID-run (r5: 600s_b1 took
+    # 184 s against a 95 s estimate and starved the mandatory base50 row).
+    # Track the worst actual/estimate overrun among substantial completed
+    # sections and inflate every later gate (est and reserve) by it — a
+    # fast run is unaffected, a slow run sheds optional tails early.
+    overrun = [1.0]
 
     @contextlib.contextmanager
     def section(name, est_s, deps=(), tail=False):
@@ -311,10 +319,15 @@ def matrix(rows: list, truncated: list) -> None:
             yield False
             return
         est_s = est_s + sum(DEP_COST[d] for d in deps if d not in state)
-        need = est_s + (sum(reserve_left.values()) if tail else 0)
+        # the slow-tunnel factor gates TAILS only: a mandatory section is
+        # always worth attempting at its nominal estimate — shedding
+        # optional work is how the budget absorbs a slow tunnel
+        factor = max(overrun) if tail else 1.0
+        need = (est_s + sum(reserve_left.values())) * factor if tail else est_s
         if remaining() < need:
             log(f"SECTION {name} skipped (budget): need ~{need:.0f}s"
-                f"{' incl. mandatory reserve' if tail else ''}, "
+                f"{' incl. mandatory reserve' if tail else ''}"
+                f"{f' (x{factor:.2f} slow-tunnel)' if factor > 1 else ''}, "
                 f"have {remaining():.0f}s")
             truncated.append(name)
             rows.append({"config": name, "skipped": "budget"})
@@ -330,7 +343,12 @@ def matrix(rows: list, truncated: list) -> None:
             from acestep_tpu.utils.memory import is_oom_error
             if is_oom_error(e):
                 oom_hit.append(name)
-        log(f"section {name}: {time.perf_counter() - t_sec:.1f}s elapsed, "
+        elapsed = time.perf_counter() - t_sec
+        if not failed and elapsed >= 30 and elapsed > est_s:
+            overrun.append(elapsed / est_s)
+            log(f"slow-tunnel factor now x{max(overrun):.2f} "
+                f"({name}: {elapsed:.0f}s vs {est_s:.0f}s est)")
+        log(f"section {name}: {elapsed:.1f}s elapsed, "
             f"{remaining():.0f}s budget left")
         if failed:
             # drop dead handlers and every compiled program that captured
@@ -340,6 +358,21 @@ def matrix(rows: list, truncated: list) -> None:
                 state.clear()
             from acestep_tpu.utils.memory import release_device_memory
             release_device_memory()
+            if oom_hit:
+                # self-heal probe: if a fresh 256 MB alloc materializes
+                # after the release, the backend survived the OOM and
+                # later sections (which rebuild their own residents) can
+                # still run — clear the breaker instead of skipping the
+                # rest of the matrix on a stale assumption.
+                try:
+                    z = jax.block_until_ready(
+                        jnp.zeros((128, 1024, 1024), jnp.int16))
+                    del z
+                    log(f"post-OOM probe passed after {name}; continuing")
+                    oom_hit.clear()
+                except Exception as pe:     # noqa: BLE001 - diagnostic
+                    log(f"post-OOM probe failed ({pe!r}); "
+                        f"skipping remaining sections")
 
     # lazy builders ---------------------------------------------------
 
@@ -374,10 +407,19 @@ def matrix(rows: list, truncated: list) -> None:
             state["llm17"] = l
         return state["llm17"]
 
-    def drop(*names):
+    def drop(*names, hard=False):
         for n in names:
             state.pop(n, None)
         gc.collect()
+        if hard:
+            # also evict jax's compiled-executable caches: executables
+            # capture closed-over device constants (rope tables, FSM
+            # tables, cross-KV precomputes) that gc alone never frees —
+            # the r5 lm4B OOM was dead cache from 5 earlier services.
+            # Only safe when no resident still needs its programs (the
+            # persistent compile cache makes any recompile a disk hit).
+            from acestep_tpu.utils.memory import release_device_memory
+            release_device_memory()
 
     # row runners -----------------------------------------------------
 
@@ -519,7 +561,126 @@ def matrix(rows: list, truncated: list) -> None:
         })
         log(f"matrix {tag}: {rows[-1]}")
 
-    # ---- REQUIRED sections, cheapest/most-load-bearing first ---------
+    # ---- REQUIRED sections ---------------------------------------------
+
+    # the headline's DiT+VAE residents are dead locals by now, but their
+    # compiled executables still pin device constants — drop them so the
+    # 4B init below really does see a near-fresh chip (recompiles are
+    # disk-cache hits)
+    drop(hard=True)
+
+    # 4B planner (VERDICT r4 item 5): Qwen3-4B geometry at w8a8 (tier_16g's
+    # pinned mode) plus the int8 DiT+VAE service pairing on one chip.
+    # FIRST by design: both r5 captures OOM'd this section when it ran
+    # LAST, on a chip that had hosted six services' worth of alloc/free
+    # history — with gc + jax.clear_caches done and jax.live_arrays()
+    # empty, the init still died, i.e. the residue is backend allocator
+    # state the client cannot release. The identical init on a near-fresh
+    # chip completes in ~9 s (verified standalone). Everything after this
+    # section rebuilds its own residents on a hard-dropped chip.
+    def bench_lm4b():
+        # nested function: on an exception every local (the 4B handler and
+        # its caches) dies with the frame, freeing its HBM
+        live = jax.live_arrays()
+        log(f"pre-4B live arrays: {len(live)}, "
+            f"{sum(a.nbytes for a in live) / (1 << 20):.0f} MB")
+        del live
+        llm4 = LLMHandler(dtype=jnp.bfloat16)
+        t0 = time.perf_counter()
+        llm4.initialize(cfg=LMConfig.qwen3_4b(), tokenizer=tok17(),
+                        max_duration=600, seed=0, quantization="w8a8")
+        load4_s = time.perf_counter() - t0
+        p4 = llm4.build_formatted_prompt_with_cot(
+            "bench", "", "<think>\nduration: 60\n</think>")
+        n4 = llm4.build_formatted_prompt_with_cot(
+            "bench", "", "<think>\nduration: 60\n</think>",
+            is_negative_prompt=True)
+        qkw4 = dict(unconditional_prompts=[n4], cfg_scale=2.0,
+                    temperature=0.85, top_p=0.9, n_codes=300)
+        llm4.engine.generate_codes([p4], seed=0, **qkw4)        # warm
+        walls4 = []
+        for i in range(2):
+            t0 = time.perf_counter()
+            llm4.engine.generate_codes([p4], seed=1 + i, **qkw4)
+            walls4.append(time.perf_counter() - t0)
+        w4, s4, _ = _median_run(walls4)
+        rows.append({
+            "config": "lm4B_codes300_w8a8", "lm_geom": "4B", "batch": 1,
+            "thinking": True, "wall_s": w4, "wall_spread": s4,
+            "decode_tok_s": round(300 / w4, 1), "load_s": round(load4_s, 1),
+        })
+        log(f"matrix lm4B_codes300_w8a8: {rows[-1]}")
+        # the reference's thinking example with the 4B planner, end to end
+        # through the tier_16g service pairing (int8 DiT + w8a8 4B LM),
+        # fail-soft: losing the pairing row must not lose the codes row
+        hq = None
+        if remaining() > 60:
+            try:
+                hq = AceStepHandler()
+                hq.initialize_service(seed=0, quantization="w8a8")
+                run_think("30s_b1_think_lm4B", 30, 1, repeats=2,
+                          llm_handler=llm4, lm_geom="4B", dit_handler=hq)
+            except Exception as e:   # noqa: BLE001 — row-level fail-soft
+                log(f"row 30s_b1_think_lm4B FAILED: {e!r}")
+                rows.append({"config": "30s_b1_think_lm4B",
+                             "error": repr(e)[:300]})
+        # quantized service row (w8a8: int8 x int8 MXU matmuls) measured
+        # HERE, on the pairing handler that already exists — the r5 capture
+        # that ran this as its own late section OOM'd re-initializing a
+        # second w8a8 service on a chip carrying six services' worth of
+        # backend allocator residue
+        if hq is not None and remaining() > 90:
+            try:
+                hq.generate_music("bench", "[inst]", audio_duration=60.0,
+                                  seeds=1, infer_steps=8)   # warm/compile
+                walls, runs = [], []
+                for i in range(3):
+                    t0 = time.perf_counter()
+                    r = hq.generate_music("bench", "[inst]",
+                                          audio_duration=60.0,
+                                          seeds=2 + i, infer_steps=8)
+                    np.asarray(r.audios[0][:8])
+                    walls.append(time.perf_counter() - t0)
+                    runs.append(r.time_costs)
+                wall, spread, mid = _median_run(walls)
+                costs = runs[mid]
+                diff_s = round(costs.get("diffusion_time_cost", 0), 3)
+                rows.append({
+                    "config": "60s_b1_w8a8", "duration_s": 60, "batch": 1,
+                    "thinking": False, "wall_s": wall,
+                    "wall_spread": spread, "seconds_per_song": wall,
+                    "rtf": round(60 / wall, 1), "diffusion_s": diff_s,
+                    "vae_s": round(costs.get("vae_decode_time_cost", 0), 3),
+                    **_mfu_fields(DiTConfig(), 1500, 577, 8, 1, diff_s,
+                                  dtype="int8"),
+                })
+                log(f"matrix 60s_b1_w8a8: {rows[-1]}")
+            except Exception as e:   # noqa: BLE001 — row-level fail-soft
+                log(f"row 60s_b1_w8a8 FAILED: {e!r}")
+                rows.append({"config": "60s_b1_w8a8",
+                             "error": repr(e)[:300]})
+        del llm4, hq
+
+    with section("lm4B", 300) as go:
+        if go:
+            retry = False
+            try:
+                bench_lm4b()
+            except Exception as e:   # noqa: BLE001 — one-shot OOM retry
+                from acestep_tpu.utils.memory import is_oom_error
+                if not (is_oom_error(e) and remaining() > 120):
+                    raise
+                log(f"lm4B OOM ({e!r}); hard-releasing and retrying once")
+                retry = True
+            if retry:
+                # outside the except block: the exception (whose traceback
+                # pins the half-built 4B tree via frame locals) is dead
+                from acestep_tpu.utils.memory import release_device_memory
+                release_device_memory()
+                bench_lm4b()
+    # nothing survives the 4B section by construction — hand the rest of
+    # the matrix a chip as close to fresh as the client can make it
+    drop(hard=True)
 
     with section("60s_b1", 40, deps=("handler",)) as go:
         if go:
@@ -687,92 +848,8 @@ def matrix(rows: list, truncated: list) -> None:
             run_guided("base50_600s_b1", 600, 50, repeats=2)
     drop("handler_b")
 
-    # quantized service row (w8a8: int8 x int8 MXU matmuls). The handler
-    # also partners the 4B planner section below — int8 DiT + w8a8 4B LM
-    # is exactly the 16 GB tier's pinned pairing (runtime_config tier_16g).
-    with section("60s_b1_w8a8", 90) as go:
-        if go:
-            hq = AceStepHandler()
-            hq.initialize_service(seed=0, quantization="w8a8")
-            hq.generate_music("bench", "[inst]", audio_duration=60.0,
-                              seeds=1, infer_steps=8)   # warm/compile
-            state["handler_q"] = hq
-            walls, runs = [], []
-            for i in range(3):
-                t0 = time.perf_counter()
-                r = hq.generate_music("bench", "[inst]", audio_duration=60.0,
-                                      seeds=2 + i, infer_steps=8)
-                np.asarray(r.audios[0][:8])
-                walls.append(time.perf_counter() - t0)
-                runs.append(r.time_costs)
-            wall, spread, mid = _median_run(walls)
-            costs = runs[mid]
-            diff_s = round(costs.get("diffusion_time_cost", 0), 3)
-            rows.append({
-                "config": "60s_b1_w8a8", "duration_s": 60, "batch": 1,
-                "thinking": False, "wall_s": wall, "wall_spread": spread,
-                "seconds_per_song": wall, "rtf": round(60 / wall, 1),
-                "diffusion_s": diff_s,
-                "vae_s": round(costs.get("vae_decode_time_cost", 0), 3),
-                **_mfu_fields(DiTConfig(), 1500, 577, 8, 1, diff_s,
-                              dtype="int8"),
-            })
-            log(f"matrix 60s_b1_w8a8: {rows[-1]}")
-    # the int8 DiT handler is rebuilt INSIDE the 4B section (big LM first,
-    # DiT second gives the 4B init an empty chip — r5's cascade started
-    # when the 4B bf16 init transient hit a chip already holding the DiT)
-    drop("handler_q")
-
-    # 4B planner (VERDICT r4 item 5): Qwen3-4B geometry at w8a8 (tier_16g's
-    # pinned mode) coexisting with the int8 DiT+VAE service on one chip.
-    # LAST by design: an OOM here must not poison rows that still need the
-    # chip (exactly what happened in the first r5 capture).
-    def bench_lm4b():
-        # nested function: on an exception every local (the 4B handler and
-        # its caches) dies with the frame, freeing its HBM
-        llm4 = LLMHandler(dtype=jnp.bfloat16)
-        t0 = time.perf_counter()
-        llm4.initialize(cfg=LMConfig.qwen3_4b(), tokenizer=tok17(),
-                        max_duration=600, seed=0, quantization="w8a8")
-        load4_s = time.perf_counter() - t0
-        p4 = llm4.build_formatted_prompt_with_cot(
-            "bench", "", "<think>\nduration: 60\n</think>")
-        n4 = llm4.build_formatted_prompt_with_cot(
-            "bench", "", "<think>\nduration: 60\n</think>",
-            is_negative_prompt=True)
-        qkw4 = dict(unconditional_prompts=[n4], cfg_scale=2.0,
-                    temperature=0.85, top_p=0.9, n_codes=300)
-        llm4.engine.generate_codes([p4], seed=0, **qkw4)        # warm
-        walls4 = []
-        for i in range(2):
-            t0 = time.perf_counter()
-            llm4.engine.generate_codes([p4], seed=1 + i, **qkw4)
-            walls4.append(time.perf_counter() - t0)
-        w4, s4, _ = _median_run(walls4)
-        rows.append({
-            "config": "lm4B_codes300_w8a8", "lm_geom": "4B", "batch": 1,
-            "thinking": True, "wall_s": w4, "wall_spread": s4,
-            "decode_tok_s": round(300 / w4, 1), "load_s": round(load4_s, 1),
-        })
-        log(f"matrix lm4B_codes300_w8a8: {rows[-1]}")
-        # the reference's thinking example with the 4B planner, end to end
-        # through the tier_16g service pairing (int8 DiT + w8a8 4B LM),
-        # fail-soft: losing the pairing row must not lose the codes row
-        if remaining() > 60:
-            try:
-                hq = AceStepHandler()
-                hq.initialize_service(seed=0, quantization="w8a8")
-                run_think("30s_b1_think_lm4B", 30, 1, repeats=2,
-                          llm_handler=llm4, lm_geom="4B", dit_handler=hq)
-            except Exception as e:   # noqa: BLE001 — row-level fail-soft
-                log(f"row 30s_b1_think_lm4B FAILED: {e!r}")
-                rows.append({"config": "30s_b1_think_lm4B",
-                             "error": repr(e)[:300]})
-        del llm4
-
-    with section("lm4B", 160) as go:
-        if go:
-            bench_lm4b()
+    # (the 60s_b1_w8a8 quantized-service row is measured inside the lm4B
+    # section above, on the tier_16g pairing handler — see bench_lm4b)
     state.clear()
     gc.collect()
 
