@@ -26,7 +26,8 @@ stdout contract: ONE SMALL JSON line
 printed TWICE — immediately after the headline measurement (so a later
 hard kill still leaves a parseable line as the last stdout line; all
 progress logging goes to stderr) and again, updated, at exit. The full
-matrix goes to BENCH_MATRIX.json (always) and docs/BENCHMARK.md
+matrix goes to BENCH_MATRIX.json (BENCH_MATRIX_starved.json when a
+backend-init block starved the capture below 6 rows) and docs/BENCHMARK.md
 (`--write-docs`) — round 3 showed a multi-KB single-line JSON on stdout
 can fail the driver's parser even at rc=0.
 """
@@ -978,17 +979,26 @@ def main():
             matrix(rows, truncated)
         except Exception as e:      # pragma: no cover - defensive
             log(f"MATRIX ABORTED: {e!r}")
-        # full matrix to a FILE (a multi-KB stdout line broke the driver
-        # parser in round 3); stdout stays small
-        with open("BENCH_MATRIX.json", "w", encoding="utf-8") as f:
-            json.dump({"headline": payload, "rows": rows,
-                       "truncated": truncated, "env": env}, f, indent=1)
-        log("wrote BENCH_MATRIX.json")
         payload["extra"]["rows_done"] = sum(
             1 for r in rows if "error" not in r and "skipped" not in r)
         payload["extra"]["truncated"] = truncated[:8]
+        # full matrix to a FILE (a multi-KB stdout line broke the driver
+        # parser in round 3); stdout stays small. A starved capture (a
+        # backend-init block ate the budget, nearly all sections shed)
+        # goes to a side file so it cannot clobber a good committed one.
+        mx_name = ("BENCH_MATRIX.json"
+                   if payload["extra"]["rows_done"] >= 6
+                   else "BENCH_MATRIX_starved.json")
+        with open(mx_name, "w", encoding="utf-8") as f:
+            json.dump({"headline": payload, "rows": rows,
+                       "truncated": truncated, "env": env}, f, indent=1)
+        log(f"wrote {mx_name}")
         if "--write-docs" in sys.argv:
-            write_docs(payload, rows, env)
+            if payload["extra"]["rows_done"] >= 6:
+                write_docs(payload, rows, env)
+            else:
+                log(f"NOT writing docs: only "
+                    f"{payload['extra']['rows_done']} rows captured")
     log(f"total bench wall: {time.perf_counter() - _T_START:.1f}s "
         f"(budget {BUDGET_S:.0f}s)")
     # FINAL print: same small schema, now with matrix accounting
