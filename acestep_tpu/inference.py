@@ -245,6 +245,120 @@ def analyze_input(llm_handler, params: GenerationParams) -> Dict[str, Any]:
         return {"success": False, "error": str(e)}
 
 
+def _plan_lm(llm_handler, params: GenerationParams,
+             config: GenerationConfig, lyrics: str,
+             time_costs: Dict[str, Any]):
+    """LM planning stage of generate_music -> (lm_meta, audio_codes).
+
+    Extracted (pure code motion) so generate_music_group can run the
+    identical per-request planning before a fused multi-request render."""
+    lm_meta: Dict[str, Any] = {}
+    audio_codes = params.audio_codes or None
+    # the reference skips the LM entirely for cover/repaint (its
+    # skip_lm_tasks, inference.py:390) — edit tasks must not have the
+    # LM overwrite the user's caption/metadata (or pay LM latency)
+    skip_lm = params.task_type in ("cover", "repaint")
+    # CoT knobs request LM planning even with thinking off (reference
+    # inference.py:397-398: use_lm = thinking OR need_lm_for_cot)
+    need_lm_for_cot = (params.use_cot_caption or params.use_cot_language
+                       or params.use_cot_metas)
+    if llm_handler is not None and not skip_lm and (
+            params.thinking or need_lm_for_cot):
+        t_lm = time.time()
+        plan_kwargs = _build_plan_kwargs(
+            params, lyrics=lyrics,
+            infer_type=("llm_dit" if (params.thinking
+                                      and params.task_type == "text2music"
+                                      and not audio_codes) else "dit"))
+        # per-item plans when allowed: each song in a batch gets its own
+        # CoT + codes, decoded as ONE batched device program
+        # (plan_batch). When the plan produces no codes
+        # (infer_type='dit'), one plan serves the batch.
+        n_plans = (config.batch_size
+                   if config.allow_lm_batch and config.batch_size > 1
+                   and plan_kwargs["infer_type"] == "llm_dit"
+                   else 1)
+        lm_seed = _plan_seed(params)
+        if n_plans > 1 and hasattr(llm_handler, "plan_batch"):
+            phases = llm_handler.plan_batch(n=n_plans, seed=lm_seed,
+                                            **plan_kwargs)
+        else:
+            phases = [llm_handler.plan(seed=lm_seed + i, **plan_kwargs)
+                      for i in range(n_plans)]
+        phase = phases[0]
+        lm_meta = phase.get("metadata", {})
+        if not params.use_cot_metas:
+            # user opted out of LM metadata: keep only caption/language
+            lm_meta = {k: v for k, v in lm_meta.items()
+                       if k in ("caption", "language")}
+        if not audio_codes and any(p.get("audio_codes")
+                                   for p in phases):
+            # gate on ANY plan having codes: plan 0 coming back empty
+            # must not silently drop every other plan's codes
+            if n_plans > 1:
+                audio_codes = [p.get("audio_codes") or None
+                               for p in phases]
+            else:
+                audio_codes = phase["audio_codes"]
+        time_costs["lm_time_cost"] = time.time() - t_lm
+    return lm_meta, audio_codes
+
+
+def _audio_entry(dit_handler, params: GenerationParams,
+                 config: GenerationConfig, res, i: int, path,
+                 meta: Dict[str, Any], lyrics: str,
+                 time_costs: Dict[str, Any]) -> Dict[str, Any]:
+    """One per-song result entry for batch item i (pure code motion from
+    generate_music): uuid key + reproducibility sidecar + optional LRC."""
+    p_dict = params.to_dict()
+    p_dict["seed"] = res.seeds[i]
+    if getattr(dit_handler, "lora", None) is not None:
+        # LoRA state distinguishes result keys (reference
+        # audio_utils_uuid_test: same request, different adapter/
+        # scale -> different uuid)
+        p_dict["lora"] = dit_handler.lora.signature()
+    entry = {
+        "path": path,
+        "key": generate_uuid_from_params(p_dict),
+        "seed": res.seeds[i],
+        "params": p_dict,
+        "sample_rate": res.sample_rate,
+    }
+    if path:
+        # reproducibility sidecar: the reference writes every
+        # audio's full parameter set as {key}.json next to the
+        # file so the UI can re-import it later
+        # (generation_progress.py:224-237, metadata_loading.py:20)
+        try:
+            import json as _json
+
+            sidecar = os.path.splitext(path)[0] + ".json"
+            with open(sidecar, "w", encoding="utf-8") as f:
+                _json.dump(p_dict, f, indent=2, ensure_ascii=False)
+            entry["params_path"] = sidecar
+        except OSError:
+            pass             # best-effort decoration
+    if config.want_lrc and lyrics.strip().lower() not in (
+            "", "[inst]", "[instrumental]"):
+        t_lrc = time.time()
+        try:
+            lrc = dit_handler.generate_lrc(
+                res.pred_latents[i], meta.get("caption", ""), lyrics,
+                metas={k: v for k, v in meta.items()
+                       if k != "caption"},
+                vocal_language=meta.get("language", "en"))
+            entry["lrc"] = lrc["lrc"]
+            entry["alignment_score"] = lrc["score"]
+        except Exception as e:   # best-effort decoration
+            entry["lrc_error"] = str(e)
+        # LRC detection cost, accumulated over the batch (the
+        # reference's `auto_lrc_time` generation-info block)
+        time_costs["auto_lrc_time"] = (
+            time_costs.get("auto_lrc_time", 0.0)
+            + (time.time() - t_lrc))
+    return entry
+
+
 def generate_music(dit_handler, llm_handler, params: GenerationParams,
                    config: Optional[GenerationConfig] = None) -> GenerationResult:
     """Full pipeline: optional LM planning phase -> DiT render -> save."""
@@ -254,55 +368,8 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
     try:
         lyrics = "[Instrumental]" if params.instrumental and not params.lyrics \
             else params.lyrics
-        lm_meta: Dict[str, Any] = {}
-        audio_codes = params.audio_codes or None
-        # the reference skips the LM entirely for cover/repaint (its
-        # skip_lm_tasks, inference.py:390) — edit tasks must not have the
-        # LM overwrite the user's caption/metadata (or pay LM latency)
-        skip_lm = params.task_type in ("cover", "repaint")
-        # CoT knobs request LM planning even with thinking off (reference
-        # inference.py:397-398: use_lm = thinking OR need_lm_for_cot)
-        need_lm_for_cot = (params.use_cot_caption or params.use_cot_language
-                           or params.use_cot_metas)
-        if llm_handler is not None and not skip_lm and (
-                params.thinking or need_lm_for_cot):
-            t_lm = time.time()
-            plan_kwargs = _build_plan_kwargs(
-                params, lyrics=lyrics,
-                infer_type=("llm_dit" if (params.thinking
-                                          and params.task_type == "text2music"
-                                          and not audio_codes) else "dit"))
-            # per-item plans when allowed: each song in a batch gets its own
-            # CoT + codes, decoded as ONE batched device program
-            # (plan_batch). When the plan produces no codes
-            # (infer_type='dit'), one plan serves the batch.
-            n_plans = (config.batch_size
-                       if config.allow_lm_batch and config.batch_size > 1
-                       and plan_kwargs["infer_type"] == "llm_dit"
-                       else 1)
-            lm_seed = _plan_seed(params)
-            if n_plans > 1 and hasattr(llm_handler, "plan_batch"):
-                phases = llm_handler.plan_batch(n=n_plans, seed=lm_seed,
-                                                **plan_kwargs)
-            else:
-                phases = [llm_handler.plan(seed=lm_seed + i, **plan_kwargs)
-                          for i in range(n_plans)]
-            phase = phases[0]
-            lm_meta = phase.get("metadata", {})
-            if not params.use_cot_metas:
-                # user opted out of LM metadata: keep only caption/language
-                lm_meta = {k: v for k, v in lm_meta.items()
-                           if k in ("caption", "language")}
-            if not audio_codes and any(p.get("audio_codes")
-                                       for p in phases):
-                # gate on ANY plan having codes: plan 0 coming back empty
-                # must not silently drop every other plan's codes
-                if n_plans > 1:
-                    audio_codes = [p.get("audio_codes") or None
-                                   for p in phases]
-                else:
-                    audio_codes = phase["audio_codes"]
-            time_costs["lm_time_cost"] = time.time() - t_lm
+        lm_meta, audio_codes = _plan_lm(llm_handler, params, config,
+                                        lyrics, time_costs)
 
         meta = _merge_metadata(params, lm_meta)
         duration = None
@@ -368,53 +435,8 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
 
         audios = []
         for i, path in enumerate(res.audio_paths or [None] * len(res.audios)):
-            p_dict = params.to_dict()
-            p_dict["seed"] = res.seeds[i]
-            if getattr(dit_handler, "lora", None) is not None:
-                # LoRA state distinguishes result keys (reference
-                # audio_utils_uuid_test: same request, different adapter/
-                # scale -> different uuid)
-                p_dict["lora"] = dit_handler.lora.signature()
-            entry = {
-                "path": path,
-                "key": generate_uuid_from_params(p_dict),
-                "seed": res.seeds[i],
-                "params": p_dict,
-                "sample_rate": res.sample_rate,
-            }
-            if path:
-                # reproducibility sidecar: the reference writes every
-                # audio's full parameter set as {key}.json next to the
-                # file so the UI can re-import it later
-                # (generation_progress.py:224-237, metadata_loading.py:20)
-                try:
-                    import json as _json
-
-                    sidecar = os.path.splitext(path)[0] + ".json"
-                    with open(sidecar, "w", encoding="utf-8") as f:
-                        _json.dump(p_dict, f, indent=2, ensure_ascii=False)
-                    entry["params_path"] = sidecar
-                except OSError:
-                    pass             # best-effort decoration
-            if config.want_lrc and lyrics.strip().lower() not in (
-                    "", "[inst]", "[instrumental]"):
-                t_lrc = time.time()
-                try:
-                    lrc = dit_handler.generate_lrc(
-                        res.pred_latents[i], meta.get("caption", ""), lyrics,
-                        metas={k: v for k, v in meta.items()
-                               if k != "caption"},
-                        vocal_language=meta.get("language", "en"))
-                    entry["lrc"] = lrc["lrc"]
-                    entry["alignment_score"] = lrc["score"]
-                except Exception as e:   # best-effort decoration
-                    entry["lrc_error"] = str(e)
-                # LRC detection cost, accumulated over the batch (the
-                # reference's `auto_lrc_time` generation-info block)
-                time_costs["auto_lrc_time"] = (
-                    time_costs.get("auto_lrc_time", 0.0)
-                    + (time.time() - t_lrc))
-            audios.append(entry)
+            audios.append(_audio_entry(dit_handler, params, config, res, i,
+                                       path, meta, lyrics, time_costs))
         return GenerationResult(
             audios=audios,
             status_message="success",
@@ -434,6 +456,121 @@ def generate_music(dit_handler, llm_handler, params: GenerationParams,
             audios=[], success=False, error=f"{e}",
             status_message=traceback.format_exc(limit=5),
         )
+
+
+def generate_music_group(dit_handler, llm_handler,
+                         jobs: List[tuple]) -> List[GenerationResult]:
+    """Render N compatible single-song requests as ONE batched DiT program.
+
+    Cross-request co-scheduling (reference analog: nano-vllm's scheduler
+    batches concurrently queued sequences into one step,
+    third_parts/nano-vllm/nanovllm/engine/scheduler.py:33-101). The TPU
+    shape of that idea: the serving queue drains compatible waiting jobs
+    and fuses their renders into the same bucketed jitted program at
+    batch=N with per-item conditioning — MXU utilization rises with batch
+    (measured: 30s_b8 runs ~2.8x more songs/s than 8x b1). LM metadata
+    planning stays per-request *by design*: each request's constrained-
+    decoding FSM tables are compiled device constants, so cross-request
+    CoT batching would recompile per group (docs/ARCHITECTURE.md, request
+    co-scheduling).
+
+    jobs: list of (GenerationParams, GenerationConfig). The CALLER
+    guarantees compatibility (serving.server._coalesce_key): task
+    text2music, pinned equal duration, equal sampler/output knobs, no
+    audio inputs, no code hints, batch_size 1, no LRC. Per-item caption,
+    lyrics, metadata, language, and seed are honored. Returns one
+    GenerationResult per job with the same schema as generate_music.
+    """
+    t0 = time.time()
+    try:
+        per = []
+        for params, config in jobs:
+            lyrics = ("[Instrumental]"
+                      if params.instrumental and not params.lyrics
+                      else params.lyrics)
+            tc: Dict[str, Any] = {}
+            lm_meta, _codes = _plan_lm(llm_handler, params, config,
+                                       lyrics, tc)
+            # the compatibility predicate excludes thinking + code hints,
+            # so _codes is always None here; assert the contract cheaply
+            meta = _merge_metadata(params, lm_meta)
+            per.append({"params": params, "config": config,
+                        "lyrics": lyrics, "meta": meta,
+                        "lm_meta": lm_meta, "tc": tc})
+        p0, c0 = jobs[0]
+        duration = (float(p0.duration)
+                    if p0.duration and p0.duration > 0 else None)
+        # per-item seeds: honor each request's pinned seed; draw host
+        # randoms for use_random_seed jobs so items stay independent
+        import random as _random
+
+        seeds = []
+        for params, config in jobs:
+            if config.seeds is not None:
+                seeds.append(int(config.seeds[0]))
+            elif params.seed is None or params.seed < 0:
+                seeds.append(_random.randint(0, 2**31 - 1))
+            else:
+                seeds.append(int(params.seed))
+        res = dit_handler.generate_music(
+            captions=[d["meta"].get("caption") or d["params"].caption
+                      for d in per],
+            lyrics=[d["lyrics"] for d in per],
+            metas=[{k: v for k, v in d["meta"].items() if k != "caption"}
+                   for d in per],
+            task=p0.task_type,
+            vocal_languages=[d["meta"].get("language",
+                                           d["params"].vocal_language)
+                             for d in per],
+            audio_duration=duration,
+            batch_size=len(jobs),
+            seeds=seeds,
+            use_random_seed=False,
+            infer_method=p0.infer_method,
+            shift=p0.shift,
+            infer_steps=p0.inference_steps,
+            timesteps=p0.timesteps,
+            guidance_scale=p0.guidance_scale,
+            use_adg=p0.use_adg,
+            cfg_interval=(p0.cfg_interval_start, p0.cfg_interval_end),
+            latent_shift=p0.latent_shift,
+            latent_rescale=p0.latent_rescale,
+            normalize=p0.enable_normalization,
+            normalize_db=p0.normalization_db,
+            save_dir=c0.output_dir,
+            audio_format=c0.audio_format,
+        )
+        shared = dict(res.time_costs)
+        shared["total_time_cost"] = time.time() - t0
+        shared["coalesced_jobs"] = len(jobs)
+        results = []
+        paths = res.audio_paths or [None] * len(res.audios)
+        for i, d in enumerate(per):
+            tc_i = dict(shared)
+            tc_i.update(d["tc"])        # this job's own lm_time_cost
+            entry = _audio_entry(dit_handler, d["params"], d["config"],
+                                 res, i, paths[i], d["meta"], d["lyrics"],
+                                 tc_i)
+            results.append(GenerationResult(
+                audios=[entry],
+                status_message="success",
+                extra_outputs={
+                    "time_costs": tc_i,
+                    "lm_metadata": d["lm_meta"],
+                    "audio_codes": None,
+                    "frames": res.extra.get("frames"),
+                    "task": res.extra.get("task"),
+                    "seeds": [res.seeds[i]],
+                    "coalesced_jobs": len(jobs),
+                },
+            ))
+        return results
+    except Exception as e:  # same error-payload contract as generate_music
+        import traceback
+
+        tb = traceback.format_exc(limit=5)
+        return [GenerationResult(audios=[], success=False, error=f"{e}",
+                                 status_message=tb) for _ in jobs]
 
 
 def understand_music(llm_handler, audio_codes: str,

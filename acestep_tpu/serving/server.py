@@ -161,6 +161,37 @@ def request_to_params(req: GenerateMusicRequest) -> GenerationParams:
     )
 
 
+def _coalesce_key(req: GenerateMusicRequest):
+    """Signature of a render-coalescable request, or None.
+
+    Cross-request co-scheduling scope (reference analog: nano-vllm's
+    scheduler batches concurrently queued sequences, engine/scheduler.py:
+    33-101): plain text2music renders — the REST default, thinking=False —
+    whose *conditioning* may differ per item (caption, lyrics, metadata,
+    language, seed) but whose *program shape* is shared: equal pinned
+    duration and sampler/output knobs, single song, no audio inputs, no
+    code hints, no LRC. Jobs with the same key fuse into one batched DiT
+    program (inference.generate_music_group); LM metadata planning stays
+    per-request because its constrained-decoding FSM tables are compiled
+    device constants (docs/ARCHITECTURE.md)."""
+    if (req.thinking or req.task_type != "text2music"
+            or req.analysis_only or req.full_analysis_only
+            or req.sample_mode or req.sample_query or req.use_format
+            or req.want_lrc or req.audio_codes or req.instruction
+            or req.reference_audio_path or req.src_audio_path
+            or req.reference_audio_b64 or req.src_audio_b64
+            or (req.batch_size or 1) != 1
+            or not req.audio_duration or req.audio_duration <= 0
+            or req.track_name or req.track_classes):
+        return None
+    return (req.model or "", req.lm_model_path or "", req.lm_backend,
+            float(req.audio_duration), int(req.inference_steps),
+            req.infer_method, float(req.shift), req.timesteps or "",
+            float(req.guidance_scale), bool(req.use_adg),
+            float(req.cfg_interval_start), float(req.cfg_interval_end),
+            float(req.audio_cover_strength), req.audio_format)
+
+
 class AppState:
     """Server-wide state: handlers, job plumbing, stats."""
 
@@ -202,6 +233,11 @@ class AppState:
         self.dataset = DatasetService(
             self.dit_handlers[self.default_model], llm_handler)
         self.worker_count = max(1, worker_count)
+        # cross-request render coalescing: max songs fused into one
+        # batched program when compatible jobs are waiting (0/1 disables)
+        self.coalesce_max = max(1, int(
+            os.environ.get("ACESTEP_COALESCE_MAX", "4")))
+        self.coalesced_jobs_total = 0
         self._workers: List[threading.Thread] = []
         self._shutdown = threading.Event()
         # per-request LM swap: initialized handlers keyed by checkpoint path
@@ -319,24 +355,144 @@ class AppState:
             job_id, req = self.job_queue.get()
             if job_id is None:
                 break
-            with self.pending_lock:
-                if job_id in self.pending_ids:
-                    self.pending_ids.remove(job_id)
-            rec = self.job_store.get(job_id)
-            if rec is not None and rec.status != "queued":
-                # canceled (or otherwise resolved) while waiting in the
-                # queue: don't burn a render on it
-                self._cleanup_request_temp_files(req)
-                self.job_queue.task_done()
-                continue
             try:
-                self._run_one_job(job_id, req)
-            except Exception:
-                self.job_store.mark_failed(job_id, traceback.format_exc(limit=10))
-                self._cache_result(job_id)
+                if not self._claim_job(job_id, req):
+                    continue
+                group, leftovers = self._drain_compatible(job_id, req)
+                if len(group) > 1:
+                    try:
+                        self._run_job_group(group)
+                    except Exception:   # e.g. lazy-init raise: fail the
+                        tb = traceback.format_exc(limit=10)   # whole group
+                        for jid2, _r in group:
+                            self.job_store.mark_failed(jid2, tb)
+                            self._cache_result(jid2)
+                else:
+                    self._safe_run_one(job_id, req)
+                # drained-but-incompatible job: runs next, FIFO preserved
+                for jid2, req2 in leftovers:
+                    self._safe_run_one(jid2, req2)
             finally:
                 self.job_queue.task_done()
                 self.job_store.cleanup()   # age out finished jobs (24 h)
+
+    def _claim_job(self, job_id: str, req) -> bool:
+        """Pending-list bookkeeping + canceled-while-queued check.
+        False = the job was resolved while waiting (don't burn a render)."""
+        with self.pending_lock:
+            if job_id in self.pending_ids:
+                self.pending_ids.remove(job_id)
+        rec = self.job_store.get(job_id)
+        if rec is not None and rec.status != "queued":
+            self._cleanup_request_temp_files(req)
+            return False
+        return True
+
+    def _safe_run_one(self, job_id: str, req) -> None:
+        try:
+            self._run_one_job(job_id, req)
+        except Exception:
+            self.job_store.mark_failed(job_id,
+                                       traceback.format_exc(limit=10))
+            self._cache_result(job_id)
+
+    def _drain_compatible(self, job_id: str, req):
+        """Opportunistically pull more queued jobs behind `req`.
+
+        Returns (group, leftovers): `group` is the head job plus every
+        consecutively queued job with the same coalesce key (fused into
+        one batched render); `leftovers` holds at most one drained job
+        that broke the run of compatible keys — draining stops there so
+        FIFO order is preserved for everything still in the queue.
+        task_done() for drained items is accounted here (the head's is
+        the worker loop's)."""
+        group = [(job_id, req)]
+        leftovers = []
+        key = _coalesce_key(req) if self.coalesce_max > 1 else None
+        if key is None:
+            return group, leftovers
+        while len(group) < self.coalesce_max:
+            try:
+                jid2, req2 = self.job_queue.get_nowait()
+            except queue.Empty:
+                break
+            self.job_queue.task_done()
+            if jid2 is None:
+                # shutdown sentinel: hand it back for a worker to see
+                try:
+                    self.job_queue.put_nowait((None, None))
+                except queue.Full:
+                    pass     # _shutdown event still ends every loop
+                break
+            if not self._claim_job(jid2, req2):
+                continue     # canceled while queued
+            if _coalesce_key(req2) == key:
+                group.append((jid2, req2))
+            else:
+                leftovers.append((jid2, req2))
+                break
+        return group, leftovers
+
+    def _run_job_group(self, group) -> None:
+        """Run N compatible queued jobs as ONE batched render
+        (cross-request co-scheduling; see _coalesce_key)."""
+        t0 = time.time()
+        self.ensure_initialized()
+        head = group[0][1]
+        model_name, dit_handler = self._select_handler(head.model)
+        llm_handler, release_llm = self._select_llm(
+            getattr(head, "lm_model_path", None))
+        jobs = []
+        for jid, req in group:
+            self.job_store.mark_running(jid)
+            self._cache_progress(jid, 0.01, "running")
+            jobs.append((request_to_params(req), GenerationConfig(
+                batch_size=1,
+                use_random_seed=req.use_random_seed,
+                audio_format=req.audio_format,
+                output_dir=self.output_dir,
+                allow_lm_batch=req.allow_lm_batch,
+                constrained_decoding_debug=req.constrained_decoding_debug,
+                want_lrc=False,          # excluded by _coalesce_key
+            )))
+        try:
+            with self.reinit_lock:
+                results = inference.generate_music_group(
+                    dit_handler, llm_handler, jobs)
+        finally:
+            release_llm()
+        if results and all(not r.success for r in results):
+            # the fused render failed as a unit (e.g. batch OOM): retry
+            # each job on the plain path so one batch cannot fail N jobs
+            for jid, req in group:
+                self._safe_run_one(jid, req)
+            return
+        elapsed = time.time() - t0
+        for (jid, req), (params, config), result in zip(group, jobs,
+                                                        results):
+            payload = result.to_dict()
+            payload["dit_model"] = model_name
+            payload["lm_model"] = (
+                (getattr(req, "lm_model_path", None) or "")
+                if llm_handler is not self.llm_handler else "")
+            payload["prompt"] = params.caption
+            payload["lyrics"] = params.lyrics
+            payload["audio_format"] = config.audio_format
+            if result.success:
+                self.job_store.mark_succeeded(jid, payload)
+            else:
+                self.job_store.mark_failed(
+                    jid, result.error or result.status_message)
+            self._cache_result(jid)
+        with self.stats_lock:
+            # ETA bookkeeping: a fused render costs elapsed/N per song
+            per_job = elapsed / max(1, len(group))
+            for _ in group:
+                n = self.completed_jobs
+                self.avg_job_seconds = (
+                    self.avg_job_seconds * n + per_job) / (n + 1)
+                self.completed_jobs = n + 1
+            self.coalesced_jobs_total += len(group)
 
     def cancel_task(self, job_id: str) -> Dict[str, Any]:
         """Cancel a QUEUED job (beyond the reference: it has no
@@ -980,11 +1136,13 @@ class _Handler(BaseHTTPRequestHandler):
         state = self.state
         with state.stats_lock:
             avg = state.avg_job_seconds
+            coalesced = state.coalesced_jobs_total
         self._send_json(wrap_response({
             "jobs": state.job_store.get_stats(),
             "queue_size": state.job_queue.qsize(),
             "queue_maxsize": QUEUE_MAXSIZE,
             "avg_job_seconds": avg,
+            "coalesced_jobs_total": coalesced,
         }))
 
     def _get_metrics(self) -> None:

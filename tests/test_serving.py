@@ -659,3 +659,159 @@ def test_metrics_prometheus_exposition(server_env):
     assert "acestep_queue_depth 0" in text
     assert "acestep_uptime_seconds" in text
     assert "acestep_avg_job_seconds" in text
+
+
+# ---------------------------------------------------------------------------
+# Cross-request render coalescing (reference analog: nano-vllm scheduler
+# batching concurrent sequences, engine/scheduler.py:33-101)
+# ---------------------------------------------------------------------------
+
+
+def _coalesce_state(tmp_path):
+    """AppState WITHOUT workers: tests drive the dispatch path directly."""
+    out_dir = str(tmp_path / "co_out")
+    os.makedirs(out_dir, exist_ok=True)
+    handler = FakeDiTHandler(out_dir)
+    state = AppState({"acestep-v15-turbo-tpu": handler}, None,
+                     output_dir=out_dir,
+                     persist_dir=str(tmp_path / "co_persist"))
+    return state, handler
+
+
+def _enqueue(state, req):
+    rec = state.job_store.create()
+    with state.pending_lock:
+        state.pending_ids.append(rec.job_id)
+    state.job_queue.put_nowait((rec.job_id, req))
+    return rec.job_id
+
+
+def test_coalescing_fuses_compatible_jobs_into_one_render(tmp_path):
+    state, handler = _coalesce_state(tmp_path)
+    reqs = [GenerateMusicRequest(prompt=f"song {i}", lyrics="[inst]",
+                                 audio_duration=30.0, seed=i,
+                                 use_random_seed=False, thinking=False)
+            for i in range(3)]
+    ids = [_enqueue(state, r) for r in reqs]
+
+    head_id, head_req = state.job_queue.get()
+    assert state._claim_job(head_id, head_req)
+    group, leftovers = state._drain_compatible(head_id, head_req)
+    assert [jid for jid, _ in group] == ids and not leftovers
+    state._run_job_group(group)
+
+    # ONE fused handler call, batch 3, per-item conditioning + seeds
+    assert len(handler.calls) == 1
+    call = handler.calls[0]
+    assert call["batch_size"] == 3
+    assert call["captions"] == ["song 0", "song 1", "song 2"]
+    assert call["seeds"] == [0, 1, 2]
+    assert call["use_random_seed"] is False
+    for jid in ids:
+        rec = state.job_store.get(jid)
+        assert rec.status == "succeeded"
+        assert rec.result["extra_outputs"]["coalesced_jobs"] == 3
+        assert len(rec.result["audios"]) == 1     # one song per job
+    with state.stats_lock:
+        assert state.coalesced_jobs_total == 3
+
+
+def test_coalescing_stops_at_incompatible_job(tmp_path):
+    state, handler = _coalesce_state(tmp_path)
+    a = GenerateMusicRequest(prompt="a", audio_duration=30.0, thinking=False)
+    b = GenerateMusicRequest(prompt="b", audio_duration=30.0, thinking=False)
+    c = GenerateMusicRequest(prompt="c", audio_duration=60.0, thinking=False)
+    d = GenerateMusicRequest(prompt="d", audio_duration=30.0, thinking=False)
+    for r in (a, b, c, d):
+        _enqueue(state, r)
+
+    head_id, head_req = state.job_queue.get()
+    assert state._claim_job(head_id, head_req)
+    group, leftovers = state._drain_compatible(head_id, head_req)
+    # run of compatible keys ends at c: [a, b] fuse, c runs alone next,
+    # d stays queued (FIFO preserved past the break)
+    assert [r.prompt for _, r in group] == ["a", "b"]
+    assert [r.prompt for _, r in leftovers] == ["c"]
+    assert state.job_queue.qsize() == 1
+
+
+def test_non_coalescable_head_never_drains(tmp_path):
+    state, handler = _coalesce_state(tmp_path)
+    think = GenerateMusicRequest(prompt="t", audio_duration=30.0,
+                                 thinking=True)
+    plain = GenerateMusicRequest(prompt="p", audio_duration=30.0,
+                                 thinking=False)
+    _enqueue(state, think)
+    _enqueue(state, plain)
+    head_id, head_req = state.job_queue.get()
+    group, leftovers = state._drain_compatible(head_id, head_req)
+    assert len(group) == 1 and not leftovers
+    assert state.job_queue.qsize() == 1
+
+    # the predicate itself: every excluded mode returns None
+    from acestep_tpu.serving.server import _coalesce_key
+    assert _coalesce_key(plain) is not None
+    for bad in (
+        GenerateMusicRequest(thinking=True, audio_duration=30.0),
+        GenerateMusicRequest(audio_duration=30.0, task_type="cover"),
+        GenerateMusicRequest(audio_duration=30.0, want_lrc=True),
+        GenerateMusicRequest(audio_duration=30.0, batch_size=2),
+        GenerateMusicRequest(audio_duration=30.0, audio_codes="<x>"),
+        GenerateMusicRequest(audio_duration=30.0,
+                             src_audio_path="/tmp/x.wav"),
+        GenerateMusicRequest(),                   # no pinned duration
+        GenerateMusicRequest(audio_duration=30.0, analysis_only=True),
+    ):
+        assert _coalesce_key(bad) is None
+    # differing render knobs split groups
+    assert _coalesce_key(plain) != _coalesce_key(
+        GenerateMusicRequest(audio_duration=30.0, inference_steps=16))
+
+
+def test_coalescing_respects_canceled_jobs(tmp_path):
+    state, handler = _coalesce_state(tmp_path)
+    a = GenerateMusicRequest(prompt="a", audio_duration=30.0)
+    b = GenerateMusicRequest(prompt="b", audio_duration=30.0)
+    c = GenerateMusicRequest(prompt="c", audio_duration=30.0)
+    ids = [_enqueue(state, r) for r in (a, b, c)]
+    state.cancel_task(ids[1])
+
+    head_id, head_req = state.job_queue.get()
+    assert state._claim_job(head_id, head_req)
+    group, leftovers = state._drain_compatible(head_id, head_req)
+    assert [jid for jid, _ in group] == [ids[0], ids[2]]
+    state._run_job_group(group)
+    assert handler.calls[0]["batch_size"] == 2
+    assert state.job_store.get(ids[1]).status == "failed"   # canceled
+
+
+def test_generate_music_group_per_job_results(tmp_path):
+    """inference.generate_music_group: per-job entries, sidecars, seeds."""
+    from acestep_tpu import inference as inf
+
+    out_dir = str(tmp_path / "grp_out")
+    os.makedirs(out_dir, exist_ok=True)
+    handler = FakeDiTHandler(out_dir)
+    jobs = []
+    for i in range(2):
+        params = inf.GenerationParams(caption=f"c{i}", lyrics="[inst]",
+                                      duration=20.0, seed=i,
+                                      thinking=False)
+        config = inf.GenerationConfig(batch_size=1, output_dir=out_dir,
+                                      audio_format="wav")
+        jobs.append((params, config))
+    results = inf.generate_music_group(handler, None, jobs)
+    assert len(results) == 2 and all(r.success for r in results)
+    for i, r in enumerate(results):
+        entry = r.audios[0]
+        assert entry["params"]["caption"] == f"c{i}"
+        assert os.path.exists(entry["params_path"])   # sidecar json
+        assert r.extra_outputs["coalesced_jobs"] == 2
+    # distinct result keys: the uuid folds per-job params + seed
+    assert results[0].audios[0]["key"] != results[1].audios[0]["key"]
+
+
+def test_coalesced_jobs_visible_in_stats(server_env):
+    state, handler, port = server_env
+    status, out = _get(port, "/v1/stats")
+    assert "coalesced_jobs_total" in out["data"]
