@@ -958,6 +958,27 @@ class _Handler(BaseHTTPRequestHandler):
                     output_dir=(qs.get("output_dir") or [None])[0])))
             elif route == "/v1/dataset/status":
                 self._send_json(wrap_response(self.state.dataset.status()))
+            elif route == "/v1/dataset/samples":
+                self._dataset_call(self.state.dataset.samples)
+            elif route.startswith("/v1/dataset/sample/"):
+                idx = route.rsplit("/", 1)[-1]
+                if not idx.lstrip("-").isdigit():
+                    self._send_json(wrap_response(None, 400,
+                                                  "bad sample index"), 400)
+                else:
+                    self._dataset_call(self.state.dataset.sample, int(idx))
+            elif route == "/v1/dataset/auto_label_status" or \
+                    route.startswith("/v1/dataset/auto_label_status/"):
+                tid = (route.rsplit("/", 1)[-1]
+                       if route != "/v1/dataset/auto_label_status" else None)
+                self._dataset_call(self.state.dataset.task_status,
+                                   "auto_label", tid)
+            elif route == "/v1/dataset/preprocess_status" or \
+                    route.startswith("/v1/dataset/preprocess_status/"):
+                tid = (route.rsplit("/", 1)[-1]
+                       if route != "/v1/dataset/preprocess_status" else None)
+                self._dataset_call(self.state.dataset.task_status,
+                                   "preprocess", tid)
             elif route in ("/", "/studio"):
                 self._serve_studio()
             else:
@@ -1048,6 +1069,53 @@ class _Handler(BaseHTTPRequestHandler):
                     self._send_json(wrap_response(None, 404, str(e)), 404)
                 except RuntimeError as e:
                     self._send_json(wrap_response(None, 409, str(e)), 409)
+            elif route == "/v1/dataset/scan":
+                self.state.ensure_initialized()   # labeling encodes audio
+                self._dataset_call(
+                    self.state.dataset.scan,
+                    _user_path(body.get("audio_dir", "")),
+                    dataset_name=str(body.get("dataset_name",
+                                              "my_lora_dataset")),
+                    custom_tag=str(body.get("custom_tag", "")),
+                    tag_position=str(body.get("tag_position", "replace")),
+                    all_instrumental=bool(body.get("all_instrumental",
+                                                   True)))
+            elif route == "/v1/dataset/load":
+                self._dataset_call(self.state.dataset.load_session,
+                                   _user_path(body.get("dataset_path", "")))
+            elif route == "/v1/dataset/save":
+                self._dataset_call(
+                    self.state.dataset.save_session,
+                    _user_path(body.get("save_path", "")),
+                    dataset_name=body.get("dataset_name"),
+                    custom_tag=body.get("custom_tag"),
+                    tag_position=body.get("tag_position"),
+                    all_instrumental=body.get("all_instrumental"),
+                    genre_ratio=body.get("genre_ratio"))
+            elif route in ("/v1/dataset/auto_label",
+                           "/v1/dataset/auto_label_async"):
+                self.state.ensure_initialized()
+                self._dataset_call(
+                    self.state.dataset.auto_label,
+                    skip_metas=bool(body.get("skip_metas", False)),
+                    format_lyrics=bool(body.get("format_lyrics", False)),
+                    transcribe_lyrics=bool(body.get("transcribe_lyrics",
+                                                    False)),
+                    only_unlabeled=bool(body.get("only_unlabeled", False)),
+                    save_path=(_user_path(body["save_path"])
+                               if body.get("save_path") else None),
+                    run_async=route.endswith("_async"))
+            elif route in ("/v1/dataset/preprocess",
+                           "/v1/dataset/preprocess_async"):
+                self.state.ensure_initialized()
+                self._dataset_call(
+                    self.state.dataset.preprocess,
+                    _user_path(body.get("output_dir", "")),
+                    skip_existing=bool(body.get("skip_existing", False)),
+                    run_async=route.endswith("_async"))
+            elif route.startswith("/v1/dataset/sample/"):
+                # POST alias for clients that cannot send PUT
+                self._dataset_update_sample(route, body)
             elif route == "/v1/training/load_tensor_info":
                 self._tensor_info(body)
             elif route == "/v1/training/export":
@@ -1058,6 +1126,45 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(wrap_response(None, 400, str(e)), 400)
         except Exception as e:
             self._send_json(wrap_response(None, 500, str(e)), 500)
+
+    def do_PUT(self) -> None:  # noqa: N802
+        """PUT /v1/dataset/sample/{idx} — edit one sample (reference
+        train_api_dataset_service.py:854)."""
+        route = urlparse(self.path).path.rstrip("/")
+        body = self._json_body()
+        if not self.state.check_auth(body, self.headers.get("Authorization")):
+            self._unauthorized()
+            return
+        try:
+            if route.startswith("/v1/dataset/sample/"):
+                self._dataset_update_sample(route, body)
+            else:
+                self._send_json(wrap_response(None, 404, "Not found"), 404)
+        except Exception as e:
+            self._send_json(wrap_response(None, 500, str(e)), 500)
+
+    # -- dataset session helpers ---------------------------------------------
+
+    def _dataset_call(self, fn, *args, **kwargs) -> None:
+        """Shared error mapping for the interactive dataset routes: missing
+        session/model -> 400, unknown index/task -> 404."""
+        try:
+            self._send_json(wrap_response(fn(*args, **kwargs)))
+        except FileNotFoundError as e:
+            self._send_json(wrap_response(None, 404, str(e)), 404)
+        except (IndexError, KeyError) as e:
+            self._send_json(wrap_response(None, 404, str(e)), 404)
+        except RuntimeError as e:
+            self._send_json(wrap_response(None, 400, str(e)), 400)
+
+    def _dataset_update_sample(self, route: str,
+                               body: Dict[str, Any]) -> None:
+        idx = route.rsplit("/", 1)[-1]
+        if not idx.lstrip("-").isdigit():
+            self._send_json(wrap_response(None, 400, "bad sample index"),
+                            400)
+            return
+        self._dataset_call(self.state.dataset.update_sample, int(idx), body)
 
     # -- endpoints ----------------------------------------------------------
 

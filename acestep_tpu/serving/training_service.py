@@ -294,6 +294,9 @@ class DatasetService:
         self._thread: Optional[threading.Thread] = None
         self._state: Dict[str, Any] = {"status": "idle"}
         self._pipeline = None
+        self.session = None                      # interactive DatasetSession
+        self._tasks: Dict[str, Dict[str, Any]] = {}
+        self._latest_task: Dict[str, str] = {}
 
     def start(self, audio_dir: str, out_dir: str, *,
               val_fraction: float = 0.0,
@@ -334,3 +337,235 @@ class DatasetService:
             except Exception:
                 pass
         return state
+
+    # -- interactive session (reference train_api_dataset_service.py) ----
+    #
+    # scan/load -> edit samples -> auto_label (sync or async task) ->
+    # save -> preprocess (sync or async task). One session at a time,
+    # like the reference's app.state.dataset_builder.
+
+    def _session_required(self):
+        if getattr(self, "session", None) is None:
+            raise RuntimeError(
+                "No dataset loaded. Scan or load a dataset first.")
+        return self.session
+
+    def scan(self, audio_dir: str, *, dataset_name: str = "my_lora_dataset",
+             custom_tag: str = "", tag_position: str = "replace",
+             all_instrumental: bool = True) -> Dict[str, Any]:
+        from acestep_tpu.training.dataset_session import DatasetSession
+
+        session = DatasetSession()
+        session.metadata.name = dataset_name
+        session.metadata.tag_position = tag_position
+        session.metadata.all_instrumental = all_instrumental
+        n = session.scan_directory(audio_dir)
+        session.set_all_instrumental(all_instrumental)
+        if custom_tag:
+            session.set_custom_tag(custom_tag, tag_position)
+        with self._lock:
+            self.session = session
+        return {"message": f"Scanned {n} audio files", "num_samples": n,
+                "samples": session.serialize_samples()}
+
+    def load_session(self, dataset_path: str) -> Dict[str, Any]:
+        from acestep_tpu.training.dataset_session import DatasetSession
+
+        session = DatasetSession()
+        n = session.load(dataset_path)
+        with self._lock:
+            self.session = session
+        return {"message": f"Loaded {n} samples",
+                "dataset_name": session.metadata.name,
+                "num_samples": n,
+                "labeled_count": session.labeled_count(),
+                "samples": session.serialize_samples()}
+
+    def save_session(self, save_path: str, *,
+                     dataset_name: Optional[str] = None,
+                     custom_tag: Optional[str] = None,
+                     tag_position: Optional[str] = None,
+                     all_instrumental: Optional[bool] = None,
+                     genre_ratio: Optional[int] = None) -> Dict[str, Any]:
+        s = self._session_required()
+        if dataset_name:
+            s.metadata.name = dataset_name
+        if tag_position is not None:
+            s.metadata.tag_position = tag_position
+        if custom_tag is not None:
+            s.set_custom_tag(custom_tag, s.metadata.tag_position)
+        if all_instrumental is not None:
+            s.set_all_instrumental(bool(all_instrumental))
+        if genre_ratio is not None:
+            s.metadata.genre_ratio = max(0, min(100, int(genre_ratio)))
+        path = s.save(save_path)
+        return {"message": f"Saved to {path}", "path": path,
+                "num_samples": len(s.samples)}
+
+    def samples(self) -> Dict[str, Any]:
+        s = self._session_required()
+        return {"num_samples": len(s.samples),
+                "labeled_count": s.labeled_count(),
+                "samples": s.serialize_samples()}
+
+    def sample(self, idx: int) -> Dict[str, Any]:
+        s = self._session_required()
+        if not 0 <= idx < len(s.samples):
+            raise IndexError(f"sample index {idx} out of range")
+        return {"index": idx, **s.samples[idx].to_dict()}
+
+    def update_sample(self, idx: int,
+                      fields: Dict[str, Any]) -> Dict[str, Any]:
+        s = self._session_required()
+        updated = s.update_sample(idx, fields)
+        return {"message": f"Sample {idx} updated",
+                "sample": {"index": idx, **updated.to_dict()}}
+
+    # -- async task registry (auto_label / preprocess) --------------------
+
+    def _task_start(self, kind: str, total: int) -> str:
+        import uuid
+
+        task_id = uuid.uuid4().hex[:12]
+        with self._lock:
+            tasks = self._tasks.setdefault(kind, {})
+            tasks[task_id] = {"task_id": task_id, "status": "running",
+                              "progress": "Starting...", "current": 0,
+                              "total": total, "created_at": time.time(),
+                              "updated_at": time.time()}
+            self._latest_task[kind] = task_id
+        return task_id
+
+    def _task_update(self, kind: str, task_id: str, **fields) -> None:
+        with self._lock:
+            task = self._tasks.get(kind, {}).get(task_id)
+            if task:
+                task.update(fields, updated_at=time.time())
+
+    def task_status(self, kind: str,
+                    task_id: Optional[str] = None) -> Dict[str, Any]:
+        with self._lock:
+            tid = task_id or self._latest_task.get(kind)
+            if tid is None:
+                return {"task_id": None, "status": "idle", "progress": "",
+                        "current": 0, "total": 0}
+            task = self._tasks.get(kind, {}).get(tid)
+            if task is None:
+                if task_id is not None:
+                    raise KeyError(f"task {task_id} not found")
+                return {"task_id": tid, "status": "idle", "progress": "",
+                        "current": 0, "total": 0}
+            return dict(task)
+
+    def auto_label(self, *, skip_metas: bool = False,
+                   format_lyrics: bool = False,
+                   transcribe_lyrics: bool = False,
+                   only_unlabeled: bool = False,
+                   save_path: Optional[str] = None,
+                   run_async: bool = False) -> Dict[str, Any]:
+        """Label the session's samples with the in-stack LM (+key-gated
+        external transcription). Async mode returns a task_id polled via
+        task_status('auto_label', ...)."""
+        s = self._session_required()
+        if self.handler is None:
+            raise RuntimeError("Model not initialized")
+        resolved_save = save_path or s.json_path
+        kwargs = dict(skip_metas=skip_metas, format_lyrics=format_lyrics,
+                      transcribe_lyrics=transcribe_lyrics,
+                      only_unlabeled=only_unlabeled)
+
+        def run(task_id: Optional[str]) -> Dict[str, Any]:
+            def on_progress(msg: str) -> None:
+                if task_id:
+                    cur = 0
+                    try:
+                        cur = int(msg.split()[1].split("/")[0])
+                    except (IndexError, ValueError):
+                        pass
+                    self._task_update("auto_label", task_id,
+                                      progress=msg, current=cur)
+
+            def on_labeled(idx: int, sample, status: str) -> None:
+                if task_id:
+                    self._task_update(
+                        "auto_label", task_id, progress=status,
+                        last_updated_index=idx,
+                        last_updated_sample=sample.to_dict())
+                if resolved_save and "✅" in status:
+                    try:
+                        s.save(resolved_save)   # incremental persist
+                    except OSError:
+                        pass
+
+            status = s.label_all(self.handler, self.llm,
+                                 progress_callback=on_progress,
+                                 sample_labeled_callback=on_labeled,
+                                 **kwargs)
+            if resolved_save:
+                try:
+                    s.save(resolved_save)
+                except OSError:
+                    pass
+            return {"message": status,
+                    "labeled_count": s.labeled_count(),
+                    "samples": s.serialize_samples()}
+
+        if not run_async:
+            return run(None)
+        task_id = self._task_start("auto_label", len(s.samples))
+
+        def worker() -> None:
+            try:
+                result = run(task_id)
+                self._task_update("auto_label", task_id, status="completed",
+                                  progress=result["message"],
+                                  result=result)
+            except Exception as e:
+                self._task_update("auto_label", task_id, status="failed",
+                                  error=str(e), progress=f"Failed: {e}")
+
+        threading.Thread(target=worker, daemon=True).start()
+        return {"task_id": task_id, "message": "Auto-labeling task started",
+                "total": len(s.samples)}
+
+    def preprocess(self, output_dir: str, *, skip_existing: bool = False,
+                   run_async: bool = False) -> Dict[str, Any]:
+        """Session -> training tensors under output_dir."""
+        s = self._session_required()
+        if self.handler is None:
+            raise RuntimeError("Model not initialized")
+
+        def run(task_id: Optional[str]) -> Dict[str, Any]:
+            def on_progress(msg: str) -> None:
+                if task_id:
+                    cur = 0
+                    try:
+                        cur = int(msg.split()[1].split("/")[0])
+                    except (IndexError, ValueError):
+                        pass
+                    self._task_update("preprocess", task_id,
+                                      progress=msg, current=cur)
+
+            n = s.preprocess(self.handler, output_dir,
+                             skip_existing=skip_existing,
+                             progress_callback=on_progress)
+            return {"message": f"Preprocessed {n} samples",
+                    "num_samples": n, "output_dir": output_dir}
+
+        if not run_async:
+            return run(None)
+        task_id = self._task_start("preprocess", len(s.samples))
+
+        def worker() -> None:
+            try:
+                result = run(task_id)
+                self._task_update("preprocess", task_id, status="completed",
+                                  progress=result["message"], result=result,
+                                  current=result["num_samples"])
+            except Exception as e:
+                self._task_update("preprocess", task_id, status="failed",
+                                  error=str(e), progress=f"Failed: {e}")
+
+        threading.Thread(target=worker, daemon=True).start()
+        return {"task_id": task_id, "message": "Preprocessing task started",
+                "total": len(s.samples)}

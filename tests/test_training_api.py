@@ -369,3 +369,101 @@ def test_tensorboard_empty_logdir_is_an_error(tiny_server, tmp_path):
                         {"logdir": str(empty)})
     assert status == 503
     assert "no tfevents" in (out["error"] or "")
+
+
+def _put(port, route, body):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+    conn.request("PUT", route, json.dumps(body),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    data = json.loads(resp.read().decode())
+    conn.close()
+    return resp.status, data
+
+
+def test_dataset_session_workflow_over_http(tiny_server):
+    """Reference train_api_dataset_service.py surface: scan -> samples ->
+    edit (PUT) -> save -> auto_label_async + status -> preprocess_async +
+    status, plus the error statuses (no session 400, bad index 404)."""
+    import wave
+
+    handler, state, port, tmp_path = tiny_server
+
+    # before any scan: session routes reject cleanly
+    status, _ = _get(port, "/v1/dataset/samples")
+    assert status == 400
+    status, out = _get(port, "/v1/dataset/auto_label_status")
+    assert status == 200 and out["data"]["status"] == "idle"
+
+    audio_dir = tmp_path / "sess_raw"
+    audio_dir.mkdir()
+    for name in ("a.wav", "b.wav"):
+        with wave.open(str(audio_dir / name), "wb") as f:
+            f.setnchannels(2)
+            f.setsampwidth(2)
+            f.setframerate(48000)
+            f.writeframes(b"\x00\x00" * 2 * 9600)
+    (audio_dir / "a.txt").write_text("some words")
+
+    status, out = _post(port, "/v1/dataset/scan", {
+        "audio_dir": str(audio_dir), "dataset_name": "http_set",
+        "custom_tag": "acid", "tag_position": "prepend"})
+    assert status == 200 and out["data"]["num_samples"] == 2
+    samples = out["data"]["samples"]
+    assert samples[0]["filename"] == "a.wav"
+    assert samples[0]["raw_lyrics"] == "some words"
+    assert samples[0]["custom_tag"] == "acid"
+
+    # single-sample fetch + edit via PUT
+    status, out = _get(port, "/v1/dataset/sample/1")
+    assert status == 200 and out["data"]["filename"] == "b.wav"
+    status, out = _put(port, "/v1/dataset/sample/1",
+                       {"caption": "edited cap", "bpm": 123})
+    assert status == 200
+    assert out["data"]["sample"]["caption"] == "edited cap"
+    status, _ = _get(port, "/v1/dataset/sample/9")
+    assert status == 404
+
+    # auto-label async (no LLM on this server: filename-caption fallback)
+    status, out = _post(port, "/v1/dataset/auto_label_async",
+                        {"only_unlabeled": False})
+    assert status == 200
+    task_id = out["data"]["task_id"]
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        _, st = _get(port, f"/v1/dataset/auto_label_status/{task_id}")
+        if st["data"]["status"] in ("completed", "failed"):
+            break
+        time.sleep(0.2)
+    assert st["data"]["status"] == "completed", st["data"]
+    assert st["data"]["result"]["labeled_count"] == 2
+
+    # save with genre ratio; file has the reference schema
+    save_path = tmp_path / "sess.json"
+    status, out = _post(port, "/v1/dataset/save", {
+        "save_path": str(save_path), "genre_ratio": 50})
+    assert status == 200 and os.path.exists(save_path)
+    raw = json.load(open(save_path))
+    assert raw["metadata"]["genre_ratio"] == 50
+    assert raw["samples"][1]["caption"] == "edited cap"
+
+    # preprocess async -> tensors on disk
+    out_dir = tmp_path / "sess_tensors"
+    status, out = _post(port, "/v1/dataset/preprocess_async",
+                        {"output_dir": str(out_dir)})
+    assert status == 200
+    task_id = out["data"]["task_id"]
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        _, st = _get(port, f"/v1/dataset/preprocess_status/{task_id}")
+        if st["data"]["status"] in ("completed", "failed"):
+            break
+        time.sleep(0.2)
+    assert st["data"]["status"] == "completed", st["data"]
+    files = [f for f in os.listdir(out_dir) if f.endswith(".npz")]
+    assert len(files) == 2
+
+    # reload the saved dataset into a fresh session
+    status, out = _post(port, "/v1/dataset/load",
+                        {"dataset_path": str(save_path)})
+    assert status == 200 and out["data"]["labeled_count"] == 2
