@@ -54,6 +54,9 @@ def test_endpoints_referenced(page):
                   "/v1/training/start", "/v1/training/stop",
                   "/v1/training/metrics", "/v1/training/tensorboard/start",
                   "/v1/dataset/build", "/v1/dataset/status",
+                  "/v1/dataset/scan", "/v1/dataset/load",
+                  "/v1/dataset/save", "/v1/dataset/auto_label_async",
+                  "/v1/dataset/preprocess_async",
                   "/v1/reinitialize", "/v1/stats", "/v1/models",
                   "/v1/audio"):
         assert route in page, f"UI missing endpoint {route}"
