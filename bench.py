@@ -168,24 +168,38 @@ def _mfu_fields(cfg: DiTConfig, frames: int, cond_len: int, steps: int,
 
 # ------------------------------------------------------------- stages
 
-def probe_bandwidth() -> dict:
-    """Device->host transfer probe (32 MiB int16): contextualizes the
-    transfer-bound rows — a 600 s song's audio is ~115 MB on the int16
-    wire, so its VAE stage wall tracks this number, which swings run to
-    run on a tunneled TPU."""
+def probe_bandwidth(wall_bound_s: float = 25.0) -> dict:
+    """Device->host transfer probe: contextualizes the transfer-bound
+    rows — a 600 s song's audio is ~115 MB on the int16 wire, so its VAE
+    stage wall tracks this number, which swings run to run on a tunneled
+    TPU. Escalating sizes (1 -> 8 -> 32 MiB) under a wall bound: the
+    tunnel has been observed in sub-0.2 MB/s windows where a single
+    32 MiB fetch blocks for minutes (an in-flight fetch cannot be
+    interrupted, so the only safe move is to never issue a big one until
+    a small one proved the link fast). A slow window yields a slow-but-
+    finite probe instead of eating the whole driver budget."""
     import numpy as np
 
-    fill = jax.jit(lambda s: jnp.full((16 * 1024 * 1024,), s, jnp.int16))
-    np.asarray(fill(0))                      # warm/compile
+    t_start = time.perf_counter()
     rates = []
-    for i in range(3):
-        x = fill(i + 1)
+    probed_mib = 0.0
+    for mib in (1, 8, 32, 32):
+        n = int(mib * 1024 * 1024 // 2)
+        x = jnp.full((n,), len(rates) + 1, jnp.int16)
         jax.block_until_ready(x)
         t0 = time.perf_counter()
         np.asarray(x)
-        rates.append(32.0 / (time.perf_counter() - t0))
+        dt = time.perf_counter() - t0
+        rates.append(mib / max(dt, 1e-6))
+        probed_mib = float(mib)
+        elapsed = time.perf_counter() - t_start
+        # escalate only while the link looks fast enough that the NEXT
+        # (bigger) fetch also fits the bound
+        if elapsed > wall_bound_s or rates[-1] < 4.0:
+            break
     med, spread = _stats(rates)
-    return {"d2h_MBps": med, "d2h_MBps_spread": spread}
+    return {"d2h_MBps": med, "d2h_MBps_spread": spread,
+            "d2h_probe_mib": probed_mib}
 
 
 def headline():
@@ -958,19 +972,26 @@ def main():
         write_docs(saved["headline"], saved["rows"], saved["env"])
         return
     skip_matrix = "--headline-only" in sys.argv
-    env = probe_bandwidth()
-    log(f"d2h bandwidth probe: {env}")
+    # headline FIRST (it fetches only 8 samples — transfer-light), then
+    # the early print, and only THEN the bandwidth probe: a probe fetch
+    # issued into a wedged-tunnel window blocks uninterruptibly, and a
+    # hang before the early print loses the whole artifact (r05 observed
+    # bench stuck >10 min inside a 32 MiB probe fetch while compute RPCs
+    # ran fine).
     wall, spread, mfu = headline()
     payload = {
         "metric": "seconds_per_song",
         "value": round(wall, 4),
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / wall, 3),
-        "extra": {"headline_spread": spread, **mfu, **env},
+        "extra": {"headline_spread": spread, **mfu},
     }
     # EARLY print: if the driver kills the process mid-matrix, the last
     # stdout line is still this parseable summary (matrix logs -> stderr)
     print(json.dumps(payload), flush=True)
+    env = probe_bandwidth()
+    log(f"d2h bandwidth probe: {env}")
+    payload["extra"].update(env)
 
     rows: list = []
     truncated: list = []
